@@ -1,0 +1,183 @@
+"""Per-document extraction orchestrator — the reference's request
+lifecycle as a pure function.
+
+``extract_document`` condenses ``Processor._process``
+(processor.py:25-62), ``DocumentConverter.prepare``
+(converter.py:449-563) and the ``build_response`` semantics
+(utils/utils.py:154-197) for the deterministic NO_OCR tier:
+
+- routes by ``doc_class`` exactly like the prepare if/elif chain;
+- LibreOffice conversion (C2/C3) is structurally absent — office and
+  unknown-binary payloads behave exactly like the reference does when
+  LO produces no PDF (the reference's own unit tests pin this path:
+  tests/test_filename_handling.py:104-124);
+- the fallback cascade, reasons (``no_pdf_produced`` /
+  ``converted_pdf_handling_failed``) and metadata keys match 1:1;
+- any extraction exception reproduces ``process_stream``'s swallow:
+  empty text + EMPTY metadata (processor.py:93-96);
+- success/log_message follow build_response (utils/utils.py:179-187).
+
+The function is Spark-agnostic: the mapInPandas operator in
+``operators/extract.py`` calls it per payload inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ocr_service_spark.extraction.classify import Classification, classify
+from ocr_service_spark.extraction.fallback import (
+    extract_office_zip_text_fallback,
+    extract_text_fallback,
+)
+from ocr_service_spark.extraction.finalize import finalize_output_text, success_and_log
+from ocr_service_spark.extraction.pdf_text import pdf_to_text
+from ocr_service_spark.extraction.xml_text import xml_iter_text
+
+# Metadata keys promoted to typed result columns; the rest stay in the
+# map<string,string> tail (FIXTURES.md A2).
+RESULT_FIELDS = (
+    "url",
+    "extracted_text",
+    "content_type",
+    "pages",
+    "confidence",
+    "success",
+    "ocr_skipped",
+    "fallback_reason",
+    "doc_class",
+    "metadata",
+)
+
+
+def _apply_text_fallback(
+    stream: bytes, cls: Classification, meta: dict[str, Any], reason: str
+) -> str:
+    """converter.py:411-437."""
+    text = extract_office_zip_text_fallback(stream, cls.ext)
+    if not text:
+        text = extract_text_fallback(
+            stream, is_html=cls.is_html, is_xml=cls.is_xml, is_rtf=cls.is_rtf
+        )
+    meta["pages"] = 1
+    meta["content-type"] = "text/plain"
+    meta["fallback_reason"] = reason
+    return text
+
+
+def _process(stream: bytes, url: str) -> tuple[str, dict[str, Any]]:
+    """processor.py:25-62 + converter.py:449-563, NO_OCR mode."""
+    cls = classify(stream, url)
+    meta: dict[str, Any] = {"content-type": cls.content_type, "doc_class": cls.doc_class}
+    output_text = ""
+    pdf_stream: bytes = b""
+
+    if cls.doc_class == "encrypted_office":
+        # converter.py:453-462
+        meta["content-type"] = "application/vnd.openxmlformats-officedocument"
+        meta["encrypted"] = True
+        meta["unsupported_reason"] = "encrypted_office_document"
+        meta["pages"] = 0
+        return output_text, meta
+
+    text_fallback_allowed = cls.is_xml or cls.is_rtf or cls.has_office_zip_fallback
+
+    if cls.doc_class == "pdf":
+        pdf_stream = stream
+    elif cls.doc_class == "xml":
+        meta["content-type"] = "text/xml"
+        output_text = xml_iter_text(stream)  # exceptions propagate (converter.py:478)
+        meta["pages"] = 1
+    elif cls.doc_class == "html":
+        meta["content-type"] = "text/html"
+        output_text = extract_text_fallback(stream, is_html=True)
+        meta["pages"] = 1
+    elif cls.doc_class == "rtf":
+        output_text = extract_text_fallback(stream, is_rtf=True)
+        meta["pages"] = 1
+        meta["content-type"] = "text/plain"
+    elif cls.doc_class == "office":
+        pdf_stream = b""  # LO conversion structurally absent -> no PDF produced
+    elif cls.doc_class == "image":
+        # converter.py:379-383 NO_OCR image skip
+        meta["pages"] = 1
+        meta["ocr_skipped"] = True
+    elif cls.doc_class == "plain":
+        output_text = stream.decode("utf-8", "ignore")
+        meta["pages"] = 1
+        meta["content-type"] = "text/plain"
+    else:  # unknown -> LO attempt -> no PDF produced
+        pdf_stream = b""
+
+    # converter.py:529-536
+    if not pdf_stream and not output_text and (cls.is_text_like or cls.has_office_zip_fallback):
+        output_text = _apply_text_fallback(stream, cls, meta, reason="no_pdf_produced")
+
+    # converter.py:538-563
+    if pdf_stream:
+        try:
+            output_text, pages = pdf_to_text(pdf_stream)
+            meta["pages"] = pages
+        except Exception:
+            if not text_fallback_allowed:
+                raise
+            output_text = _apply_text_fallback(
+                stream, cls, meta, reason="converted_pdf_handling_failed"
+            )
+        else:
+            if text_fallback_allowed and not output_text:
+                output_text = _apply_text_fallback(
+                    stream, cls, meta, reason="converted_pdf_handling_failed"
+                )
+
+    return finalize_output_text(output_text), meta
+
+
+def extract_document(payload: bytes | None, url: str) -> dict[str, Any]:
+    """One pages-table row -> one results-table row (plain dict).
+
+    Mirrors the full request lifecycle: null-payload skip
+    (api/process.py:72-77), processing with exception swallow
+    (processor.py:93-96), response semantics (utils/utils.py:154-197).
+    """
+    meta: dict[str, Any] = {}
+    output_text = ""
+
+    if payload is None:
+        # api/process.py:72-77 — skipped before any processing
+        meta = {"ocr_skipped": True, "skip_reason": "no_binary_data"}
+    elif len(payload) == 0:
+        # empty stream: the API never calls the processor (api/process.py:108-109)
+        meta = {}
+    else:
+        try:
+            output_text, meta = _process(bytes(payload), url)
+        except Exception:
+            # processor.py:93-96 — swallowed, best-effort empty output
+            output_text, meta = "", {}
+
+    ocr_skipped = bool(meta.get("ocr_skipped"))
+    # Reference nuance: for empty/None streams HTTP status is 200 but
+    # build_response(success) is still driven by allow_empty_text=ocr_skipped
+    # only; an empty non-skipped result is success=False (api/process.py:116-124).
+    success, log_message = success_and_log(output_text, allow_empty_text=ocr_skipped)
+    meta["log_message"] = log_message
+
+    pages = meta.pop("pages", None)
+    content_type = meta.pop("content-type", None)
+    fallback_reason = meta.pop("fallback_reason", None)
+    doc_class = meta.pop("doc_class", None)
+    meta.pop("ocr_skipped", None)
+
+    return {
+        "url": url,
+        "extracted_text": output_text,
+        "content_type": content_type,
+        "pages": pages,
+        "confidence": None,  # OCR tier only (ocr_engine.py:81)
+        "success": success,
+        "ocr_skipped": ocr_skipped,
+        "fallback_reason": fallback_reason,
+        "doc_class": doc_class,
+        "metadata": {k: str(v) for k, v in meta.items()},
+    }
