@@ -864,9 +864,11 @@ def _page_content(doc: _Document, page: dict) -> bytes:
     return b"\n".join(parts)
 
 
-def pdf_page_texts(stream: bytes) -> list[str]:
-    """Per-page text in page order (the explode/re-agg path needs the
-    page boundary; the reference concatenates with no separator)."""
+def pdf_page_texts(stream: bytes, start: int = 0, stop: int | None = None) -> list[str]:
+    """Per-page text in page order, optionally restricted to the
+    half-open page range [start, stop) — the salted explode/re-agg path
+    extracts one bucket of pages per task. The reference concatenates
+    page texts with no separator (converter.py:193-197)."""
     if not stream.startswith(b"%PDF"):
         raise PdfError("not a pdf")
     doc = _Document(stream)
@@ -874,7 +876,7 @@ def pdf_page_texts(stream: bytes) -> list[str]:
     if not pages:
         raise PdfError("no pages")
     texts = []
-    for page in pages:
+    for page in pages[start:stop]:
         fonts = _page_fonts(doc, page)
         content = _page_content(doc, page)
         texts.append(_interpret_page(doc, content, fonts))

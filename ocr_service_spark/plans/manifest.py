@@ -1,0 +1,138 @@
+"""Checkpoint manifest + resume (north rule: per-partition lineage).
+
+The job checkpoints progress to a manifest table so a killed run
+resumes by anti-joining completed partitions (FIXTURES.md A3):
+
+    manifest(input_snapshot_id string, part_hash int, doc_count long,
+             empty_text_count long, conf_histogram array<long>,
+             completed_ts timestamp)
+
+Design (parquet directories standing in for Iceberg tables — the same
+flow maps 1:1 onto Iceberg snapshots + MERGE when a catalog is
+configured):
+
+- ``part_hash = pmod(xxhash64(url), n_parts)`` — a deterministic,
+  uniformly distributed partition key independent of input layout;
+- results are written with dynamic partition overwrite per part_hash,
+  so re-processing a partially-written part is idempotent (the crash
+  window between results-write and manifest-append re-runs that part
+  and replaces its files);
+- the manifest row for a part is appended only after the part's
+  results hit storage; manifest content (doc_count, empty-text count,
+  confidence decile histogram) is aggregated by reading back the
+  written results — no second extraction pass, no driver-side data;
+- resume = left_anti join of pages against completed part_hashes for
+  this input snapshot.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_N_PARTS = 64
+
+
+def with_part_hash(df: DataFrame, n_parts: int = DEFAULT_N_PARTS) -> DataFrame:
+    return df.withColumn("part_hash", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int"))
+
+
+def input_snapshot_id(pages_path: str, n_parts: int = DEFAULT_N_PARTS) -> str:
+    """Stable identity of the input snapshot (Iceberg snapshot id when
+    cataloged; path+layout hash here)."""
+    return f"{pages_path}::parts={n_parts}"
+
+
+def completed_parts(
+    spark: SparkSession, manifest_path: str, snapshot_id: str
+) -> DataFrame | None:
+    try:
+        manifest = spark.read.parquet(manifest_path)
+    except Exception:
+        return None
+    return (
+        manifest.filter(F.col("input_snapshot_id") == snapshot_id)
+        .select("part_hash")
+        .distinct()
+    )
+
+
+def resume_filter(
+    pages: DataFrame,
+    spark: SparkSession,
+    manifest_path: str,
+    snapshot_id: str,
+    n_parts: int = DEFAULT_N_PARTS,
+) -> DataFrame:
+    """Drop documents whose partition is already manifested.
+
+    The completed-part set is tiny (≤ n_parts rows): the anti-join is
+    broadcast, so resume costs one scan-side hash probe, no shuffle.
+    """
+    pages = with_part_hash(pages, n_parts)
+    done = completed_parts(spark, manifest_path, snapshot_id)
+    if done is None:
+        return pages
+    return pages.join(F.broadcast(done), "part_hash", "left_anti")
+
+
+def manifest_from_results(results: DataFrame, snapshot_id: str) -> DataFrame:
+    """Aggregate per-part lineage from (already written) results."""
+    decile = F.least(F.floor(F.coalesce(F.col("confidence"), F.lit(0.0)) * 10), F.lit(9))
+    return (
+        results.groupBy("part_hash")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(
+                F.when(F.length(F.coalesce("extracted_text", F.lit(""))) == 0, 1).otherwise(0)
+            ).alias("empty_text_count"),
+            # confidence decile histogram (OCR tier; all-null confidences
+            # land in decile 0 by the coalesce — recorded for parity with
+            # FIXTURES.md A3 even in NO_OCR runs). Ten conditional sums:
+            # map-side partial aggregation, no per-part value lists.
+            F.array(
+                *[
+                    F.sum(F.when(decile == d, 1).otherwise(0)).cast("long")
+                    for d in range(10)
+                ]
+            ).alias("conf_histogram"),
+        )
+        .withColumn("input_snapshot_id", F.lit(snapshot_id))
+        .withColumn("completed_ts", F.lit(dt.datetime.now()))
+    )
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    pages: DataFrame,
+    pages_path: str,
+    results_path: str,
+    manifest_path: str,
+    n_parts: int = DEFAULT_N_PARTS,
+    **extract_kwargs,
+) -> None:
+    """Resumable extraction: skip manifested parts, write results with
+    per-part overwrite, then append the manifest rows."""
+    from ocr_service_spark.plans.job import run_extraction
+
+    snapshot_id = input_snapshot_id(pages_path, n_parts)
+    todo = resume_filter(pages, spark, manifest_path, snapshot_id, n_parts)
+
+    results = run_extraction(todo, **extract_kwargs)
+    results = with_part_hash(results, n_parts)
+
+    (
+        results.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_hash")
+        .parquet(results_path)
+    )
+
+    # lineage is aggregated from what actually landed on storage
+    written = spark.read.parquet(results_path)
+    done = completed_parts(spark, manifest_path, snapshot_id)
+    if done is not None:
+        written = written.join(F.broadcast(done), "part_hash", "left_anti")
+    manifest_from_results(written, snapshot_id).write.mode("append").parquet(manifest_path)
