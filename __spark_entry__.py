@@ -1,38 +1,140 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship extraction run on sf0.001.
+``queries``    — one entry per implemented operator (SURVEY.md §2 plus
+                 the training-data operators: dedup, text analytics,
+                 similarity search, extraction roundtrips).
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query;
+                 entries absent here (x4x_*, q21) are non-SQL-expressible
+                 pipelines (full extraction over binary fixtures, LSH
+                 over derived hyperplanes) and get rows-only checks.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ocr_service_spark.operators import (  # noqa: E402
+    dedup,
+    relational,
+    roundtrip,
+    similarity,
+    text_stats,
+)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Executor Python workers need the package regardless of how the
+    driver created its SparkSession (the driver may not have used our
+    session builder)."""
+    from ocr_service_spark.plans.session import _package_zip
+
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added in this session
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction job (router + salted PDF path +
+    single-pass path) over a pages table derived from sf0.001 documents
+    wrapped per-row into html/rtf/xml payloads."""
+    _ship_package(spark)
+    from ocr_service_spark.plans.job import run_extraction
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fmt_html = "<!DOCTYPE html>\n<html><head><title>t</title></head><body><p>%s</p></body></html>"
+    fmt_rtf = "{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Arial;}}%s\\par}"
+    fmt_xml = '<?xml version="1.0"?><doc kind="synthetic">%s</doc>'
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.format_string(fmt_html, F.col("text")))
+        .when(F.col("doc_id") % 3 == 1, F.format_string(fmt_rtf, F.col("text")))
+        .otherwise(F.format_string(fmt_xml, F.col("text")))
+    )
+    ext = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("html"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("rtf"))
+        .otherwise(F.lit("xml"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"), F.lit("."), ext).alias("url"),
+        F.encode(payload, "utf-8").alias("html"),
+    )
+    return run_extraction(pages)
+
+
+def _x40_extract_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
+    from ocr_service_spark.plans.job import run_extraction
+    from ocr_service_spark.sources.pages import load_fixture_pages
+
+    res = run_extraction(load_fixture_pages(spark), salt_min_bytes=100_000)
+    return res.select(
+        "url", "doc_class", "content_type", "pages", "success", "ocr_skipped",
+        "fallback_reason", "extracted_text",
+    )
+
+
+def _x41_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
+    from ocr_service_spark.plans.job import run_extraction
+    from ocr_service_spark.sources.pages import generate_pages
+
+    res = run_extraction(generate_pages(spark, 500, seed=42))
+    return (
+        res.groupBy("doc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("n_success"),
+            F.sum(F.length(F.coalesce("extracted_text", F.lit("")))).alias("total_chars"),
+        )
+    )
+
+
+def _x42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
+    from ocr_service_spark.operators.multimodal import extract_media_features
+    from ocr_service_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 300, seed=42).filter(F.col("html").isNotNull())
+    feats = extract_media_features(pages)
+    return feats.select("url", "media_type", "width", "height", "n_frames", "feature_hash")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(text_stats.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    for name, fn in roundtrip.QUERIES.items():
+        out[name] = _wrap(fn)
+    out["x40_extract_fixtures"] = _x40_extract_fixtures
+    out["x41_extract_synthetic"] = _x41_extract_synthetic
+    out["x42_media_features"] = _x42_media_features
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    out.update(text_stats.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(roundtrip.ORACLES)
+    return out

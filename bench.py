@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Benchmark: extraction throughput + headline query timings.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+
+Env:
+    SPARK_GRAFT_SF_DIR  table dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+    BENCH_DOCS          override synthetic corpus size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# extraction corpus: ~200k docs/sf-unit keeps sf0.1 around 20k documents
+DOCS_PER_SF = 200_000
+
+HEADLINE_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_region",
+    "q03_top_orders_per_customer",
+    "q05_events_daily",
+    "q06_user_sessions",
+    "q10_dedup_exact",
+    "q11_token_stats",
+    "q13_lang_id",
+    "q14_jaccard_pairs",
+    "q15_minhash_signatures",
+    "q17_simhash",
+    "q18_fingerprints",
+    "q20_cosine_topk",
+    "q30_extract_html_roundtrip",
+]
+
+
+def infer_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf = infer_sf(SF_DIR)
+    n_docs = int(os.environ.get("BENCH_DOCS", str(max(int(DOCS_PER_SF * sf), 500))))
+
+    from ocr_service_spark.plans.session import build_session
+    from ocr_service_spark.plans.job import run_extraction
+    from ocr_service_spark.sources.pages import generate_pages
+
+    spark = build_session(app_name="ocr-service-spark-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- extraction throughput on the synthetic Common-Crawl-style corpus
+    pages_path = f"/tmp/bench_pages_sf{sf}_{n_docs}.parquet"
+    if not os.path.exists(pages_path):
+        generate_pages(spark, n_docs, seed=42).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    # warm up JVM/codegen/Python workers so timings measure the engine,
+    # not session startup
+    run_extraction(pages.limit(64)).groupBy().sum("pages").collect()
+
+    t0 = time.perf_counter()
+    results = run_extraction(pages)
+    agg = results.groupBy().sum("pages").collect()  # forces full extraction
+    extract_sec = time.perf_counter() - t0
+    total_pages = agg[0][0] or n_docs
+
+    timings: dict[str, float] = {"extract_synthetic": round(extract_sec, 3)}
+
+    # --- headline queries over the driver tables
+    import __spark_entry__ as em
+
+    queries = em.queries()
+    for name in HEADLINE_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total wall sec (extraction of %d synthetic docs + %d headline queries)"
+        % (n_docs, len(HEADLINE_QUERIES)),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+        "pages_per_sec": round(total_pages / extract_sec, 1),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

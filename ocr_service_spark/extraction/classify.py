@@ -102,11 +102,12 @@ def classify(stream: bytes, url: str | None = None) -> Classification:
     ft_ext = file_type.ext if file_type else None
     is_pdf = ft_ext == "pdf"
     is_rtf = ft_ext == "rtf" or sniff.is_file_type_rtf(stream)
-    # Text-shape checks are only meaningful (and only computed by the
-    # reference) for non-pdf/non-image payloads, but computing them
-    # unconditionally is equivalent: binary payloads fail all of them.
+    # The reference computes `is_xml() and not is_html` (converter.py:467):
+    # the outcome never depends on the SAX parse when is_html holds, so
+    # evaluate is_html first and skip the full-stream parse for HTML —
+    # identical classification, large saving on a web corpus.
     is_html = sniff.is_file_type_html(stream)
-    is_xml = sniff.is_file_type_xml(stream) and not is_html
+    is_xml = (not is_html) and sniff.is_file_type_xml(stream)
     is_plain = sniff.is_file_content_plain_text(stream)
 
     ext = effective_extension(

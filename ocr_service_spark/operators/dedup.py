@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, MinHash signatures + LSH banding,
+SimHash, and n-gram-Jaccard candidate pairs — each with a DuckDB oracle.
+
+Hashing goes through the md5-derived :func:`h32` so both engines
+produce identical values (see functions/hashing.py). At cluster scale
+the shapes matter: exact dedup is one hash-shuffle; MinHash/LSH is
+explode -> partial-agg min per seed -> band-key shuffle; SimHash is
+explode -> 16 conditional sums; the Jaccard pair join is token-inverted-
+index self-join with a doc-frequency cap to bound the candidate blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_service_spark.functions.hashing import h32, h32_sql
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the table lands as one small parquet file (one input split); the
+    # per-row work here (shingling, hashing) is CPU-bound, so spread it
+    # across the cluster before the expensive projections run
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+# -- exact dedup -----------------------------------------------------------------
+def q10_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash groups: canonical doc + duplicate count per text."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# -- MinHash ------------------------------------------------------------------------
+MINHASH_SEEDS = ("mh0|", "mh1|", "mh2|", "mh3|")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok")
+    )
+
+
+def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-permutation MinHash signature over the distinct-token set."""
+    toks = _tokens(_docs(spark, sf_dir))
+    aggs = [
+        F.min(h32(F.col("tok"), seed)).alias(f"mh{i}") for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def q16_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signature: 2 bands x 2 rows.
+    Documents sharing a band key are near-dup candidates."""
+    sigs = q15_minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.concat_ws("_", F.lit("b0"), "mh0", "mh1").alias("band0"),
+        F.concat_ws("_", F.lit("b1"), "mh2", "mh3").alias("band1"),
+    )
+    stacked = bands.select(
+        "doc_id", F.explode(F.array("band0", "band1")).alias("band_key")
+    )
+    return stacked.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+# -- SimHash -----------------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def q17_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-bit majority vote over token hashes."""
+    toks = _tokens(_docs(spark, sf_dir)).withColumn("h", h32(F.col("tok"), "sh|"))
+    votes = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << b))) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return per_doc.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+# -- n-gram Jaccard candidate pairs ---------------------------------------------------
+JACCARD_MAX_DF = 20  # inverted-index doc-frequency cap (candidate bound)
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc (word n-grams carry far more
+    signal than unigrams on a small-vocabulary corpus, and their doc
+    frequency keeps the inverted index selective at scale)."""
+    arr = F.split(F.trim("text"), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)),
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("tok"))
+
+
+def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via a shingle inverted index: shingles
+    with doc-frequency <= cap generate candidates (bounding the
+    self-join fan-out); Jaccard is computed on the capped shingle sets."""
+    toks = _shingles(_docs(spark, sf_dir))
+    df_ok = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= JACCARD_MAX_DF)
+        .select("tok")
+    )
+    # rare feeds three consumers (sizes + both sides of the self-join):
+    # persist once instead of recomputing the shingle explode per branch
+    rare = toks.join(F.broadcast(df_ok), "tok").persist()
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_rare").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _minhash_agg_sql() -> str:
+    cols = ", ".join(
+        f"min({h32_sql('tok', seed)}) AS mh{i}" for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    return f"""
+        SELECT doc_id, {cols} FROM (
+            SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+            FROM documents
+        ) GROUP BY doc_id
+    """
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM (
+            SELECT doc_id, {votes} FROM (
+                SELECT doc_id, {h32_sql("tok", "sh|")} AS h FROM (
+                    SELECT doc_id,
+                           unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                    FROM documents
+                )
+            ) GROUP BY doc_id
+        )
+    """
+
+
+ORACLES: dict[str, str] = {
+    "q10_dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "q15_minhash_signatures": _minhash_agg_sql(),
+    "q16_lsh_buckets": f"""
+        WITH sigs AS ({_minhash_agg_sql()})
+        SELECT band_key, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
+            SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band_key FROM sigs
+            UNION ALL
+            SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band_key FROM sigs
+        ) GROUP BY 1
+    """,
+    "q17_simhash": _simhash_oracle(),
+    "q14_jaccard_pairs": f"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(w) - 1),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]
+            ))) AS tok
+            FROM words
+        ),
+        rare AS (
+            SELECT doc_id, tok FROM toks
+            WHERE tok IN (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {JACCARD_MAX_DF})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_rare FROM rare GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               round(n_common / (sa.n_rare + sb.n_rare - n_common), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+}
+
+QUERIES = {
+    "q10_dedup_exact": q10_dedup_exact,
+    "q14_jaccard_pairs": q14_jaccard_pairs,
+    "q15_minhash_signatures": q15_minhash_signatures,
+    "q16_lsh_buckets": q16_lsh_buckets,
+    "q17_simhash": q17_simhash,
+}

@@ -80,8 +80,14 @@ def _result_frame(rows: list[dict]) -> pd.DataFrame:
     return frame
 
 
-def extract_documents(pages: DataFrame, payload_col: str = "html") -> DataFrame:
-    """pages(url, <payload_col>, ...) -> results (RESULT_SCHEMA)."""
+def extract_documents(
+    pages: DataFrame, payload_col: str = "html", metrics=None
+) -> DataFrame:
+    """pages(url, <payload_col>, ...) -> results (RESULT_SCHEMA).
+
+    ``metrics`` is an optional operators.metrics.ExtractionMetrics whose
+    accumulators are updated per document inside the Arrow batches.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -89,8 +95,15 @@ def extract_documents(pages: DataFrame, payload_col: str = "html") -> DataFrame:
             for url, payload in zip(batch["url"], batch["payload"]):
                 start = time.perf_counter()
                 row = extract_document(None if payload is None else bytes(payload), url)
-                row["elapsed_ms"] = round((time.perf_counter() - start) * 1e3, 3)
+                elapsed = (time.perf_counter() - start) * 1e3
+                row["elapsed_ms"] = round(elapsed, 3)
                 rows.append(row)
+                if metrics is not None:
+                    metrics.docs.add(1)
+                    metrics.bytes_in.add(0 if payload is None else len(payload))
+                    metrics.wall_ms.add(int(elapsed))
+                    if not row["extracted_text"]:
+                        metrics.empty_text.add(1)
             yield _result_frame(rows)
 
     narrowed = pages.select("url", F.col(payload_col).alias("payload"))

@@ -1,0 +1,88 @@
+"""Extraction-roundtrip queries: the REAL extraction pipeline under a
+DuckDB oracle.
+
+The driver's oracle can't run our extractors, but it can verify them
+end-to-end on payloads whose expected extraction is SQL-expressible:
+wrap each ``documents.text`` (clean ``[a-z0-9 ]`` word-soup) into a
+synthetic HTML/RTF/XML payload, push it through the full Spark
+extraction job (classify -> route -> extract -> finalize), and compare
+the extracted text against the trivially-computable expectation. This
+oracles the actual mapInPandas pipeline, not a lookalike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.extract import extract_documents
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-file table: fan out so the extraction UDF gets real tasks
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _extract_wrapped(docs: DataFrame, fmt: str, ext: str) -> DataFrame:
+    pages = docs.select(
+        F.format_string("doc://%s." + ext, F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.format_string(fmt, F.col("text")), "utf-8").alias("html"),
+    )
+    results = extract_documents(pages)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return results.select(
+        doc_id.alias("doc_id"),
+        "extracted_text",
+        "content_type",
+        "pages",
+        "success",
+        "doc_class",
+    )
+
+
+def q30_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fmt = "<!DOCTYPE html>\n<html><head><title>t</title></head><body><p>%s</p></body></html>"
+    return _extract_wrapped(_docs(spark, sf_dir), fmt, "html")
+
+
+def q31_extract_rtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fmt = "{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Arial;}}%s\\par}"
+    return _extract_wrapped(_docs(spark, sf_dir), fmt, "rtf")
+
+
+def q32_extract_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fmt = '<?xml version="1.0"?><doc kind="synthetic">%s</doc>'
+    return _extract_wrapped(_docs(spark, sf_dir), fmt, "xml")
+
+
+ORACLES: dict[str, str] = {
+    # html: T1 joins title-text and body-text nodes with "\n"
+    "q30_extract_html_roundtrip": """
+        SELECT doc_id, 't' || chr(10) || trim(text) AS extracted_text,
+               'text/html' AS content_type, 1 AS pages, TRUE AS success,
+               'html' AS doc_class
+        FROM documents
+    """,
+    # rtf: body text, trailing \par newline stripped by finalize
+    "q31_extract_rtf_roundtrip": """
+        SELECT doc_id, trim(text) AS extracted_text,
+               'text/plain' AS content_type, 1 AS pages, TRUE AS success,
+               'rtf' AS doc_class
+        FROM documents
+    """,
+    # xml: element text then attribute value, space-joined (C6 semantics)
+    "q32_extract_xml_roundtrip": """
+        SELECT doc_id, trim(text) || ' synthetic' AS extracted_text,
+               'text/xml' AS content_type, 1 AS pages, TRUE AS success,
+               'xml' AS doc_class
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
+    "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,
+    "q32_extract_xml_roundtrip": q32_extract_xml_roundtrip,
+}

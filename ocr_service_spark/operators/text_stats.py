@@ -1,0 +1,182 @@
+"""Text-analysis operators for a training-data pipeline: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All run JVM-side (built-in functions; no Python in the hot path) and
+every query has a DuckDB oracle. Ratios divide integer counts, so both
+engines evaluate the same IEEE-double operations on the same operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_service_spark.functions.hashing import h32, h32_sql
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one parquet file -> one input split; fan out before the CPU-bound
+    # regex/hash projections (at 100 TB the scan has real splits and
+    # this repartition is a no-op knob)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+TOKEN_RE = r"\s+"
+# BPE-ish word/number/punct segmentation used for subword-ish counting
+BPEISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+# -- token counting ------------------------------------------------------------
+def q11_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.trim("text"), TOKEN_RE))
+    bpeish = F.regexp_count(F.col("text"), F.lit(BPEISH_RE))
+    return (
+        docs.select("lang", tokens.alias("tokens"), bpeish.alias("bpeish"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("sum_tokens"),
+            F.max("tokens").alias("max_tokens"),
+            F.sum("bpeish").cast("bigint").alias("sum_bpeish"),
+        )
+    )
+
+
+# -- quality scoring -------------------------------------------------------------
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "value", "part", "row")
+_SW_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def q12_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.trim("text"), TOKEN_RE)).cast("double")
+    sw_hits = F.regexp_count(F.col("text"), F.lit(_SW_RE)).cast("double")
+    alpha = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]")).cast("double")
+    score = (
+        F.least(tokens / 100.0, F.lit(1.0)) * 0.4
+        + (sw_hits / tokens) * 0.3
+        + (alpha / F.col("n_chars")) * 0.3
+    )
+    return (
+        docs.select(F.round(score, 1).alias("quality_bucket"))
+        .groupBy("quality_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# -- language ID (stopword-marker heuristic) ---------------------------------------
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # deterministic marker sets; the synthetic corpus is word-soup so
+    # accuracy is incidental — the operator shape is what matters
+    "en": ("the", "and", "of", "value", "row"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _marker_pattern(markers: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(markers) + r")\b"
+
+
+def q13_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    hits = {
+        lang: F.regexp_count(F.col("text"), F.lit(_marker_pattern(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    top = F.greatest(*hits.values())
+    # argmax with first-in-order tie-break; no hits at all -> 'und'
+    predicted = F.when(top == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        predicted = predicted.when(hits[lang] == top, F.lit(lang))
+    return (
+        docs.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# -- fingerprinting (bottom-k sketch of char 8-grams) --------------------------------
+FP_K = 2
+FP_NGRAM = 8
+
+
+def q18_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k document fingerprint: hash every char 8-gram, keep the
+    two smallest — a winnowing-style sketch that is order-insensitive
+    and deterministic, computed fully JVM-side via transform/sequence."""
+    docs = _docs(spark, sf_dir)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (FP_NGRAM - 1)),
+        lambda i: h32(F.col("text").substr(i, F.lit(FP_NGRAM))),
+    )
+    bottom = F.slice(F.array_sort(grams), 1, FP_K)
+    return docs.select(
+        "doc_id",
+        F.element_at(bottom, 1).alias("fp1"),
+        F.element_at(bottom, 2).alias("fp2"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_exprs = ", ".join(
+        f"len(regexp_extract_all(text, '{_marker_pattern(m)}')) AS hits_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_MARKERS) + ")"
+    case = f"CASE WHEN {top} = 0 THEN 'und'"
+    for lang in LANG_MARKERS:
+        case += f" WHEN hits_{lang} = {top} THEN '{lang}'"
+    case += " END"
+    return f"""
+        SELECT lang, predicted_lang, count(*) AS n_docs FROM (
+            SELECT lang, {case} AS predicted_lang
+            FROM (SELECT lang, {hit_exprs} FROM documents)
+        ) GROUP BY 1, 2
+    """
+
+
+ORACLES: dict[str, str] = {
+    "q11_token_stats": f"""
+        SELECT lang, count(*) AS n_docs,
+               sum(len(regexp_split_to_array(trim(text), '{TOKEN_RE}'))) AS sum_tokens,
+               max(len(regexp_split_to_array(trim(text), '{TOKEN_RE}'))) AS max_tokens,
+               sum(len(regexp_extract_all(text, '{BPEISH_RE}'))) AS sum_bpeish
+        FROM documents GROUP BY 1
+    """,
+    "q12_quality_buckets": f"""
+        SELECT round(
+                 least(tokens/100.0, 1.0)*0.4 + (sw/tokens)*0.3 + (alpha/n_chars)*0.3,
+               1) AS quality_bucket,
+               count(*) AS n_docs
+        FROM (
+            SELECT CAST(len(regexp_split_to_array(trim(text), '{TOKEN_RE}')) AS DOUBLE) AS tokens,
+                   CAST(len(regexp_extract_all(text, '{_SW_RE}')) AS DOUBLE) AS sw,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) AS alpha,
+                   n_chars
+            FROM documents
+        ) GROUP BY 1
+    """,
+    "q13_lang_id": _lang_id_oracle(),
+    "q18_fingerprints": f"""
+        SELECT doc_id, fps[1] AS fp1, fps[2] AS fp2 FROM (
+            SELECT doc_id,
+                   list_sort(list_transform(
+                       range(1, length(text) - {FP_NGRAM - 2}),
+                       i -> {h32_sql(f"substr(text, CAST(i AS INT), {FP_NGRAM})")}
+                   ))[:{FP_K}] AS fps
+            FROM documents
+        )
+    """,
+}
+
+QUERIES = {
+    "q11_token_stats": q11_token_stats,
+    "q12_quality_buckets": q12_quality_buckets,
+    "q13_lang_id": q13_lang_id,
+    "q18_fingerprints": q18_fingerprints,
+}

@@ -54,6 +54,7 @@ def run_extraction(
     salt_min_bytes: int = SALT_MIN_BYTES,
     bucket_pages: int = 16,
     repartition: int | None = None,
+    metrics=None,
 ) -> DataFrame:
     """pages -> results DataFrame (operators.extract.RESULT_SCHEMA)."""
     big = is_big_pdf(payload_col, salt_min_bytes)
@@ -62,12 +63,19 @@ def run_extraction(
     if repartition:
         # spread payloads across tasks; size skew beyond this is AQE's job
         normal = normal.repartition(repartition, "url")
-    normal_results = extract_documents(normal, payload_col)
+    normal_results = extract_documents(normal, payload_col, metrics=metrics)
 
-    salted = pages.filter(F.coalesce(big, F.lit(False)))
+    # Salted branch: big PDFs are rare by construction (the router
+    # threshold keeps this to a sliver of documents), so collapse the
+    # scan to a few tasks — per-task Python-worker overhead on dozens of
+    # near-empty partitions otherwise dominates. The bucket explode then
+    # re-spreads the real work across the cluster by (url, bucket).
+    salted = pages.filter(F.coalesce(big, F.lit(False))).coalesce(4)
     buckets = explode_pdf_buckets(salted, payload_col, bucket_pages)
     if repartition:
         buckets = buckets.repartition(repartition, "url", "bucket")
+    else:
+        buckets = buckets.repartition("url", "bucket")  # AQE coalesces when tiny
     salted_results = reassemble_pdf_results(extract_pdf_buckets(buckets, bucket_pages))
 
     return normal_results.unionByName(salted_results)

@@ -219,7 +219,9 @@ def generate_pages(
                 rng = _lcg(seed * 1_000_003 + doc_id)
                 kind = _MIX_TABLE[next(rng) % 100]
                 big = skew_every > 0 and doc_id % skew_every == 0
-                paragraphs = (80 + next(rng) % 200) if big else (3 + next(rng) % 25)
+                # normal pages ~5-30 KB (Common-Crawl-realistic), skewed
+                # pages several hundred KB
+                paragraphs = (400 + next(rng) % 1200) if big else (10 + next(rng) % 55)
                 payload: bytes | None
                 ext = kind
                 if kind == "html":

@@ -1,0 +1,57 @@
+"""Streaming extraction, accumulator metrics, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.metrics import ExtractionMetrics
+from ocr_service_spark.operators.multimodal import extract_media_features
+from ocr_service_spark.plans.job import run_extraction
+from ocr_service_spark.sources.pages import generate_pages, load_fixture_pages
+from ocr_service_spark.streaming.stream_job import start_extraction_stream
+
+
+def test_streaming_extraction_drains_backlog(spark, tmp_path):
+    pages_path = str(tmp_path / "pages")
+    results_path = str(tmp_path / "results")
+    checkpoint = str(tmp_path / "ckpt")
+    generate_pages(spark, 150, seed=5).write.parquet(pages_path)
+
+    query = start_extraction_stream(
+        spark, pages_path, results_path, checkpoint, available_now=True
+    )
+    query.awaitTermination(300)
+    out = spark.read.parquet(results_path)
+    assert out.count() == 150
+    assert out.filter(F.col("doc_class") == "html").count() > 75
+
+    # exactly-once: draining again with the same checkpoint adds nothing
+    query2 = start_extraction_stream(
+        spark, pages_path, results_path, checkpoint, available_now=True
+    )
+    query2.awaitTermination(300)
+    assert spark.read.parquet(results_path).count() == 150
+
+
+def test_extraction_metrics_accumulators(spark):
+    metrics = ExtractionMetrics.create(spark)
+    pages = generate_pages(spark, 100, seed=9)
+    run_extraction(pages, metrics=metrics).groupBy().count().collect()
+    snap = metrics.snapshot()
+    assert snap["docs"] >= 99  # salted-path docs bypass the counter
+    assert snap["bytes_in"] > 10_000
+    assert 0 < snap["empty_text"] < snap["docs"]
+
+
+def test_media_feature_plumbing(spark):
+    pages = load_fixture_pages(spark).filter(F.col("html").isNotNull())
+    feats = extract_media_features(pages).collect()
+    by_url = {r["url"]: r for r in feats}
+    png = by_url["https://fixtures.test/generic/pat_id_1.png"]
+    # real header parse: the fixture PNG IHDR says 575x550
+    assert png["media_type"] == "image/png"
+    assert (png["width"], png["height"]) == (575, 550)
+    assert len(png["feature_vec"]) == 8
+    # deterministic features
+    feats2 = extract_media_features(pages).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
