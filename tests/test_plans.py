@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+100 TB must be visible in the plan, not assumed — column pruning to
+the parquet scan, predicate pushdown, broadcast joins for dims and
+the resume anti-join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_service_spark.plans.job import run_extraction
+from ocr_service_spark.plans.manifest import resume_filter, with_part_hash
+from ocr_service_spark.operators.relational import q02_revenue_by_region
+from ocr_service_spark.sources.pages import generate_pages
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    generate_pages(spark, 200, seed=13).write.parquet(path)
+    return path
+
+
+def test_extraction_scan_prunes_columns(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = _formatted_plan(run_extraction(pages))
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, plan
+    for line in read_schemas:
+        # only the key + payload reach the scan; warc_ts/text/lang pruned
+        assert "url:string,html:binary" in line.replace(" ", "")
+        assert "warc_ts" not in line and "lang" not in line
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    pages = spark.read.parquet(pages_path).filter(F.col("lang") == "en")
+    plan = _formatted_plan(pages.select("url"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed
+    assert any("EqualTo(lang,en)" in ln for ln in pushed)
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _formatted_plan(q02_revenue_by_region(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_resume_antijoin_is_broadcast(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    manifest_path = pages_path + "_manifest"
+    # seed a manifest so the anti-join actually appears in the plan
+    from ocr_service_spark.plans.manifest import manifest_from_results
+    results = with_part_hash(
+        pages.selectExpr(
+            "url", "'x' as extracted_text", "cast(1.0 as double) as confidence"
+        ),
+        8,
+    ).limit(50)
+    manifest_from_results(results, "snap").write.mode("overwrite").parquet(manifest_path)
+    todo = resume_filter(pages, spark, manifest_path, "snap", 8)
+    plan = _formatted_plan(todo)
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
