@@ -65,8 +65,15 @@ def _apply_text_fallback(
     return text
 
 
-def _process(stream: bytes, url: str) -> tuple[str, dict[str, Any]]:
-    """processor.py:25-62 + converter.py:449-563, NO_OCR mode."""
+def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[str, Any]]:
+    """processor.py:25-62 + converter.py:449-563.
+
+    ``mode`` mirrors OPERATION_MODE (settings.py:28): NO_OCR is the
+    deterministic byte-parity tier; OCR routes image payloads through
+    the pluggable engine (extraction/ocr_engine.py) and rasterizes PDFs
+    when a rasterizer is present (reference swallow semantics when not:
+    converter.py:213-225 returns empty images on any failure).
+    """
     cls = classify(stream, url)
     meta: dict[str, Any] = {"content-type": cls.content_type, "doc_class": cls.doc_class}
     output_text = ""
@@ -86,22 +93,38 @@ def _process(stream: bytes, url: str) -> tuple[str, dict[str, Any]]:
         pdf_stream = stream
     elif cls.doc_class == "xml":
         meta["content-type"] = "text/xml"
-        output_text = xml_iter_text(stream)  # exceptions propagate (converter.py:478)
-        meta["pages"] = 1
+        if mode == "NO_OCR":
+            output_text = xml_iter_text(stream)  # exceptions propagate (converter.py:478)
+            meta["pages"] = 1
+        # OCR mode: xml->pdf converters absent -> no PDF -> T4 fallback below
     elif cls.doc_class == "html":
         meta["content-type"] = "text/html"
-        output_text = extract_text_fallback(stream, is_html=True)
-        meta["pages"] = 1
+        if mode == "NO_OCR":
+            output_text = extract_text_fallback(stream, is_html=True)
+            meta["pages"] = 1
+        # OCR mode: LO conversion absent -> no PDF -> T4 fallback below
     elif cls.doc_class == "rtf":
-        output_text = extract_text_fallback(stream, is_rtf=True)
-        meta["pages"] = 1
-        meta["content-type"] = "text/plain"
+        if mode == "NO_OCR":
+            output_text = extract_text_fallback(stream, is_rtf=True)
+            meta["pages"] = 1
+            meta["content-type"] = "text/plain"
+        # OCR mode: LO conversion absent -> no PDF -> T4 fallback below
     elif cls.doc_class == "office":
         pdf_stream = b""  # LO conversion structurally absent -> no PDF produced
     elif cls.doc_class == "image":
-        # converter.py:379-383 NO_OCR image skip
-        meta["pages"] = 1
-        meta["ocr_skipped"] = True
+        if mode == "NO_OCR":
+            # converter.py:379-383 NO_OCR image skip
+            meta["pages"] = 1
+            meta["ocr_skipped"] = True
+        else:
+            # OCR tier: engine singleton recognition (ocr_engine.py:43-81);
+            # one image == one page, confidence = round(mean, 4)
+            from ocr_service_spark.extraction.ocr_engine import get_engine
+
+            text, conf = get_engine().recognize(stream)
+            output_text = text
+            meta["pages"] = 1
+            meta["confidence"] = round(conf, 4)
     elif cls.doc_class == "plain":
         output_text = stream.decode("utf-8", "ignore")
         meta["pages"] = 1
@@ -115,17 +138,49 @@ def _process(stream: bytes, url: str) -> tuple[str, dict[str, Any]]:
 
     # converter.py:538-563
     if pdf_stream:
-        try:
-            output_text, pages = pdf_to_text(pdf_stream)
-            meta["pages"] = pages
-        except Exception:
-            if not text_fallback_allowed:
-                raise
-            output_text = _apply_text_fallback(
-                stream, cls, meta, reason="converted_pdf_handling_failed"
-            )
+        if mode == "NO_OCR":
+            try:
+                output_text, pages = pdf_to_text(pdf_stream)
+                meta["pages"] = pages
+            except Exception:
+                if not text_fallback_allowed:
+                    raise
+                output_text = _apply_text_fallback(
+                    stream, cls, meta, reason="converted_pdf_handling_failed"
+                )
+            else:
+                if text_fallback_allowed and not output_text:
+                    output_text = _apply_text_fallback(
+                        stream, cls, meta, reason="converted_pdf_handling_failed"
+                    )
         else:
-            if text_fallback_allowed and not output_text:
+            # OCR mode: rasterize -> recognize per page; rasterizer
+            # failure is swallowed exactly like _preprocess_pdf_to_img
+            # (converter.py:213-225): empty page set, no pages metadata
+            images_present = False
+            try:
+                from ocr_service_spark.extraction.ocr_engine import (
+                    get_engine,
+                    rasterize_pdf_page,
+                )
+                from ocr_service_spark.extraction.pdf_text import pdf_page_count
+
+                n_pages = pdf_page_count(pdf_stream)
+                engine = get_engine()
+                texts, confs = [], []
+                for page_no in range(n_pages):
+                    png = rasterize_pdf_page(pdf_stream, page_no)
+                    text, conf = engine.recognize(png)
+                    texts.append(text)
+                    confs.append(conf)
+                images_present = n_pages > 0
+                output_text = "".join(texts)  # submission order (ocr_engine.py:67)
+                meta["pages"] = n_pages
+                if confs:
+                    meta["confidence"] = round(sum(confs) / len(confs), 4)
+            except Exception:
+                pass
+            if text_fallback_allowed and not output_text and not images_present:
                 output_text = _apply_text_fallback(
                     stream, cls, meta, reason="converted_pdf_handling_failed"
                 )
@@ -133,12 +188,15 @@ def _process(stream: bytes, url: str) -> tuple[str, dict[str, Any]]:
     return finalize_output_text(output_text), meta
 
 
-def extract_document(payload: bytes | None, url: str) -> dict[str, Any]:
+def extract_document(
+    payload: bytes | None, url: str, mode: str = "NO_OCR"
+) -> dict[str, Any]:
     """One pages-table row -> one results-table row (plain dict).
 
     Mirrors the full request lifecycle: null-payload skip
     (api/process.py:72-77), processing with exception swallow
     (processor.py:93-96), response semantics (utils/utils.py:154-197).
+    ``mode`` is OPERATION_MODE (settings.py:28).
     """
     meta: dict[str, Any] = {}
     output_text = ""
@@ -151,7 +209,7 @@ def extract_document(payload: bytes | None, url: str) -> dict[str, Any]:
         meta = {}
     else:
         try:
-            output_text, meta = _process(bytes(payload), url)
+            output_text, meta = _process(bytes(payload), url, mode)
         except Exception:
             # processor.py:93-96 — swallowed, best-effort empty output
             output_text, meta = "", {}
@@ -167,6 +225,7 @@ def extract_document(payload: bytes | None, url: str) -> dict[str, Any]:
     content_type = meta.pop("content-type", None)
     fallback_reason = meta.pop("fallback_reason", None)
     doc_class = meta.pop("doc_class", None)
+    confidence = meta.pop("confidence", None)  # OCR tier only (ocr_engine.py:81)
     meta.pop("ocr_skipped", None)
 
     return {
@@ -174,7 +233,7 @@ def extract_document(payload: bytes | None, url: str) -> dict[str, Any]:
         "extracted_text": output_text,
         "content_type": content_type,
         "pages": pages,
-        "confidence": None,  # OCR tier only (ocr_engine.py:81)
+        "confidence": confidence,
         "success": success,
         "ocr_skipped": ocr_skipped,
         "fallback_reason": fallback_reason,

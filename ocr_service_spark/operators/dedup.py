@@ -121,15 +121,26 @@ def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= JACCARD_MAX_DF)
         .select("tok")
     )
-    # rare feeds three consumers (sizes + both sides of the self-join):
-    # persist once instead of recomputing the shingle explode per branch
+    # rare feeds two consumers (sizes + the pair generator): persist once
+    # instead of recomputing the shingle explode per branch
     rare = toks.join(F.broadcast(df_ok), "tok").persist()
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
-    a = rare.alias("a")
-    b = rare.alias("b")
+    # pair generation WITHOUT a self-join: group the (df-capped) posting
+    # list per shingle and explode its C(df,2) ordered pairs — one
+    # shuffle on tok instead of a join, and the cap bounds each group
+    ids = rare.groupBy("tok").agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        ids.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("na"))

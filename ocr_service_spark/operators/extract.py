@@ -81,12 +81,13 @@ def _result_frame(rows: list[dict]) -> pd.DataFrame:
 
 
 def extract_documents(
-    pages: DataFrame, payload_col: str = "html", metrics=None
+    pages: DataFrame, payload_col: str = "html", metrics=None, mode: str = "NO_OCR"
 ) -> DataFrame:
     """pages(url, <payload_col>, ...) -> results (RESULT_SCHEMA).
 
     ``metrics`` is an optional operators.metrics.ExtractionMetrics whose
-    accumulators are updated per document inside the Arrow batches.
+    accumulators are updated per document inside the Arrow batches;
+    ``mode`` is OPERATION_MODE (NO_OCR deterministic tier / OCR engine tier).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -94,7 +95,9 @@ def extract_documents(
             rows = []
             for url, payload in zip(batch["url"], batch["payload"]):
                 start = time.perf_counter()
-                row = extract_document(None if payload is None else bytes(payload), url)
+                row = extract_document(
+                    None if payload is None else bytes(payload), url, mode
+                )
                 elapsed = (time.perf_counter() - start) * 1e3
                 row["elapsed_ms"] = round(elapsed, 3)
                 rows.append(row)

@@ -55,8 +55,14 @@ def run_extraction(
     bucket_pages: int = 16,
     repartition: int | None = None,
     metrics=None,
+    mode: str = "NO_OCR",
 ) -> DataFrame:
     """pages -> results DataFrame (operators.extract.RESULT_SCHEMA)."""
+    if mode != "NO_OCR":
+        # OCR tier: per-document engine recognition; the page-image
+        # fan-out lives in operators/ocr.py for pre-rendered pages
+        return extract_documents(pages, payload_col, metrics=metrics, mode=mode)
+
     big = is_big_pdf(payload_col, salt_min_bytes)
 
     normal = pages.filter(~F.coalesce(big, F.lit(False)))

@@ -1,0 +1,58 @@
+"""OPERATION_MODE parity (settings.py:28): NO_OCR is the deterministic
+tier; OCR routes images through the pluggable engine and reproduces the
+reference's behavior when converters/rasterizers are absent."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ocr_service_spark.extraction import extract_document
+from ocr_service_spark.extraction.ocr_engine import StubOcrEngine
+from ocr_service_spark.plans.job import run_extraction
+from ocr_service_spark.sources.pages import load_fixture_pages
+
+RES = Path("/root/reference/ocr_service/tests/resources/docs")
+
+
+def test_image_ocr_mode_recognizes():
+    png = (RES / "generic/pat_id_1.png").read_bytes()
+    row = extract_document(png, "u.png", mode="OCR")
+    text, conf = StubOcrEngine().recognize(png)
+    assert row["extracted_text"] == text.strip()
+    assert row["confidence"] == round(conf, 4)
+    assert row["pages"] == 1
+    assert row["success"] is True
+    assert row["ocr_skipped"] is False
+
+
+def test_pdf_ocr_mode_without_rasterizer_swallows():
+    # converter.py:213-225: rasterizer failure -> empty images, no pages
+    pdf = (RES / "generic/pat_id_1.pdf").read_bytes()
+    row = extract_document(pdf, "u.pdf", mode="OCR")
+    assert row["success"] is False
+    assert row["extracted_text"] == ""
+    assert row["pages"] is None
+    assert row["content_type"] == "application/pdf"
+
+
+def test_text_formats_fall_back_in_ocr_mode():
+    # OCR mode sends rtf/html/xml to LO (absent) -> no_pdf_produced T4
+    for name, marker in (
+        ("generic/pat_id_1.rtf", "Bart Davidson"),
+        ("generic/pat_id_1.html", "Bart Davidson"),
+    ):
+        row = extract_document((RES / name).read_bytes(), f"u.{name[-4:]}", mode="OCR")
+        assert row["fallback_reason"] == "no_pdf_produced"
+        assert row["content_type"] == "text/plain"
+        assert marker in row["extracted_text"]
+        assert row["success"] is True
+
+
+def test_spark_job_ocr_mode(spark):
+    pages = load_fixture_pages(spark)
+    rows = {r["url"]: r for r in run_extraction(pages, mode="OCR").collect()}
+    png = rows["https://fixtures.test/generic/pat_id_1.png"]
+    assert png["success"] is True and png["confidence"] is not None
+    # deterministic NO_OCR results unchanged by the mode default
+    rows_default = {r["url"]: r for r in run_extraction(pages).collect()}
+    assert rows_default["https://fixtures.test/generic/pat_id_1.png"]["ocr_skipped"] is True
