@@ -303,12 +303,41 @@ def _runlength(data: bytes) -> bytes:
     return bytes(out)
 
 
+# Standard security handler padding (PDF 1.7 §7.6.3.3, public spec).
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+        0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, byte in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = byte ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
 class _Document:
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, password: bytes = b"") -> None:
         self.data = data
+        self.password = password
         self.objects: dict[int, object] = {}
+        self.gens: dict[int, int] = {}
         self.streams: dict[int, tuple[dict, int]] = {}  # num -> (dict, raw data start)
         self._decoded: dict[int, bytes] = {}
+        self._file_key: bytes | None = None
         self._scan_objects()
         self._check_encryption()
         self._expand_object_streams()
@@ -317,6 +346,7 @@ class _Document:
     def _scan_objects(self) -> None:
         for m in re.finditer(rb"(?<![0-9])(\d{1,9})\s+(\d+)\s+obj\b", self.data):
             num = int(m.group(1))
+            self.gens[num] = int(m.group(2))
             lex = _Lexer(self.data, m.end())
             try:
                 obj = lex.parse_object()
@@ -354,6 +384,7 @@ class _Document:
         if raw is None:
             end = self.data.find(b"endstream", start)
             raw = self.data[start : end if end >= 0 else len(self.data)].rstrip(b"\r\n")
+        raw = self._decrypt(num, raw)
         out = self._decode_filters(d, raw)
         self._decoded[num] = out
         return out
@@ -399,20 +430,94 @@ class _Document:
         return data
 
     # -- encryption / object streams ----------------------------------
-    def _check_encryption(self) -> None:
+    def _trailer_dicts(self):
         # trailer dicts follow the 'trailer' keyword; xref-stream docs
         # carry /Encrypt on the /Type/XRef stream dict instead.
+        out = []
         for m in re.finditer(rb"trailer", self.data):
             lex = _Lexer(self.data, m.end())
             try:
                 t = lex.parse_object()
             except Exception:
                 continue
-            if isinstance(t, dict) and "Encrypt" in t:
-                raise PdfEncryptedError("encrypted pdf")
+            if isinstance(t, dict):
+                out.append(t)
         for _num, (d, _s) in self.streams.items():
-            if d.get("Type") == "XRef" and "Encrypt" in d:
-                raise PdfEncryptedError("encrypted pdf")
+            if d.get("Type") == "XRef":
+                out.append(d)
+        return out
+
+    def _check_encryption(self) -> None:
+        """Standard-security-handler support (PDF 1.7 §7.6, public spec):
+        derive the file key for the empty user password — what pdfium
+        does when no password is supplied — and RC4-decrypt streams.
+        Docs demanding a real password raise PdfEncryptedError."""
+        enc_ref = None
+        file_id = b""
+        for t in self._trailer_dicts():
+            if "Encrypt" in t and enc_ref is None:
+                enc_ref = t["Encrypt"]
+                ids = self.resolve(t.get("ID"))
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    file_id = ids[0]
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict) or enc.get("Filter") != "Standard":
+            raise PdfEncryptedError("unsupported security handler")
+        version = int(self.resolve(enc.get("V")) or 0)
+        revision = int(self.resolve(enc.get("R")) or 2)
+        if version not in (1, 2):  # AES (V>=4) not implemented
+            raise PdfEncryptedError("unsupported encryption version")
+        o_entry = self.resolve(enc.get("O")) or b""
+        u_entry = self.resolve(enc.get("U")) or b""
+        perms = int(self.resolve(enc.get("P")) or 0)
+        n_bytes = int(self.resolve(enc.get("Length")) or 40) // 8
+
+        # Algorithm 2 with the (padded) user password — empty by default,
+        # matching an un-passworded pdfium open
+        import hashlib
+        import struct as _struct
+
+        md = hashlib.md5()
+        md.update((self.password + _PAD)[:32])
+        md.update(bytes(o_entry[:32]))
+        md.update(_struct.pack("<i", perms))
+        md.update(file_id)
+        digest = md.digest()
+        if revision >= 3:
+            for _ in range(50):
+                digest = hashlib.md5(digest[:n_bytes]).digest()
+        key = digest[:n_bytes]
+
+        # Verify via the U entry (Algorithms 4/5)
+        if revision == 2:
+            expected = _rc4(key, _PAD)
+            ok = expected == bytes(u_entry[:32])
+        else:
+            tmp = hashlib.md5(_PAD + file_id).digest()
+            enc_u = _rc4(key, tmp)
+            for i in range(1, 20):
+                step_key = bytes(b ^ i for b in key)
+                enc_u = _rc4(step_key, enc_u)
+            ok = enc_u[:16] == bytes(u_entry[:16])
+        if not ok:
+            raise PdfEncryptedError("password required")
+        self._file_key = key
+
+    def _decrypt(self, num: int, raw: bytes) -> bytes:
+        if self._file_key is None:
+            return raw
+        import hashlib
+        import struct as _struct
+
+        gen = self.gens.get(num, 0)
+        obj_key = hashlib.md5(
+            self._file_key
+            + _struct.pack("<I", num)[:3]
+            + _struct.pack("<I", gen)[:2]
+        ).digest()[: min(len(self._file_key) + 5, 16)]
+        return _rc4(obj_key, raw)
 
     def _expand_object_streams(self) -> None:
         for num, (d, _start) in list(self.streams.items()):
@@ -864,14 +969,21 @@ def _page_content(doc: _Document, page: dict) -> bytes:
     return b"\n".join(parts)
 
 
-def pdf_page_texts(stream: bytes, start: int = 0, stop: int | None = None) -> list[str]:
+def pdf_page_texts(
+    stream: bytes, start: int = 0, stop: int | None = None, password: bytes = b""
+) -> list[str]:
     """Per-page text in page order, optionally restricted to the
     half-open page range [start, stop) — the salted explode/re-agg path
     extracts one bucket of pages per task. The reference concatenates
-    page texts with no separator (converter.py:193-197)."""
+    page texts with no separator (converter.py:193-197).
+
+    ``password`` unlocks standard-security-handler documents; with the
+    default empty password, docs that verify against the empty user
+    password decrypt transparently (pdfium behavior) and others raise
+    PdfEncryptedError."""
     if not stream.startswith(b"%PDF"):
         raise PdfError("not a pdf")
-    doc = _Document(stream)
+    doc = _Document(stream, password=password)
     pages = doc.pages()
     if not pages:
         raise PdfError("no pages")
@@ -889,7 +1001,7 @@ def pdf_page_count(stream: bytes) -> int:
     return len(_Document(stream).pages())
 
 
-def pdf_to_text(stream: bytes) -> tuple[str, int]:
+def pdf_to_text(stream: bytes, password: bytes = b"") -> tuple[str, int]:
     """converter.py:183-211 — (concatenated page texts, page count)."""
-    texts = pdf_page_texts(stream)
+    texts = pdf_page_texts(stream, password=password)
     return "".join(texts), len(texts)

@@ -132,8 +132,19 @@ def test_pdf_multipage_order(fixture_bytes):
 
 
 def test_pdf_encrypted_raises(fixture_bytes):
+    # no password -> same failure a password-less pdfium open would hit
     with pytest.raises(PdfEncryptedError):
         pdf_to_text(fixture_bytes("pdf/ex1_enc.pdf"))
+
+
+def test_pdf_standard_security_decrypts_with_password(fixture_bytes):
+    # RC4-128 standard security handler (public spec); the fixture's
+    # user password is "test" — decrypted content must match the
+    # plaintext twin byte-for-byte through the whole parser
+    enc_text, pages = pdf_to_text(fixture_bytes("pdf/ex1_enc.pdf"), password=b"test")
+    plain_text, _ = pdf_to_text(fixture_bytes("pdf/ex1.pdf"))
+    assert pages == 10
+    assert enc_text == plain_text
 
 
 def test_pdf_concat_no_separator():
