@@ -84,8 +84,12 @@ def main() -> None:
     import __spark_entry__ as em
 
     queries = em.queries()
+    warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else SF_DIR
     for name in HEADLINE_QUERIES:
         fn = queries[name]
+        # JIT-warm the query's generated code on the tiny sf before
+        # timing it at the bench sf (same plan shape -> same classes)
+        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
