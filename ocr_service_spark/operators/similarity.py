@@ -49,6 +49,29 @@ def q20_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOPK)
 
 
+NEARDUP_MIN_COS = 0.45  # corpus has no true dups; keeps output non-trivial
+
+
+def q19_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs (brute-force baseline;
+    the LSH buckets in q21 are the 100 TB candidate-generation path).
+    The filter applies to the ROUNDED cosine so both engines cut on
+    identical values."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_MIN_COS)
+    )
+
+
 def q21_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH: hyperplane component (p, dim) is a
     deterministic pseudo-random value in [-1, 1) derived from md5 —
@@ -88,6 +111,22 @@ def q21_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q19_embedding_neardup_pairs": f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(
+                 list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+               4) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(
+                 list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+              4) >= {NEARDUP_MIN_COS}
+    """,
     "q20_cosine_topk": f"""
         WITH q AS (
             SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
@@ -110,6 +149,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "q19_embedding_neardup_pairs": q19_embedding_neardup_pairs,
     "q20_cosine_topk": q20_cosine_topk,
     "q21_lsh_ann_buckets": q21_lsh_ann_buckets,  # rows-only (no oracle)
 }
