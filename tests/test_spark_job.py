@@ -88,6 +88,21 @@ def test_payload_ladder(spark):
     assert bytes(out["json_text"]["html"]) == b"plain text payload"
 
 
+def test_nifi_record_payload(spark):
+    # the reference's NiFi-record shape (tests/test_process.py:169-256):
+    # a JSON ARRAY wrapping {binary_data, footer}; the ladder takes
+    # record[0] (api/process.py:56-57) and base64-decodes binary_data
+    body = Path(
+        "/root/reference/ocr_service/tests/resources/payloads/sample_base64_record_nifi.json"
+    ).read_text()
+    df = spark.createDataFrame([("nifi", body)], "url string, body string")
+    decoded = decode_payload_ladder(df, "body")
+    row = run_extraction(decoded.select("url", "html")).collect()[0]
+    assert row["doc_class"] == "html"
+    assert row["success"] is True
+    assert "Bart Davidson" in row["extracted_text"]
+
+
 def test_generator_deterministic(spark):
     a = generate_pages(spark, 200, seed=7).orderBy("url").collect()
     b = generate_pages(spark, 200, seed=7).orderBy("url").collect()
