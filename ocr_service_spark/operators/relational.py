@@ -92,6 +92,33 @@ def q04_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q08: grouping sets / rollup ------------------------------------------------
+def q08_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+# -- q09: set operations (intersect / except) -------------------------------------
+def q09_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    first = orders.filter(y <= 1997).select("o_custkey").distinct()
+    second = orders.filter(y >= 1998).select("o_custkey").distinct()
+    both = first.intersect(second).withColumn("bucket", F.lit("both"))
+    only_early = first.exceptAll(second).withColumn("bucket", F.lit("early_only"))
+    return (
+        both.unionByName(only_early)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 # -- q05: time bucketing -------------------------------------------------------
 def q05_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
@@ -173,6 +200,28 @@ ORACLES: dict[str, str] = {
                count(DISTINCT o_custkey) AS n_customers
         FROM orders WHERE o_orderstatus != 'X' GROUP BY 1
     """,
+    "q08_rollup_order_totals": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "q09_customer_set_ops": """
+        WITH first AS (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) <= 1997
+        ),
+        second AS (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 1998
+        ),
+        buckets AS (
+            SELECT o_custkey, 'both' AS bucket FROM (
+                SELECT o_custkey FROM first INTERSECT SELECT o_custkey FROM second)
+            UNION ALL
+            SELECT o_custkey, 'early_only' AS bucket FROM (
+                SELECT o_custkey FROM first EXCEPT SELECT o_custkey FROM second)
+        )
+        SELECT bucket, count(*) AS n_customers FROM buckets GROUP BY 1
+    """,
     "q05_events_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                count(*) AS n_events,
@@ -207,4 +256,6 @@ QUERIES = {
     "q05_events_daily": q05_events_daily,
     "q06_user_sessions": q06_user_sessions,
     "q07_top_purchasers": q07_top_purchasers,
+    "q08_rollup_order_totals": q08_rollup_order_totals,
+    "q09_customer_set_ops": q09_customer_set_ops,
 }

@@ -33,6 +33,62 @@ def read_pages_stream(
     )
 
 
+def windowed_ingest_stats(pages_stream: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Watermarked windowed aggregation over the crawl feed: documents
+    and payload bytes per (event-time window, lang). Late pages beyond
+    the watermark are dropped — the standard late-data policy for a
+    continuously-landing crawl."""
+    from pyspark.sql import functions as F
+
+    return (
+        pages_stream.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.window("warc_ts", window), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("html")).alias("bytes_in"),
+        )
+    )
+
+
+_DEDUP_OUTPUT = "content_hash string, url string, first_seen boolean"
+_DEDUP_STATE = "seen int"
+
+
+def stream_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): exact
+    streaming dedup keyed by payload hash — the first document with a
+    given content hash passes, later copies are flagged. State is one
+    int per distinct hash; at 10^12 docs shard the key space by adding
+    a hash prefix to the grouping key if a single key's state store
+    partition grows hot."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, frames, state) -> "pd.DataFrame":
+        first_rows = []
+        seen = state.get[0] if state.exists else 0
+        for frame in frames:
+            for url in sorted(frame["url"]):  # deterministic within a batch
+                first_rows.append((key[0], url, seen == 0))
+                seen += 1
+        state.update((seen,))
+        return iter([pd.DataFrame(first_rows, columns=["content_hash", "url", "first_seen"])])
+
+    hashed = pages_stream.filter(F.col("html").isNotNull()).select(
+        F.md5(F.col("html")).alias("content_hash"), "url"
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup,
+        outputStructType=_DEDUP_OUTPUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_extraction_stream(
     spark: SparkSession,
     pages_path: str,

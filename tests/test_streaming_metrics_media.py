@@ -33,6 +33,57 @@ def test_streaming_extraction_drains_backlog(spark, tmp_path):
     assert spark.read.parquet(results_path).count() == 150
 
 
+def test_windowed_ingest_stats(spark, tmp_path):
+    from ocr_service_spark.streaming.stream_job import read_pages_stream, windowed_ingest_stats
+
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, 200, seed=8).write.parquet(pages_path)
+    stream = read_pages_stream(spark, pages_path)
+    agg = windowed_ingest_stats(stream, window="6 hours")
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("ingest_stats")
+        .outputMode("append")  # watermark allows append windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    # append mode emits only closed windows; completeness is checked in
+    # batch — here we assert the streaming plan runs with the watermark
+    rows = spark.sql("SELECT * FROM ingest_stats").collect()
+    assert rows is not None  # plan executed with watermark + window agg
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    from ocr_service_spark.streaming.stream_job import (
+        read_pages_stream,
+        stream_dedup_first_seen,
+    )
+
+    pages_path = str(tmp_path / "pages")
+    # fixture payloads repeat across urls in the generator -> real dups
+    generate_pages(spark, 400, seed=8).write.parquet(pages_path)
+    stream = read_pages_stream(spark, pages_path)
+    query = (
+        stream_dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    out = spark.sql("SELECT * FROM dedup_stream").toPandas()
+    n_nonnull = (
+        spark.read.parquet(pages_path).filter(F.col("html").isNotNull()).count()
+    )
+    assert len(out) == n_nonnull  # every non-null payload classified
+    per_hash = out.groupby("content_hash")["first_seen"].sum()
+    assert (per_hash == 1).all()  # exactly one first-seen per content hash
+    assert out["first_seen"].sum() == out["content_hash"].nunique()
+    assert not out["first_seen"].all()  # duplicates exist and were flagged
+
+
 def test_extraction_metrics_accumulators(spark):
     metrics = ExtractionMetrics.create(spark)
     pages = generate_pages(spark, 100, seed=9)
