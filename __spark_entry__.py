@@ -98,6 +98,22 @@ def _x41_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x43_ocr_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-tier smoke: the same fixture corpus through OPERATION_MODE=OCR
+    (engine recognition for images, fallback cascade for text formats);
+    rows-only — engine output is environment-dependent by design."""
+    _ship_package(spark)
+    from ocr_service_spark.plans.job import run_extraction
+    from ocr_service_spark.sources.pages import load_fixture_pages
+
+    res = run_extraction(load_fixture_pages(spark), mode="OCR")
+    return res.groupBy("doc_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("n_success"),
+        F.sum(F.when(F.col("confidence").isNotNull(), 1).otherwise(0)).alias("n_with_confidence"),
+    )
+
+
 def _x42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     from ocr_service_spark.operators.multimodal import extract_media_features
@@ -127,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["x40_extract_fixtures"] = _x40_extract_fixtures
     out["x41_extract_synthetic"] = _x41_extract_synthetic
     out["x42_media_features"] = _x42_media_features
+    out["x43_ocr_mode_stats"] = _x43_ocr_mode_stats
     return out
 
 

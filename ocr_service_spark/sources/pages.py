@@ -172,6 +172,32 @@ def _synth_rtf(rng: Iterator[int], paragraphs: int) -> bytes:
     return ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Arial;}}" + body + "}").encode()
 
 
+def _synth_docx(rng: Iterator[int], paragraphs: int) -> bytes:
+    """Minimal deterministic OOXML package: a real ZIP whose
+    word/document.xml carries the text (the C7 extraction path)."""
+    import zipfile
+    from io import BytesIO
+
+    body = "".join(
+        f"<w:p><w:r><w:t>{_sentence(rng, 8 + next(rng) % 20)}</w:t></w:r></w:p>"
+        for _ in range(paragraphs)
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{body}</w:body></w:document>"
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in (
+            ("[Content_Types].xml", "<Types/>"),
+            ("word/document.xml", document),
+        ):
+            info = zipfile.ZipInfo(name, date_time=(2026, 1, 1, 0, 0, 0))
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
 def _synth_xml(rng: Iterator[int], paragraphs: int) -> bytes:
     items = "".join(
         f"<item id=\"i{next(rng) % 997}\">{_sentence(rng, 6 + next(rng) % 12)}</item>"
@@ -233,7 +259,14 @@ def generate_pages(
                 elif kind == "xml":
                     payload = _synth_xml(rng, paragraphs)
                 elif kind == "docx":
-                    payload = fixtures["docx_big"] if big else fixtures["docx"]
+                    # alternate fixture payloads and synthetic OOXML so the
+                    # zip-XML route sees varied content
+                    if big:
+                        payload = fixtures["docx_big"]
+                    elif doc_id % 2:
+                        payload = _synth_docx(rng, paragraphs)
+                    else:
+                        payload = fixtures["docx"]
                 elif kind == "pdf":
                     payload = fixtures["pdf_big"] if big else fixtures["pdf"]
                 elif kind == "png":
