@@ -97,6 +97,30 @@ def test_rtf_uc_skip():
     assert rtf_to_text(r"{\rtf1\uc2\u233 ab c}") == "\xe9 c"
 
 
+def test_rtf_uppercase_hex_quirk():
+    # the hex branch matches lowercase digits only (striprtf tokenizer
+    # quirk): \'9A tokenizes as control-symbol \' (ignored) + text "9A"
+    assert rtf_to_text(r"{\rtf1 a\'9Ab}") == "a9Ab"
+    assert rtf_to_text(r"{\rtf1 a\'9ab}") == "ašb"  # lowercase decodes
+
+
+def test_rtf_control_word_consumes_one_space():
+    # exactly one space after a control word is part of the token;
+    # further spaces are text
+    assert rtf_to_text(r"{\rtf1\b  two}") == " two"
+    assert rtf_to_text(r"{\rtf1\b one}") == "one"
+
+
+def test_rtf_group_state_restored_on_close():
+    # \uc set inside a group must not leak after the group closes
+    assert rtf_to_text(r"{\rtf1{\uc3 x}\u233 a b}") == "x\xe9 b"
+
+
+def test_rtf_pard_is_not_par():
+    # longest-match tokenization: \pard is its own word, no newline
+    assert rtf_to_text(r"{\rtf1\pard text\par done}") == "text\ndone"
+
+
 # ---- T5 finalize ------------------------------------------------------------
 def test_finalize_order_and_collapse():
     # \r\n -> \n, [ \t]+ -> " ", \n{3,} -> "\n\n", strip — in this order
