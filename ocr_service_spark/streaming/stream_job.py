@@ -61,7 +61,6 @@ def stream_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
     int per distinct hash; at 10^12 docs shard the key space by adding
     a hash prefix to the grouping key if a single key's state store
     partition grows hot."""
-    import hashlib
 
     import pandas as pd
     from pyspark.sql import functions as F
