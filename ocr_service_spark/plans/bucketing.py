@@ -1,0 +1,47 @@
+"""Bucketed result tables: co-located joins without a shuffle.
+
+Downstream pipelines repeatedly join extraction results with other
+per-url tables (media features, quality scores, dedup verdicts). At
+100 TB each such join would shuffle terabytes; writing both sides
+bucketed by ``url`` pre-partitions them identically, so Spark plans a
+shuffle-free sort-merge join (no Exchange on either side — pinned by
+``tests/test_plans.py::test_bucketed_join_has_no_exchange``).
+
+Parquet ``bucketBy`` needs a table catalog (saveAsTable); the default
+session catalog/warehouse works locally, a Hive/Iceberg catalog at
+scale (Iceberg's equivalent is a bucket partition transform:
+``bucket(N, url)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    key: str = "url",
+    sort: bool = True,
+) -> None:
+    # a crashed previous run can leave the managed location behind with
+    # no catalog entry; clear both so overwrite is truly idempotent
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str = "url"
+) -> DataFrame:
+    """Join two identically-bucketed tables; with matching bucket specs
+    Spark elides both Exchanges."""
+    return spark.table(left_table).join(spark.table(right_table), key)

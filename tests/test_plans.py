@@ -54,6 +54,32 @@ def test_dim_joins_are_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_bucketed_join_has_no_exchange(spark, pages_path):
+    from ocr_service_spark.operators.multimodal import extract_media_features
+    from ocr_service_spark.plans.bucketing import colocated_join, write_bucketed
+
+    pages = spark.read.parquet(pages_path)
+    results = run_extraction(pages).select("url", "doc_class", "success")
+    media = extract_media_features(pages.filter(F.col("html").isNotNull())).select(
+        "url", "media_type", "feature_hash"
+    )
+    write_bucketed(results, "results_bucketed", buckets=8)
+    write_bucketed(media, "media_bucketed", buckets=8)
+    # disable broadcast so the planner must consider the bucket layout
+    # (tiny test tables would otherwise broadcast; at scale SMJ is the
+    # strategy bucketing exists for)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "results_bucketed", "media_bucketed")
+        plan = _formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_resume_antijoin_is_broadcast(spark, pages_path):
     pages = spark.read.parquet(pages_path)
     manifest_path = pages_path + "_manifest"
