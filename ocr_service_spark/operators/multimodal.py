@@ -65,6 +65,87 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+FRAME_SCHEMA = (
+    "url string, frame_no int, frame_ts double, width int, height int, "
+    "frame_hash string"
+)
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str = "html", fps: float = 0.5, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per
+    sampled frame with typed metadata. The decoder is the deterministic
+    stub (`_fake_decode` note applies — swap in ffmpeg on a real image);
+    the fan-out shape (doc -> frame rows, explode-style, Arrow-batched)
+    is the production plumbing, mirroring the PDF page explode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                meta = _fake_decode(payload)
+                n = min(meta["n_frames"], max_frames)
+                for frame_no in range(n):
+                    frame_digest = hashlib.sha256(
+                        payload[:64] + frame_no.to_bytes(4, "big")
+                    ).hexdigest()[:16]
+                    rows.append(
+                        {
+                            "url": url,
+                            "frame_no": frame_no,
+                            "frame_ts": round(frame_no / fps, 3),
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "frame_hash": frame_digest,
+                        }
+                    )
+            frame = pd.DataFrame(
+                rows, columns=["url", "frame_no", "frame_ts", "width", "height", "frame_hash"]
+            )
+            if len(frame):
+                frame["frame_no"] = frame["frame_no"].astype("int32")
+                frame["width"] = frame["width"].astype("int32")
+                frame["height"] = frame["height"].astype("int32")
+            yield frame
+
+    narrowed = df.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, payload_col: str = "html", target: tuple[int, int] = (224, 224)
+) -> DataFrame:
+    """Resize plumbing: (url, binary) -> (url, resized binary, dims).
+    STUB decode/resize (PIL absent): emits the original bytes with the
+    target dims recorded — schema, batching and the UDF signature are
+    what a PIL `Image.resize` drop-in needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = [
+                {
+                    "url": url,
+                    "resized": bytes(payload),
+                    "width": target[0],
+                    "height": target[1],
+                }
+                for url, payload in zip(batch["url"], batch["payload"])
+                if payload is not None
+            ]
+            frame = pd.DataFrame(rows, columns=["url", "resized", "width", "height"])
+            if len(frame):
+                frame["width"] = frame["width"].astype("int32")
+                frame["height"] = frame["height"].astype("int32")
+            yield frame
+
+    narrowed = df.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema="url string, resized binary, width int, height int")
+
+
 def extract_media_features(df: DataFrame, payload_col: str = "html") -> DataFrame:
     """(url, binary) -> typed media features via Arrow batches."""
 

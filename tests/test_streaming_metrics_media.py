@@ -94,6 +94,24 @@ def test_extraction_metrics_accumulators(spark):
     assert 0 < snap["empty_text"] < snap["docs"]
 
 
+def test_frame_sampling_and_resize_plumbing(spark):
+    from ocr_service_spark.operators.multimodal import resize_images, sample_frames
+
+    pages = load_fixture_pages(spark).filter(F.col("html").isNotNull()).limit(5)
+    frames = sample_frames(pages, fps=1.0, max_frames=4).collect()
+    assert frames
+    by_url: dict[str, list] = {}
+    for r in frames:
+        by_url.setdefault(r["url"], []).append(r)
+    for url, rows in by_url.items():
+        nos = sorted(r["frame_no"] for r in rows)
+        assert nos == list(range(len(nos)))  # dense frame indices
+        assert len({r["frame_hash"] for r in rows}) == len(rows)
+    resized = resize_images(pages).collect()
+    assert all((r["width"], r["height"]) == (224, 224) for r in resized)
+    assert len(resized) == 5
+
+
 def test_media_feature_plumbing(spark):
     pages = load_fixture_pages(spark).filter(F.col("html").isNotNull())
     feats = extract_media_features(pages).collect()
