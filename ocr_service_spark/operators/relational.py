@@ -68,7 +68,7 @@ def q03_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))  # DuckDB row_number is BIGINT
         .filter(F.col("rn") <= 2)
         .select(
             "o_custkey",
@@ -162,7 +162,9 @@ def q07_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents(F.col("value"))).alias("spend_cents"))
     )
     w = Window.orderBy(F.col("spend_cents").desc(), F.col("user_id"))
-    return totals.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    return totals.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 20
+    )
 
 
 ORACLES: dict[str, str] = {

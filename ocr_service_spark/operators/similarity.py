@@ -46,7 +46,9 @@ def q20_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = joined.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOPK)
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= TOPK
+    )
 
 
 NEARDUP_MIN_COS = 0.45  # corpus has no true dups; keeps output non-trivial

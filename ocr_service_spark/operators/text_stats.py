@@ -39,7 +39,7 @@ def q11_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tokens").cast("bigint").alias("sum_tokens"),
-            F.max("tokens").alias("max_tokens"),
+            F.max("tokens").cast("bigint").alias("max_tokens"),
             F.sum("bpeish").cast("bigint").alias("sum_bpeish"),
         )
     )
