@@ -25,10 +25,17 @@ def write_bucketed(
     key: str = "url",
     sort: bool = True,
 ) -> None:
-    # a crashed previous run can leave the managed location behind with
-    # no catalog entry; clear both so overwrite is truly idempotent
+    # a crashed previous run (or a prior session's in-memory catalog)
+    # can leave the managed location behind with no catalog entry;
+    # clear both so overwrite is truly idempotent
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    location = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = location.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(location):
+        fs.delete(location, True)
     writer = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         writer = writer.sortBy(key)
