@@ -154,4 +154,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(roundtrip.ORACLES)
+    # x40 is deterministic end-to-end (NO_OCR tier over the reference
+    # fixture corpus); its expected output is a committed, reviewed
+    # golden table (tools/gen_x40_expected.py) the oracle reads back.
+    x40_expected = Path(__file__).resolve().parent / "tests/golden/x40_expected.parquet"
+    out["x40_extract_fixtures"] = (
+        "SELECT url, doc_class, content_type, pages, success, ocr_skipped, "
+        f"fallback_reason, extracted_text FROM '{x40_expected}'"
+    )
     return out

@@ -43,6 +43,13 @@ class Classification:
         """converter.py:469."""
         return self.ext in ("docx", "odt")
 
+    @property
+    def has_office_text_fallback(self) -> bool:
+        """Office formats with a from-scratch text reader: the OOXML/ODF
+        zips above plus the legacy Word binary (extraction/doc_text.py,
+        replacing the reference's LibreOffice path converter.py:227-345)."""
+        return self.ext in ("docx", "odt", "doc")
+
 
 def url_extension(url: str | None) -> str | None:
     """Extension carried by the url path basename — plays the role of the

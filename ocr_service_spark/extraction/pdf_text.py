@@ -344,15 +344,22 @@ class _Document:
 
     # -- object store -------------------------------------------------
     def _scan_objects(self) -> None:
+        # guard_end tracks the end of the last discovered stream body:
+        # 'N G obj' byte patterns INSIDE compressed stream data are
+        # phantoms — parsing one can overwrite the real object of that
+        # number (last-write-wins), silently corrupting extraction.
+        guard_end = 0
         for m in re.finditer(rb"(?<![0-9])(\d{1,9})\s+(\d+)\s+obj\b", self.data):
+            if m.start() < guard_end:
+                continue
             num = int(m.group(1))
-            self.gens[num] = int(m.group(2))
             lex = _Lexer(self.data, m.end())
             try:
                 obj = lex.parse_object()
             except Exception:
                 continue
             lex.skip_ws()
+            self.gens[num] = int(m.group(2))
             if isinstance(obj, dict) and self.data[lex.pos : lex.pos + 6] == b"stream":
                 p = lex.pos + 6
                 if self.data[p : p + 2] == b"\r\n":
@@ -360,6 +367,9 @@ class _Document:
                 elif p < len(self.data) and self.data[p] in b"\r\n":
                     p += 1
                 self.streams[num] = (obj, p)
+                end = self.data.find(b"endstream", p)
+                if end >= 0:  # damaged tails keep the permissive raw scan
+                    guard_end = max(guard_end, end)
             self.objects[num] = obj
 
     def resolve(self, obj, depth: int = 0):

@@ -55,6 +55,14 @@ def _apply_text_fallback(
 ) -> str:
     """converter.py:411-437."""
     text = extract_office_zip_text_fallback(stream, cls.ext)
+    if not text and cls.ext == "doc":
+        # Legacy Word binary: the reference reaches this text through
+        # LibreOffice (converter.py:227-345); here the WordDocument
+        # stream is read directly (extraction/doc_text.py) — same
+        # cascade slot as the OOXML zip fallback above.
+        from ocr_service_spark.extraction.doc_text import extract_doc_text
+
+        text = extract_doc_text(stream)
     if not text:
         text = extract_text_fallback(
             stream, is_html=cls.is_html, is_xml=cls.is_xml, is_rtf=cls.is_rtf
@@ -133,7 +141,7 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
         pdf_stream = b""
 
     # converter.py:529-536
-    if not pdf_stream and not output_text and (cls.is_text_like or cls.has_office_zip_fallback):
+    if not pdf_stream and not output_text and (cls.is_text_like or cls.has_office_text_fallback):
         output_text = _apply_text_fallback(stream, cls, meta, reason="no_pdf_produced")
 
     # converter.py:538-563

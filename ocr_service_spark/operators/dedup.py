@@ -102,18 +102,32 @@ def _shingles(docs: DataFrame) -> DataFrame:
     signal than unigrams on a small-vocabulary corpus, and their doc
     frequency keeps the inverted index selective at scale)."""
     arr = F.split(F.trim("text"), r"\s+")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1),
-                              F.element_at(arr, i + 2)),
-    )
+    # F.sequence(1, n) DESCENDS when n < 1 (docs with < 3 tokens), which
+    # would index element_at(arr, 0) and crash; DuckDB range() yields an
+    # empty list there — clamp to empty to mirror it.
+    shingles = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1),
+                                  F.element_at(arr, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("tok"))
 
 
 def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via a shingle inverted index: shingles
     with doc-frequency <= cap generate candidates (bounding the
-    self-join fan-out); Jaccard is computed on the capped shingle sets."""
+    self-join fan-out); Jaccard is computed on the capped shingle sets.
+
+    One LINEAR pipeline — three shuffles (doc_id, tok, pair), zero
+    joins back and zero persist: per-doc rare-counts are attached to
+    each posting before the inverted index is built, so the pair
+    explode carries (doc, n_rare) and Jaccard falls out of the final
+    count. (A previous shape computed sizes separately and joined them
+    back, which either recomputed the expensive shingle subtree or
+    leaked a persist() across the driver's query loop.)"""
     toks = _shingles(_docs(spark, sf_dir))
     df_ok = (
         toks.groupBy("tok")
@@ -121,36 +135,49 @@ def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= JACCARD_MAX_DF)
         .select("tok")
     )
-    # rare feeds two consumers (sizes + the pair generator): persist once
-    # instead of recomputing the shingle explode per branch
-    rare = toks.join(F.broadcast(df_ok), "tok").persist()
-    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
-    # pair generation WITHOUT a self-join: group the (df-capped) posting
-    # list per shingle and explode its C(df,2) ordered pairs — one
-    # shuffle on tok instead of a join, and the cap bounds each group
-    ids = rare.groupBy("tok").agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    rare = toks.join(F.broadcast(df_ok), "tok")
+    # shuffle 1 (doc_id): per-doc rare set + size, then re-explode with
+    # n_rare riding along on every posting
+    per_doc = rare.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rare"), F.collect_list("tok").alias("toks")
+    )
+    postings = per_doc.select(
+        "doc_id", "n_rare", F.explode("toks").alias("tok")
+    )
+    # shuffle 2 (tok): posting list per shingle — pair generation WITHOUT
+    # a self-join; the df-cap bounds each group to C(cap,2) pairs
+    ids = postings.groupBy("tok").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_rare"))).alias("ids")
+    )
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda a, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["n_rare"].alias("na"),
+                    b["n_rare"].alias("nb"),
+                ),
             ),
         )
     )
+    # shuffle 3 (pair): n_common = co-occurrence count; na/nb are
+    # functionally dependent on the doc ids so they group along
     inter = (
         ids.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_rare").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+    return inter.select(
+        "doc_a", "doc_b", "n_common", F.round(jac, 4).alias("jaccard")
     )
 
 

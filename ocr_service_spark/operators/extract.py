@@ -50,6 +50,9 @@ RESULT_SCHEMA = StructType(
         StructField("doc_class", StringType(), True),
         StructField("elapsed_ms", DoubleType(), True),
         StructField("metadata", MapType(StringType(), StringType()), True),
+        # echoed verbatim from the ingest envelope when present
+        # (reference: api/process.py:41-52, utils/utils.py:154-197)
+        StructField("footer", MapType(StringType(), StringType()), True),
     ]
 )
 
@@ -74,6 +77,7 @@ def _result_frame(rows: list[dict]) -> pd.DataFrame:
             "doc_class",
             "elapsed_ms",
             "metadata",
+            "footer",
         ],
     )
     frame["pages"] = frame["pages"].astype("Int32")
@@ -90,16 +94,20 @@ def extract_documents(
     ``mode`` is OPERATION_MODE (NO_OCR deterministic tier / OCR engine tier).
     """
 
+    has_footer = "footer" in pages.columns
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for url, payload in zip(batch["url"], batch["payload"]):
+            footers = batch["footer"] if has_footer else [None] * len(batch)
+            for url, payload, footer in zip(batch["url"], batch["payload"], footers):
                 start = time.perf_counter()
                 row = extract_document(
                     None if payload is None else bytes(payload), url, mode
                 )
                 elapsed = (time.perf_counter() - start) * 1e3
                 row["elapsed_ms"] = round(elapsed, 3)
+                row["footer"] = footer  # echoed verbatim per the reference
                 rows.append(row)
                 if metrics is not None:
                     metrics.docs.add(1)
@@ -109,7 +117,10 @@ def extract_documents(
                         metrics.empty_text.add(1)
             yield _result_frame(rows)
 
-    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    cols = ["url", F.col(payload_col).alias("payload")]
+    if has_footer:
+        cols.append(F.col("footer"))
+    narrowed = pages.select(*cols)
     return narrowed.mapInPandas(run, schema=RESULT_SCHEMA)
 
 
@@ -258,5 +269,7 @@ def reassemble_pdf_results(bucket_texts: DataFrame) -> DataFrame:
             .alias("doc_class"),
             F.lit(None).cast("double").alias("elapsed_ms"),
             F.when(F.col("error"), meta_err).otherwise(meta_ok).alias("metadata"),
+            # the salted path serves raw pages tables (no ingest envelope)
+            F.lit(None).cast("map<string,string>").alias("footer"),
         )
     )

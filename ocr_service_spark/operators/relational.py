@@ -161,25 +161,27 @@ def q07_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum(cents(F.col("value"))).alias("spend_cents"))
     )
+    # TakeOrderedAndProject (per-partition heap + driver merge), not a
+    # single-partition global window over every per-user aggregate; the
+    # window below ranks only the 20 surviving rows.
+    top = totals.orderBy(F.col("spend_cents").desc(), F.col("user_id")).limit(20)
     w = Window.orderBy(F.col("spend_cents").desc(), F.col("user_id"))
-    return totals.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rank") <= 20
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-               sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY 1, 2
     """,
     "q02_revenue_by_region": """
         SELECT r_name,
-               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_orders,
                count(DISTINCT o_custkey) AS n_customers
         FROM orders
@@ -204,7 +206,7 @@ ORACLES: dict[str, str] = {
     """,
     "q08_rollup_order_totals": """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -227,11 +229,11 @@ ORACLES: dict[str, str] = {
     "q05_events_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                count(*) AS n_events,
-               sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
     """,
     "q06_user_sessions": f"""
-        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM (
             SELECT user_id,
                    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
@@ -244,7 +246,7 @@ ORACLES: dict[str, str] = {
         SELECT user_id, spend_cents,
                row_number() OVER (ORDER BY spend_cents DESC, user_id) AS rank
         FROM (
-            SELECT user_id, sum(CAST(round(value*100) AS BIGINT)) AS spend_cents
+            SELECT user_id, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS spend_cents
             FROM events WHERE event_type = 'purchase' GROUP BY 1
         ) QUALIFY rank <= 20
     """,

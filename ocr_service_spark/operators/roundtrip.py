@@ -57,6 +57,48 @@ def q32_extract_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract_wrapped(_docs(spark, sf_dir), fmt, "xml")
 
 
+def q33_payload_ladder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-S4 + footer echo under an oracle: every ingest-ladder rung
+    (JSON envelope / JSON array envelope / null binary_data skip / raw
+    base64 / raw text) built from ``documents.text``, decoded by
+    ``decode_payload_ladder`` and pushed through the REAL extraction
+    job; the expected output per rung is SQL-expressible."""
+    from ocr_service_spark.sources.pages import decode_payload_ladder
+
+    docs = _docs(spark, sf_dir)
+    # F.base64 emits RFC-2045 chunked output (newline every 76 chars);
+    # the reference's strict validator only accepts unchunked base64
+    b64 = F.regexp_replace(F.base64(F.encode("text", "utf-8")), "[\\r\\n]", "")
+    footer_map = F.create_map(F.lit("src"), F.col("lang"))
+    rung = F.col("doc_id") % 5
+    body = (
+        # 0: JSON envelope {binary_data, footer}
+        F.when(rung == 0, F.to_json(F.struct(b64.alias("binary_data"), footer_map.alias("footer"))))
+        # 1: envelope without binary_data -> null-payload skip (S3)
+        .when(rung == 1, F.to_json(F.struct(footer_map.alias("footer"))))
+        # 2: JSON ARRAY envelope -> reference takes record[0]
+        .when(rung == 2, F.to_json(F.array(F.struct(b64.alias("binary_data"), footer_map.alias("footer")))))
+        # 3: whole-body base64 (no envelope)
+        .when(rung == 3, b64)
+        # 4: raw text body ('raw: ' prefix keeps it out of the strict-b64 rung)
+        .otherwise(F.concat(F.lit("raw: "), F.col("text")))
+    )
+    pages = docs.select(
+        F.format_string("doc://%s.txt", F.col("doc_id").cast("string")).alias("url"),
+        body.alias("body"),
+    )
+    decoded = decode_payload_ladder(pages, src_col="body")
+    results = extract_documents(decoded)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return results.select(
+        doc_id.alias("doc_id"),
+        "extracted_text",
+        "success",
+        "ocr_skipped",
+        F.col("footer")["src"].alias("footer_src"),
+    )
+
+
 ORACLES: dict[str, str] = {
     # html: T1 joins title-text and body-text nodes with "\n"
     "q30_extract_html_roundtrip": """
@@ -79,10 +121,25 @@ ORACLES: dict[str, str] = {
                'xml' AS doc_class
         FROM documents
     """,
+    # payload ladder: rung semantics per doc_id % 5 (see q33 docstring);
+    # rung 1 is the null-payload skip (empty text allowed -> success)
+    "q33_payload_ladder_roundtrip": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 1 THEN ''
+                    WHEN doc_id % 5 = 4 THEN trim('raw: ' || text)
+                    ELSE trim(text) END AS extracted_text,
+               CASE WHEN doc_id % 5 = 1 THEN TRUE
+                    WHEN doc_id % 5 = 4 THEN len(trim('raw: ' || text)) > 0
+                    ELSE len(trim(text)) > 0 END AS success,
+               doc_id % 5 = 1 AS ocr_skipped,
+               CASE WHEN doc_id % 5 IN (0, 1, 2) THEN lang END AS footer_src
+        FROM documents
+    """,
 }
 
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,
     "q32_extract_xml_roundtrip": q32_extract_xml_roundtrip,
+    "q33_payload_ladder_roundtrip": q33_payload_ladder_roundtrip,
 }

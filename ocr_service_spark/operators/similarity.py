@@ -2,29 +2,45 @@
 
 - ``q20_cosine_topk`` — brute-force cosine top-k against a query
   vector (the baseline; DuckDB-oracled). The query vector is the
-  embedding of vec_id 0, broadcast to every partition; arithmetic is
-  all-double, sequential-order fold, so both engines produce identical
-  bits before rounding.
-- ``q21_lsh_ann_buckets`` — the scale path: random-hyperplane signs
-  (hyperplanes derived deterministically from md5, so no stored model)
-  bucket vectors; candidates share a bucket. Spark-side rows-only
-  (16 deterministic hyperplane components per dim make the oracle SQL
-  disproportionate).
+  embedding of vec_id 0, broadcast to every partition; the top-k is a
+  global ``orderBy().limit(k)`` so Spark plans TakeOrderedAndProject
+  (per-partition heap + driver merge) instead of a single-partition
+  window sort over all scored rows.
+- ``q21_lsh_ann_buckets`` — banded sign-random-projection LSH
+  buckets (the ANN index). Hyperplane component (p, dim) is a
+  deterministic pseudo-random value in [-1, 1) derived from md5, so
+  there is no stored model and the DuckDB oracle reproduces every
+  bucket bit-for-bit.
+- ``q19_embedding_neardup_pairs`` — embedding near-dup pairs at
+  scale: candidates are generated WITHIN the LSH buckets (posting-list
+  pair explode, never an all-pairs self-join) and only candidates are
+  scored. Recall vs brute force is a tunable of (bands, rows): with
+  8 bands x 4 planes and a genuinely-random corpus at cos >= 0.45 it
+  is ~0.8; on real near-dup corpora (cos >= 0.9, p_agree ~ 0.86) the
+  same shape reaches ~0.99+ while pruning quadratically more. The
+  brute-force scorer is kept as :func:`embedding_neardup_bruteforce`
+  for small-n verification only (tests assert the LSH output is a
+  subset of it and measure recall).
 
-At 100 TB the brute-force path is a broadcast-join + per-row fold
-(no shuffle); the LSH path turns top-k into a bucket-local problem.
+At 100 TB: q20 is broadcast-join + per-row fold + TakeOrdered (no
+shuffle); q19/q21 shuffle on (band, bucket_key) — bounded groups —
+then one join back to vectors for candidate scoring.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+import hashlib
 
-from ocr_service_spark.functions.hashing import h32
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 TOPK = 10
 QUERY_VEC_ID = 0
-N_PLANES = 8
+
+EMB_DIM = 64
+LSH_BANDS = 8
+LSH_ROWS = 4  # planes per band; planes are indexed band*LSH_ROWS + j
+NEARDUP_MIN_COS = 0.45  # corpus has no true dups; keeps output non-trivial
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,6 +51,52 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+# -- deterministic hyperplanes ------------------------------------------------
+def _plane_weight(p: int, i: int) -> float:
+    """Hyperplane component (plane p, dim i) in [-1, 1): the md5-derived
+    32-bit hash (identical to functions.hashing.h32) scaled. Computed
+    driver-side once and shipped as a literal array — the per-row work
+    is then a pure JVM fold, no hashing in the hot path."""
+    h = int(hashlib.md5(f"plane{p}|{i}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
+
+
+def _plane_weights_lit(p: int):
+    return F.array(*[F.lit(_plane_weight(p, i)) for i in range(EMB_DIM)])
+
+
+def _band_key(vec, band: int):
+    """Integer bucket key for one band: LSH_ROWS sign bits packed."""
+    key = None
+    for j in range(LSH_ROWS):
+        p = band * LSH_ROWS + j
+        bit = F.when(_dot(vec, _plane_weights_lit(p)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        key = bit if key is None else key + bit
+    return key
+
+
+def _with_band_keys(emb: DataFrame) -> DataFrame:
+    vec = F.col("embedding").cast("array<double>")
+    cols = [F.col(c) for c in emb.columns]
+    return emb.select(*cols, *[_band_key(vec, b).alias(f"k{b}") for b in range(LSH_BANDS)])
+
+
+def _stacked_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, label?, band, bucket_key) — one row per vector per band."""
+    keyed = _with_band_keys(emb)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("bucket_key"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    keep = [c for c in ("vec_id", "label") if c in emb.columns]
+    return keyed.select(*keep, F.explode(pairs).alias("bk")).select(
+        *keep, F.col("bk.band").alias("band"), F.col("bk.bucket_key").alias("bucket_key")
+    )
+
+
+# -- q20: brute-force cosine top-k --------------------------------------------
 def q20_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).withColumn("vec", F.col("embedding").cast("array<double>"))
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("vec").alias("qvec"))
@@ -42,23 +104,73 @@ def q20_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("vec"), F.col("qvec")) / (
         F.sqrt(_dot(F.col("vec"), F.col("vec"))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
     )
-    from pyspark.sql import Window
-
     scored = joined.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+    # TakeOrderedAndProject (per-partition top-k heap + driver merge),
+    # NOT a global single-partition window over all scored rows; the
+    # window below ranks only the k surviving rows.
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOPK)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
-        F.col("rank") <= TOPK
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# -- q21: LSH bucket index ------------------------------------------------------
+def q21_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SRP-LSH bucket stats: one row per (band, bucket_key)."""
+    stacked = _stacked_keys(_emb(spark, sf_dir))
+    return stacked.groupBy("band", "bucket_key").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+        F.min("vec_id").alias("min_vec_id"),
     )
 
 
-NEARDUP_MIN_COS = 0.45  # corpus has no true dups; keeps output non-trivial
-
-
+# -- q19: bucketed near-dup pairs ------------------------------------------------
 def q19_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup candidate pairs (brute-force baseline;
-    the LSH buckets in q21 are the 100 TB candidate-generation path).
-    The filter applies to the ROUNDED cosine so both engines cut on
-    identical values."""
+    """Embedding-cosine near-dup pairs via LSH candidates: vectors
+    sharing any band bucket are candidates (posting-list pair explode,
+    same shape as dedup.q14 — never an n^2 self-join); only candidates
+    are scored, and the filter applies to the ROUNDED cosine so both
+    engines cut on identical values."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    stacked = _stacked_keys(emb.select("vec_id", F.col("vec").alias("embedding")))
+    posting = (
+        stacked.groupBy("band", "bucket_key")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("vec_a"), b.alias("vec_b")),
+            ),
+        )
+    )
+    cand = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_MIN_COS)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs scorer — small-n VERIFICATION BASELINE ONLY (O(n^2);
+    tests use it to measure q19's LSH recall). Never the scale path."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
@@ -74,60 +186,63 @@ def q19_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q21_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: hyperplane component (p, dim) is a
-    deterministic pseudo-random value in [-1, 1) derived from md5 —
-    reproducible on any engine/cluster without a stored model."""
-    emb = _emb(spark, sf_dir).withColumn("vec", F.col("embedding").cast("array<double>"))
-
-    def plane_component(p: int, i):
-        # h32 in [0, 2^32) -> [-1, 1)
-        return (
-            h32(F.concat(F.lit(f"plane{p}|"), i.cast("string"))) / F.lit(2147483648.0)
-        ) - F.lit(1.0)
-
-    bits = []
-    for p in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("vec"),
-                F.transform(F.sequence(F.lit(0), F.size("vec") - 1), lambda i: plane_component(p, i)),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
+# -- DuckDB oracle twins ---------------------------------------------------------
+def _w_sql(p: int) -> str:
+    """DuckDB twin of _plane_weights_lit(p): same md5-derived doubles."""
     return (
-        emb.select("vec_id", "label", bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.countDistinct("label").alias("n_labels"),
-            F.min("vec_id").alias("min_vec_id"),
-        )
+        f"list_transform(range(0, {EMB_DIM}), i -> "
+        f"CAST(('0x' || substr(md5('plane{p}|' || i), 1, 8)) AS BIGINT)"
+        f" / 2147483648.0 - 1.0)"
     )
 
 
+def _band_key_sql(band: int, e: str = "e") -> str:
+    bits = []
+    for j in range(LSH_ROWS):
+        p = band * LSH_ROWS + j
+        bits.append(
+            f"CASE WHEN list_dot_product({e}, {_w_sql(p)}) >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _keys_cte(with_label: bool) -> str:
+    label = ", label" if with_label else ""
+    arms = "\n            UNION ALL ".join(
+        f"SELECT vec_id{label}, {b} AS band, {_band_key_sql(b)} AS bucket_key FROM v"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        v AS (
+            SELECT vec_id{label},
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        keys AS (
+            {arms}
+        )
+    """
+
+
+_COS_SQL = (
+    "list_dot_product(a.e, b.e)"
+    " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
 ORACLES: dict[str, str] = {
     "q19_embedding_neardup_pairs": f"""
-        WITH v AS (
-            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-            FROM embeddings
+        WITH {_keys_cte(with_label=False)},
+        cand AS (
+            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM keys x JOIN keys y
+              ON x.band = y.band AND x.bucket_key = y.bucket_key
+             AND x.vec_id < y.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(
-                 list_dot_product(a.e, b.e)
-                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-               4) AS cosine
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE round(
-                 list_dot_product(a.e, b.e)
-                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-              4) >= {NEARDUP_MIN_COS}
+        SELECT vec_a, vec_b, round({_COS_SQL}, 4) AS cosine
+        FROM cand
+        JOIN v a ON a.vec_id = vec_a
+        JOIN v b ON b.vec_id = vec_b
+        WHERE round({_COS_SQL}, 4) >= {NEARDUP_MIN_COS}
     """,
     "q20_cosine_topk": f"""
         WITH q AS (
@@ -148,10 +263,18 @@ ORACLES: dict[str, str] = {
                row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
         FROM scored QUALIFY rank <= {TOPK}
     """,
+    "q21_lsh_ann_buckets": f"""
+        WITH {_keys_cte(with_label=True)}
+        SELECT band, bucket_key,
+               count(*) AS n_vectors,
+               count(DISTINCT label) AS n_labels,
+               min(vec_id) AS min_vec_id
+        FROM keys GROUP BY 1, 2
+    """,
 }
 
 QUERIES = {
     "q19_embedding_neardup_pairs": q19_embedding_neardup_pairs,
     "q20_cosine_topk": q20_cosine_topk,
-    "q21_lsh_ann_buckets": q21_lsh_ann_buckets,  # rows-only (no oracle)
+    "q21_lsh_ann_buckets": q21_lsh_ann_buckets,
 }

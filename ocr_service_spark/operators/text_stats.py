@@ -110,15 +110,21 @@ def q18_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     two smallest — a winnowing-style sketch that is order-insensitive
     and deterministic, computed fully JVM-side via transform/sequence."""
     docs = _docs(spark, sf_dir)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length("text") - (FP_NGRAM - 1)),
-        lambda i: h32(F.col("text").substr(i, F.lit(FP_NGRAM))),
-    )
+    # Guard the gram positions: F.sequence(1, n) DESCENDS when n < 1
+    # (text shorter than the gram width), unlike DuckDB range() which
+    # yields an empty list — clamp to an empty array to mirror it.
+    grams = F.when(
+        F.length("text") >= FP_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (FP_NGRAM - 1)),
+            lambda i: h32(F.col("text").substr(i, F.lit(FP_NGRAM))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     bottom = F.slice(F.array_sort(grams), 1, FP_K)
     return docs.select(
         "doc_id",
-        F.element_at(bottom, 1).alias("fp1"),
-        F.element_at(bottom, 2).alias("fp2"),
+        F.try_element_at(bottom, F.lit(1)).alias("fp1"),
+        F.try_element_at(bottom, F.lit(2)).alias("fp2"),
     )
 
 
@@ -143,9 +149,9 @@ def _lang_id_oracle() -> str:
 ORACLES: dict[str, str] = {
     "q11_token_stats": f"""
         SELECT lang, count(*) AS n_docs,
-               sum(len(regexp_split_to_array(trim(text), '{TOKEN_RE}'))) AS sum_tokens,
-               max(len(regexp_split_to_array(trim(text), '{TOKEN_RE}'))) AS max_tokens,
-               sum(len(regexp_extract_all(text, '{BPEISH_RE}'))) AS sum_bpeish
+               CAST(sum(len(regexp_split_to_array(trim(text), '{TOKEN_RE}'))) AS BIGINT) AS sum_tokens,
+               CAST(max(len(regexp_split_to_array(trim(text), '{TOKEN_RE}'))) AS BIGINT) AS max_tokens,
+               CAST(sum(len(regexp_extract_all(text, '{BPEISH_RE}'))) AS BIGINT) AS sum_bpeish
         FROM documents GROUP BY 1
     """,
     "q12_quality_buckets": f"""

@@ -68,6 +68,11 @@ def decode_payload_ladder(df: DataFrame, src_col: str = "body") -> DataFrame:
     arr_first = F.element_at(F.from_json(src, "array<map<string,string>>"), 1)
     env_map = F.coalesce(obj_map, arr_first)  # reference takes record[0] for arrays
     env_struct = F.from_json(src, "binary_data string, footer map<string,string>")
+    # array envelopes: the reference takes record[0]'s footer too
+    # (utils/utils.py:154-197); the flat struct probe nulls out on arrays
+    env_struct_arr = F.element_at(
+        F.from_json(src, "array<struct<binary_data:string, footer:map<string,string>>>"), 1
+    )
 
     # Spark's base64 decode is lenient; the reference uses strict
     # validation (base64.b64decode(..., validate=True), api/process.py:85),
@@ -86,7 +91,10 @@ def decode_payload_ladder(df: DataFrame, src_col: str = "body") -> DataFrame:
     )
     from_raw = b64_or_utf8(src)
     payload = F.when(env_map.isNotNull(), from_envelope).otherwise(from_raw)
-    footer = F.when(env_map.isNotNull(), env_struct["footer"]).otherwise(F.lit(None))
+    footer = F.when(
+        env_map.isNotNull(),
+        F.coalesce(env_struct["footer"], env_struct_arr["footer"]),
+    ).otherwise(F.lit(None))
     return df.withColumn("html", payload).withColumn("footer", footer)
 
 

@@ -99,3 +99,28 @@ def test_fuzz_never_hangs_or_crashes_unexpectedly(junk: bytes):
         assert isinstance(text, str) and pages >= 1
     except PdfError:
         pass  # structured failure is the contract
+
+
+def test_phantom_obj_inside_stream_body_does_not_clobber():
+    # A stream body whose bytes happen to contain 'N G obj' (common in
+    # compressed data) must not be parsed as a real object — last-write-
+    # wins would overwrite the page object of that number.
+    pdf = _minimal_pdf(["real page text"])
+    # object 3 is the page; craft a decoy that would replace it with an
+    # empty page if the scanner respected matches inside stream bodies
+    decoy = b"\n3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+    evil = pdf.replace(
+        b"BT /F1 12 Tf 72 700 Td (real page text) Tj ET",
+        b"BT /F1 12 Tf 72 700 Td (real page text) Tj ET" + decoy,
+        1,
+    )
+    # fix the /Length so the decoy sits INSIDE the declared stream body
+    old_len = len(b"BT /F1 12 Tf 72 700 Td (real page text) Tj ET")
+    evil = evil.replace(
+        b"<< /Length " + str(old_len).encode() + b" >>",
+        b"<< /Length " + str(old_len + len(decoy)).encode() + b" >>",
+        1,
+    )
+    text, pages = pdf_to_text(evil)
+    assert "real page text" in text
+    assert pages == 1

@@ -50,6 +50,7 @@ CANONICAL = "Bart Davidson"
         "generic__pat_id_1.docx",
         "generic__pat_id_1.odt",
         "generic__pat_id_1.pdf",
+        "generic__pat_id_1.doc",
     ],
 )
 def test_canonical_text_present(name: str) -> None:

@@ -96,3 +96,41 @@ def test_resume_antijoin_is_broadcast(spark, pages_path):
     plan = _formatted_plan(todo)
     assert "LeftAnti" in plan
     assert "Broadcast" in plan
+
+
+def test_topk_plans_are_take_ordered_not_global_window(spark):
+    """q07/q20 must plan TakeOrderedAndProject; a Window.orderBy with no
+    partitionBy (single-partition global sort) is banned in hot paths."""
+    from ocr_service_spark.operators.relational import q07_top_purchasers
+    from ocr_service_spark.operators.similarity import q20_cosine_topk
+
+    for q in (q07_top_purchasers, q20_cosine_topk):
+        plan = _formatted_plan(q(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q14_is_linear_no_joins_no_cache(spark):
+    """q14 must be one linear pipeline: sizes ride the postings, so no
+    join back (beyond the broadcast df-cap), no persist/InMemoryRelation,
+    and the shingle subtree is planned exactly once (2 parquet scans:
+    one for the df-cap broadcast side, one for the postings)."""
+    from ocr_service_spark.operators.dedup import q14_jaccard_pairs
+
+    import re
+
+    plan = _formatted_plan(q14_jaccard_pairs(spark, SF_DIR))
+    assert "InMemoryRelation" not in plan
+    assert "SortMergeJoin" not in plan
+    # detail headers "(N) Scan parquet" count each physical scan once
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 2, plan
+
+
+def test_q19_uses_lsh_buckets_not_cross_join(spark):
+    """The near-dup scale path: no cartesian/broadcast-nested-loop pair
+    generation anywhere in the q19 plan."""
+    from ocr_service_spark.operators.similarity import q19_embedding_neardup_pairs
+
+    plan = _formatted_plan(q19_embedding_neardup_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness gate, STRICTER than
+tests/test_entry_oracle.py: compares row count, sorted column names,
+pandas dtypes (the driver's value hash is dtype-sensitive — DuckDB
+HUGEINT vs Spark BIGINT was round-1's only failure mode), and exact
+cell values after column-name sort.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failed = []
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        sdf = qs[name](spark, sf_dir).toPandas()
+        ddf = con.execute(oracles[name]).fetch_df()
+        cols = sorted(sdf.columns)
+        problems = []
+        if sorted(ddf.columns) != cols:
+            problems.append(f"cols {cols} vs {sorted(ddf.columns)}")
+        else:
+            if len(sdf) != len(ddf):
+                problems.append(f"rows {len(sdf)} vs {len(ddf)}")
+            sd = {c: str(sdf[c].dtype) for c in cols}
+            dd = {c: str(ddf[c].dtype) for c in cols}
+            if sd != dd:
+                problems.append(
+                    "dtypes " + str({c: (sd[c], dd[c]) for c in cols if sd[c] != dd[c]})
+                )
+            if not problems:
+                a = sdf[cols].sort_values(cols, ignore_index=True)
+                b = ddf[cols].sort_values(cols, ignore_index=True)
+                if not a.equals(b):
+                    diff = (a != b) & ~(a.isna() & b.isna())
+                    problems.append(f"values ({int(diff.to_numpy().sum())} cells differ)")
+        status = "OK " if not problems else "FAIL"
+        print(f"{status} {name}: {len(sdf)} rows" + ("; " + "; ".join(problems) if problems else ""))
+        if problems:
+            failed.append(name)
+    spark.stop()
+    print("FAILED:", failed if failed else "none")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
