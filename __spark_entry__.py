@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ocr_service_spark.operators import (  # noqa: E402
     dedup,
+    main_content,
     relational,
     roundtrip,
     similarity,
@@ -140,6 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for name, fn in roundtrip.QUERIES.items():
         out[name] = _wrap(fn)
+    for name, fn in main_content.QUERIES.items():
+        out[name] = _wrap(fn)
     out["x40_extract_fixtures"] = _x40_extract_fixtures
     out["x41_extract_synthetic"] = _x41_extract_synthetic
     out["x42_media_features"] = _x42_media_features
@@ -154,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(roundtrip.ORACLES)
+    out.update(main_content.ORACLES)
     # x40 is deterministic end-to-end (NO_OCR tier over the reference
     # fixture corpus); its expected output is a committed, reviewed
     # golden table (tools/gen_x40_expected.py) the oracle reads back.

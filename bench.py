@@ -41,8 +41,11 @@ HEADLINE_QUERIES = [
     "q15_minhash_signatures",
     "q17_simhash",
     "q18_fingerprints",
+    "q19_embedding_neardup_pairs",
     "q20_cosine_topk",
     "q30_extract_html_roundtrip",
+    "q33_payload_ladder_roundtrip",
+    "q35_main_content_roundtrip",
 ]
 
 

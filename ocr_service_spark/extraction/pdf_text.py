@@ -313,6 +313,26 @@ _PAD = bytes(
 )
 
 
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """PDF 2.0 §7.6.4.3.4 algorithm 2.B — the R6 'hardened' iterated
+    SHA-2 hash (64+ rounds of AES-CBC over repeated input, digest
+    picked by e[:16] mod 3)."""
+    import hashlib
+
+    from ocr_service_spark.extraction.aes import cbc_encrypt
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
     s = list(range(256))
     j = 0
@@ -338,6 +358,7 @@ class _Document:
         self.streams: dict[int, tuple[dict, int]] = {}  # num -> (dict, raw data start)
         self._decoded: dict[int, bytes] = {}
         self._file_key: bytes | None = None
+        self._cfm = "V2"  # stream crypt-filter method (RC4 default)
         self._scan_objects()
         self._check_encryption()
         self._expand_object_streams()
@@ -477,12 +498,31 @@ class _Document:
             raise PdfEncryptedError("unsupported security handler")
         version = int(self.resolve(enc.get("V")) or 0)
         revision = int(self.resolve(enc.get("R")) or 2)
-        if version not in (1, 2):  # AES (V>=4) not implemented
+        if version not in (1, 2, 4, 5):
             raise PdfEncryptedError("unsupported encryption version")
         o_entry = self.resolve(enc.get("O")) or b""
         u_entry = self.resolve(enc.get("U")) or b""
         perms = int(self.resolve(enc.get("P")) or 0)
         n_bytes = int(self.resolve(enc.get("Length")) or 40) // 8
+        encrypt_metadata = self.resolve(enc.get("EncryptMetadata"))
+
+        # V4/V5 carry crypt filters: resolve the stream filter's method
+        # (PDF 1.7 §7.6.5). Identity/V2 keep RC4; AESV2/AESV3 use CBC.
+        if version >= 4:
+            cf = self.resolve(enc.get("CF")) or {}
+            stmf = self.resolve(enc.get("StmF")) or "Identity"
+            stdcf = self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            cfm = (stdcf or {}).get("CFM", "Identity")
+            cf_len = self.resolve((stdcf or {}).get("Length"))
+            if isinstance(cf_len, int) and cf_len > 0:
+                n_bytes = cf_len // 8 if cf_len > 40 else cf_len  # bits vs bytes
+            self._cfm = cfm
+        else:
+            self._cfm = "V2"  # RC4
+
+        if version == 5:
+            self._check_encryption_v5(enc, revision)
+            return
 
         # Algorithm 2 with the (padded) user password — empty by default,
         # matching an un-passworded pdfium open
@@ -494,6 +534,8 @@ class _Document:
         md.update(bytes(o_entry[:32]))
         md.update(_struct.pack("<i", perms))
         md.update(file_id)
+        if version >= 4 and encrypt_metadata is False:
+            md.update(b"\xff\xff\xff\xff")
         digest = md.digest()
         if revision >= 3:
             for _ in range(50):
@@ -515,18 +557,58 @@ class _Document:
             raise PdfEncryptedError("password required")
         self._file_key = key
 
+    def _check_encryption_v5(self, enc: dict, revision: int) -> None:
+        """AES-256 handler (PDF 2.0 / 1.7 ext. level 3, §7.6.4.3.3/4):
+        R5 uses plain SHA-256; R6 the iterated 'hardened' hash 2.B.
+        Only the empty user password is attempted (pdfium-no-password
+        semantics); U = hash(32) + validation salt(8) + key salt(8),
+        the file key is AES-256-CBC-wrapped in /UE."""
+        import hashlib
+
+        from ocr_service_spark.extraction.aes import cbc_decrypt
+
+        u = bytes(self.resolve(enc.get("U")) or b"")
+        ue = bytes(self.resolve(enc.get("UE")) or b"")
+        if len(u) < 48 or len(ue) < 32:
+            raise PdfEncryptedError("malformed V5 encryption dictionary")
+        pwd = self.password  # UTF-8 bytes; empty by default
+        vsalt, ksalt = u[32:40], u[40:48]
+        if revision >= 6:
+            check = _hash_2b(pwd, vsalt, b"")
+            ikey = _hash_2b(pwd, ksalt, b"")
+        else:
+            check = hashlib.sha256(pwd + vsalt).digest()
+            ikey = hashlib.sha256(pwd + ksalt).digest()
+        if check != u[:32]:
+            raise PdfEncryptedError("password required")
+        self._file_key = cbc_decrypt(ikey, b"\x00" * 16, ue[:32], unpad=False)
+        self._cfm = "AESV3"
+
     def _decrypt(self, num: int, raw: bytes) -> bytes:
         if self._file_key is None:
             return raw
         import hashlib
         import struct as _struct
 
+        cfm = getattr(self, "_cfm", "V2")
+        if cfm == "Identity":
+            return raw
+        if cfm == "AESV3":
+            from ocr_service_spark.extraction.aes import cbc_decrypt
+
+            return cbc_decrypt(self._file_key, raw[:16], raw[16:])
         gen = self.gens.get(num, 0)
+        salt = b"sAlT" if cfm == "AESV2" else b""  # §7.6.2 algorithm 1
         obj_key = hashlib.md5(
             self._file_key
             + _struct.pack("<I", num)[:3]
             + _struct.pack("<I", gen)[:2]
+            + salt
         ).digest()[: min(len(self._file_key) + 5, 16)]
+        if cfm == "AESV2":
+            from ocr_service_spark.extraction.aes import cbc_decrypt
+
+            return cbc_decrypt(obj_key, raw[:16], raw[16:])
         return _rc4(obj_key, raw)
 
     def _expand_object_streams(self) -> None:

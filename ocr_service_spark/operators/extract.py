@@ -62,24 +62,26 @@ _EXPLODE_SCHEMA = "url string, bucket int, n_buckets int, page_count int, payloa
 _BUCKET_TEXT_SCHEMA = "url string, bucket int, page_count int, txt string, error boolean"
 
 
+_RESULT_COLS = (
+    "url",
+    "extracted_text",
+    "content_type",
+    "pages",
+    "confidence",
+    "success",
+    "ocr_skipped",
+    "fallback_reason",
+    "doc_class",
+    "elapsed_ms",
+    "metadata",
+    "footer",
+)
+
+
 def _result_frame(rows: list[dict]) -> pd.DataFrame:
-    frame = pd.DataFrame(
-        rows,
-        columns=[
-            "url",
-            "extracted_text",
-            "content_type",
-            "pages",
-            "confidence",
-            "success",
-            "ocr_skipped",
-            "fallback_reason",
-            "doc_class",
-            "elapsed_ms",
-            "metadata",
-            "footer",
-        ],
-    )
+    # columnar construction: pandas from list-of-dicts walks every cell
+    # through per-row inference — measurably slower in the hot path
+    frame = pd.DataFrame({c: [r.get(c) for r in rows] for c in _RESULT_COLS})
     frame["pages"] = frame["pages"].astype("Int32")
     return frame
 

@@ -154,11 +154,19 @@ def q19_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
         .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    # norms are per-VECTOR, not per-pair: precompute once on each join
+    # side (same IEEE ops as the oracle's sqrt(dot(e,e)), evaluated once
+    # instead of per candidate — ~3x less fold work in the scorer)
+    normed = emb.select(
+        "vec_id", "vec", F.sqrt(_dot(F.col("vec"), F.col("vec"))).alias("norm")
     )
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")

@@ -1,0 +1,88 @@
+"""Block text-density main-content extraction (extraction/main_content.py):
+the north-star boilerplate stripper, distinct from the reference-parity
+all-strings fallback."""
+
+from __future__ import annotations
+
+from ocr_service_spark.extraction.main_content import (
+    MIN_BLOCK_CHARS,
+    extract_main_content,
+    html_blocks,
+)
+
+PAGE = b"""<!DOCTYPE html><html><head><title>Site</title><style>p{}</style></head><body>
+<nav><a href="/">home</a> <a href="/a">about</a> <a href="/c">contact</a></nav>
+<header><h1>Brand Site Name Here</h1></header>
+<div class="sidebar"><a href="1">link one</a> <a href="2">link two</a> <a href="3">many more links</a></div>
+<article>
+<p>This is the real article paragraph with plenty of prose content that a reader actually wants to read.</p>
+<p>Second real paragraph also long enough to be kept by the density filters with no links inside.</p>
+<p>short</p>
+<p>A paragraph long enough but mostly <a href="x">one giant link covering most of the characters in this block of text</a> y.</p>
+</article>
+<footer>copyright line that is plenty long enough to pass the chars floor</footer>
+</body></html>"""
+
+
+def test_keeps_prose_drops_boilerplate():
+    text, kept, total = extract_main_content(PAGE)
+    assert kept == 2
+    assert text.startswith("This is the real article paragraph")
+    assert "Second real paragraph" in text
+    # boilerplate, short, and link-heavy blocks all die
+    for bad in ("home", "Brand Site", "link one", "short", "giant link", "copyright"):
+        assert bad not in text
+    assert total > kept
+
+
+def test_footer_dropped_even_when_long():
+    # structural ancestor beats length: the footer above clears
+    # MIN_BLOCK_CHARS but must still be dropped
+    blocks = html_blocks(PAGE)
+    footers = [b for b in blocks if "copyright" in b.text]
+    assert footers and all(b.boilerplate for b in footers)
+    assert all(not b.keep() for b in footers)
+
+
+def test_script_style_never_content():
+    page = (
+        b"<body><script>var x = 'this is a long script body over the floor';"
+        b"</script><p>Real paragraph content that is long enough to keep here.</p></body>"
+    )
+    text, kept, _ = extract_main_content(page)
+    assert kept == 1
+    assert "script body" not in text
+
+
+def test_entities_unescaped_in_output():
+    page = (
+        b"<p>Fish &amp; chips is a paragraph long enough to pass every filter "
+        b"threshold easily.</p>"
+    )
+    text, kept, _ = extract_main_content(page)
+    assert kept == 1
+    assert "Fish & chips" in text
+
+
+def test_degenerate_inputs():
+    assert extract_main_content(b"") == ("", 0, 0)
+    short = b"<p>tiny</p>"
+    text, kept, _ = extract_main_content(short)
+    assert (text, kept) == ("", 0)
+    # bare text with no tags at all: one block, kept if long enough
+    bare = b"bare prose with no markup at all but comfortably over the floor"
+    text, kept, _ = extract_main_content(bare)
+    assert kept == 1 and text.startswith("bare prose")
+    assert len(bare) >= MIN_BLOCK_CHARS
+
+
+def test_nested_boilerplate_restores_state():
+    page = (
+        b"<nav><div><a href='/'>deep nav link</a></div></nav>"
+        b"<p>Content paragraph after the nav that is clearly long enough to keep.</p>"
+        b"<footer><nav><a href='x'>f</a></nav></footer>"
+        b"<p>Another content paragraph after the footer, also long enough to keep.</p>"
+    )
+    text, kept, _ = extract_main_content(page)
+    assert kept == 2
+    assert "deep nav link" not in text
