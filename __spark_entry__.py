@@ -158,12 +158,21 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(roundtrip.ORACLES)
     out.update(main_content.ORACLES)
-    # x40 is deterministic end-to-end (NO_OCR tier over the reference
-    # fixture corpus); its expected output is a committed, reviewed
-    # golden table (tools/gen_x40_expected.py) the oracle reads back.
-    x40_expected = Path(__file__).resolve().parent / "tests/golden/x40_expected.parquet"
+    # x40/x41/x42 are deterministic end-to-end (NO_OCR tier, seeded
+    # corpora, deterministic fake media decoder); their expected outputs
+    # are committed, reviewed golden tables (tools/gen_expected.py) the
+    # oracle reads back. x43 stays rows-only BY DESIGN (OCR-tier output
+    # depends on which engine binary the environment provides).
+    golden = Path(__file__).resolve().parent / "tests/golden"
     out["x40_extract_fixtures"] = (
         "SELECT url, doc_class, content_type, pages, success, ocr_skipped, "
-        f"fallback_reason, extracted_text FROM '{x40_expected}'"
+        f"fallback_reason, extracted_text FROM '{golden / 'x40_expected.parquet'}'"
+    )
+    out["x41_extract_synthetic"] = (
+        f"SELECT doc_class, n_docs, n_success, total_chars FROM '{golden / 'x41_expected.parquet'}'"
+    )
+    out["x42_media_features"] = (
+        "SELECT url, media_type, width, height, n_frames, feature_hash "
+        f"FROM '{golden / 'x42_expected.parquet'}'"
     )
     return out
