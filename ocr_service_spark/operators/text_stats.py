@@ -128,6 +128,26 @@ def q18_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exact order statistics per group -------------------------------------------
+PCTS = (0.5, 0.9, 0.99)
+
+
+def q36_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-count percentiles per language (training-data length
+    profiling). percentile_disc selects an actual sample — integer-exact
+    across engines, no interpolation arithmetic to diverge on; it
+    aggregates per group without collecting raw values to the driver."""
+    docs = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.trim("text"), TOKEN_RE))
+    agg = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.expr(
+            f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY tokens) AS BIGINT)"
+        ).alias(f"p{int(p * 100)}")
+        for p in PCTS
+    ]
+    return docs.select("lang", tokens.alias("tokens")).groupBy("lang").agg(*agg)
+
+
 def _lang_id_oracle() -> str:
     hit_exprs = ", ".join(
         f"len(regexp_extract_all(text, '{_marker_pattern(m)}')) AS hits_{lang}"
@@ -168,6 +188,13 @@ ORACLES: dict[str, str] = {
         ) GROUP BY 1
     """,
     "q13_lang_id": _lang_id_oracle(),
+    "q36_token_percentiles": f"""
+        SELECT lang, count(*) AS n_docs,
+               {", ".join(
+                   f"CAST(quantile_disc(len(regexp_split_to_array(trim(text), '{TOKEN_RE}')), {p}) AS BIGINT)"
+                   f" AS p{int(p * 100)}" for p in PCTS)}
+        FROM documents GROUP BY 1
+    """,
     "q18_fingerprints": f"""
         SELECT doc_id, fps[1] AS fp1, fps[2] AS fp2 FROM (
             SELECT doc_id,
@@ -185,4 +212,5 @@ QUERIES = {
     "q12_quality_buckets": q12_quality_buckets,
     "q13_lang_id": q13_lang_id,
     "q18_fingerprints": q18_fingerprints,
+    "q36_token_percentiles": q36_token_percentiles,
 }

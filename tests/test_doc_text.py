@@ -71,3 +71,31 @@ def test_word_text_normalization():
     assert _normalize_word_text("cell\x07mark") == "cell\nmark"
     assert _normalize_word_text("fi\x13eld\x14x\x15") == "fieldx"
     assert _normalize_word_text("keep\ttab\nnl") == "keep\ttab\nnl"
+
+
+# -- fuzz: the reader must never raise, whatever the bytes -------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_fuzz_junk_never_raises(junk: bytes):
+    assert isinstance(extract_doc_text(junk), str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1024))
+def test_fuzz_ole_prefixed_junk_never_raises(junk: bytes):
+    # valid OLE magic + garbage header/body
+    assert isinstance(extract_doc_text(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + junk), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=22000), st.binary(min_size=1, max_size=8))
+def test_fuzz_corrupted_fixture_never_raises(offset: int, patch: bytes):
+    # splice random bytes into the real fixture: truncations, bad FIB
+    # offsets, broken piece tables — all must degrade to '' or partial
+    # text, never an exception
+    data = DOC[:offset] + patch + DOC[offset + len(patch):]
+    assert isinstance(extract_doc_text(data), str)

@@ -110,10 +110,10 @@ def test_topk_plans_are_take_ordered_not_global_window(spark):
 
 
 def test_q14_is_linear_no_joins_no_cache(spark):
-    """q14 must be one linear pipeline: sizes ride the postings, so no
-    join back (beyond the broadcast df-cap), no persist/InMemoryRelation,
-    and the shingle subtree is planned exactly once (2 parquet scans:
-    one for the df-cap broadcast side, one for the postings)."""
+    """q14 must be one linear pipeline: the df-cap is applied inline on
+    the posting-list aggregation and sizes ride the postings, so there
+    are no joins at all, no persist/InMemoryRelation, and the expensive
+    shingle explode is planned exactly once (1 parquet scan)."""
     from ocr_service_spark.operators.dedup import q14_jaccard_pairs
 
     import re
@@ -123,7 +123,8 @@ def test_q14_is_linear_no_joins_no_cache(spark):
     assert "SortMergeJoin" not in plan
     # detail headers "(N) Scan parquet" count each physical scan once
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
-    assert len(scans) == 2, plan
+    assert len(scans) == 1, plan
+    assert "Join" not in plan
 
 
 def test_q19_uses_lsh_buckets_not_cross_join(spark):
@@ -134,3 +135,17 @@ def test_q19_uses_lsh_buckets_not_cross_join(spark):
     plan = _formatted_plan(q19_embedding_neardup_pairs(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_hygiene_all_driver_queries(spark):
+    """No driver query may plan a CartesianProduct, and nested-loop
+    broadcast joins are allowed only where a 1-row broadcast makes them
+    the intended plan (q20's query-vector cross join)."""
+    import __spark_entry__ as em
+
+    nlj_allowed = {"q20_cosine_topk"}
+    for name, fn in em.queries().items():
+        plan = _formatted_plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        if name not in nlj_allowed:
+            assert "BroadcastNestedLoopJoin" not in plan, name
