@@ -46,6 +46,7 @@ HEADLINE_QUERIES = [
     "q30_extract_html_roundtrip",
     "q33_payload_ladder_roundtrip",
     "q35_main_content_roundtrip",
+    "q36_token_percentiles",
 ]
 
 

@@ -86,3 +86,22 @@ def test_nested_boilerplate_restores_state():
     text, kept, _ = extract_main_content(page)
     assert kept == 2
     assert "deep nav link" not in text
+
+
+# -- fuzz: block parser must never raise ------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_fuzz_junk_never_raises(junk: bytes):
+    text, kept, total = extract_main_content(junk)
+    assert isinstance(text, str) and kept <= total
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="<>ap/ bhnrv&#;x1=\"'", max_size=400))
+def test_fuzz_taglike_text_never_raises(s: str):
+    text, kept, total = extract_main_content(s.encode())
+    assert isinstance(text, str) and kept <= total
