@@ -46,9 +46,10 @@ class Classification:
     @property
     def has_office_text_fallback(self) -> bool:
         """Office formats with a from-scratch text reader: the OOXML/ODF
-        zips above plus the legacy Word binary (extraction/doc_text.py,
-        replacing the reference's LibreOffice path converter.py:227-345)."""
-        return self.ext in ("docx", "odt", "doc")
+        zips above plus the legacy OLE binaries (doc_text/xls_text/
+        ppt_text, replacing the reference's LibreOffice path
+        converter.py:227-345)."""
+        return self.ext in ("docx", "odt", "doc", "xls", "ppt")
 
 
 def url_extension(url: str | None) -> str | None:

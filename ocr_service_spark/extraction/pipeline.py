@@ -55,14 +55,23 @@ def _apply_text_fallback(
 ) -> str:
     """converter.py:411-437."""
     text = extract_office_zip_text_fallback(stream, cls.ext)
-    if not text and cls.ext == "doc":
-        # Legacy Word binary: the reference reaches this text through
-        # LibreOffice (converter.py:227-345); here the WordDocument
-        # stream is read directly (extraction/doc_text.py) — same
-        # cascade slot as the OOXML zip fallback above.
-        from ocr_service_spark.extraction.doc_text import extract_doc_text
+    if not text and cls.ext in ("doc", "xls", "ppt"):
+        # Legacy OLE binaries: the reference reaches this text through
+        # LibreOffice (converter.py:227-345); here the WordDocument /
+        # Workbook / PowerPoint-Document streams are read directly —
+        # same cascade slot as the OOXML zip fallback above.
+        if cls.ext == "doc":
+            from ocr_service_spark.extraction.doc_text import extract_doc_text
 
-        text = extract_doc_text(stream)
+            text = extract_doc_text(stream)
+        elif cls.ext == "xls":
+            from ocr_service_spark.extraction.xls_text import extract_xls_text
+
+            text = extract_xls_text(stream)
+        else:
+            from ocr_service_spark.extraction.ppt_text import extract_ppt_text
+
+            text = extract_ppt_text(stream)
     if not text:
         text = extract_text_fallback(
             stream, is_html=cls.is_html, is_xml=cls.is_xml, is_rtf=cls.is_rtf

@@ -99,3 +99,75 @@ def test_fuzz_corrupted_fixture_never_raises(offset: int, patch: bytes):
     # text, never an exception
     data = DOC[:offset] + patch + DOC[offset + len(patch):]
     assert isinstance(extract_doc_text(data), str)
+
+
+# -- handcrafted .doc: exercises the UTF-16 piece branch and multi-piece
+# -- concat, which the all-cp1252 single-piece fixture cannot reach ----------
+
+from cfb_builder import build_cfb
+
+
+def _build_doc(pieces: list[tuple[str, bool]], which_table: int = 1) -> bytes:
+    """Word binary with an explicit piece table: pieces are
+    (text, compressed) — compressed = CP1252 bytes at fc/2, else
+    UTF-16LE at fc."""
+    wd = bytearray(2048)
+    struct.pack_into("<H", wd, 0, 0xA5EC)          # wIdent
+    struct.pack_into("<H", wd, 2, 0x00C1)          # nFib
+    struct.pack_into("<H", wd, 0x0A, (which_table & 1) << 9)
+    csw, cslw, cb_fc_lcb = 14, 22, 0x005D
+    struct.pack_into("<H", wd, 32, csw)
+    pos = 34 + csw * 2
+    struct.pack_into("<H", wd, pos, cslw)
+    fib_rg_lw = pos + 2
+    ccp_text = sum(len(t) for t, _ in pieces)
+    struct.pack_into("<I", wd, fib_rg_lw + 12, ccp_text)
+    pos = fib_rg_lw + cslw * 4
+    struct.pack_into("<H", wd, pos, cb_fc_lcb)
+    blob = pos + 2
+    # lay piece text into the WordDocument stream after the FIB blob
+    cursor = blob + cb_fc_lcb * 8 + 64
+    pcds, cps, cp = [], [0], 0
+    for text, compressed in pieces:
+        if compressed:
+            raw = text.encode("cp1252")
+            fc = (cursor * 2) | 0x40000000
+        else:
+            raw = text.encode("utf-16-le")
+            fc = cursor
+        wd[cursor : cursor + len(raw)] = raw
+        cursor += len(raw)
+        cp += len(text)
+        cps.append(cp)
+        pcds.append(struct.pack("<HIH", 0, fc, 0))
+    plc = struct.pack(f"<{len(cps)}I", *cps) + b"".join(pcds)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    table = bytearray(512)
+    fc_clx = 64
+    table[fc_clx : fc_clx + len(clx)] = clx
+    struct.pack_into("<II", wd, blob + 33 * 8, fc_clx, len(clx))
+    return build_cfb(
+        {"WordDocument": bytes(wd), f"{which_table}Table": bytes(table)}
+    )
+
+
+def test_handcrafted_doc_utf16_and_multipiece():
+    doc = _build_doc([("ascii piece. ", True), ("unicode é€ piece", False)])
+    assert extract_doc_text(doc) == "ascii piece. unicode é€ piece"
+
+
+def test_handcrafted_doc_0table_flag():
+    doc = _build_doc([("zero table stream", True)], which_table=0)
+    assert extract_doc_text(doc) == "zero table stream"
+
+
+def test_handcrafted_doc_control_chars_normalized():
+    doc = _build_doc([("line one\rline two\x07cell", True)])
+    assert extract_doc_text(doc) == "line one\nline two\ncell"
+
+
+def test_handcrafted_cfb_roundtrip_streams():
+    blob = build_cfb({"Alpha": b"A" * 5000, "Beta": b"B" * 100})
+    streams = cfb_streams(blob)
+    assert streams["alpha"] == b"A" * 5000
+    assert streams["beta"] == b"B" * 100
