@@ -28,7 +28,9 @@ assert "extracted_text" in df.columns
 qs = em.queries()
 oracles = em.oracle_sql()
 assert set(oracles) <= set(qs)
-for name in ["q01_pricing_summary", "q14_jaccard_pairs", "q30_extract_html_roundtrip",
+for name in ["q01_pricing_summary", "q14_jaccard_pairs", "q19_embedding_neardup_pairs",
+             "q30_extract_html_roundtrip", "q33_payload_ladder_roundtrip",
+             "q35_main_content_roundtrip", "q36_token_percentiles",
              "x40_extract_fixtures"]:
     rows = qs[name](spark, "/root/testdata/sf0.001").count()
     assert rows >= 0
