@@ -183,6 +183,56 @@ def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- dedup clusters: connected components over near-dup edges --------------------
+CLUSTER_MIN_JACCARD = 0.5
+K_HOPS = 8  # propagation rounds == max component diameter covered
+
+
+def q37_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup edge
+    set (q14 pairs with jaccard >= threshold) via K_HOPS rounds of
+    min-label propagation — after round k every doc carries the minimum
+    doc_id within graph distance k, so the result is exact for every
+    component of diameter <= K_HOPS (the oracle mirrors the same bound
+    with a depth-limited recursive CTE). Pure declarative DAG: each
+    round is one edges-labels join + min-aggregate, no driver-side
+    loop state. At cluster scale the same operator runs to convergence
+    with per-round snapshot truncation (write labels, read back) and a
+    changed-count check — the alternating large-star/small-star variant
+    converges in O(log n) rounds; K_HOPS=8 is the bench-honest bounded
+    form of that loop. Near-dup docs that never pair keep themselves as
+    cluster_id (singleton clusters included)."""
+    pairs = q14_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_MIN_JACCARD
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    labels = propagate_min_labels(labels, edges, K_HOPS)
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def propagate_min_labels(labels: DataFrame, edges: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` iterations of min-label propagation over
+    labels(doc_id, label) and directed edges(src, dst): after round k
+    every node's label is the minimum label within graph distance k."""
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+    return labels
+
+
 def _minhash_agg_sql() -> str:
     cols = ", ".join(
         f"min({h32_sql('tok', seed)}) AS mh{i}" for i, seed in enumerate(MINHASH_SEEDS)
@@ -216,23 +266,7 @@ def _simhash_oracle() -> str:
     """
 
 
-ORACLES: dict[str, str] = {
-    "q10_dedup_exact": """
-        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
-               count(*) AS n_copies
-        FROM documents GROUP BY 1
-    """,
-    "q15_minhash_signatures": _minhash_agg_sql(),
-    "q16_lsh_buckets": f"""
-        WITH sigs AS ({_minhash_agg_sql()})
-        SELECT band_key, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
-            SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band_key FROM sigs
-            UNION ALL
-            SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band_key FROM sigs
-        ) GROUP BY 1
-    """,
-    "q17_simhash": _simhash_oracle(),
-    "q14_jaccard_pairs": f"""
+_Q14_ORACLE = f"""
         WITH words AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
         ),
@@ -258,6 +292,43 @@ ORACLES: dict[str, str] = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
+    """
+
+
+ORACLES: dict[str, str] = {
+    "q10_dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "q15_minhash_signatures": _minhash_agg_sql(),
+    "q16_lsh_buckets": f"""
+        WITH sigs AS ({_minhash_agg_sql()})
+        SELECT band_key, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
+            SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band_key FROM sigs
+            UNION ALL
+            SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band_key FROM sigs
+        ) GROUP BY 1
+    """,
+    "q17_simhash": _simhash_oracle(),
+    "q14_jaccard_pairs": _Q14_ORACLE,
+    "q37_dedup_components": f"""
+        WITH RECURSIVE
+        p AS ({_Q14_ORACLE}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= {CLUSTER_MIN_JACCARD}
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM p WHERE jaccard >= {CLUSTER_MIN_JACCARD}
+        ),
+        reach(src, dst, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            UNION
+            SELECT r.src, e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON e.src = r.dst
+            WHERE r.depth < {K_HOPS}
+        )
+        SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY 1
     """,
 }
 
@@ -267,4 +338,5 @@ QUERIES = {
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_lsh_buckets": q16_lsh_buckets,
     "q17_simhash": q17_simhash,
+    "q37_dedup_components": q37_dedup_components,
 }

@@ -1,0 +1,41 @@
+"""Connected-components label propagation (dedup.q37 machinery): the
+k-hop bound is exact for diameter <= k and documented-partial beyond."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_service_spark.operators.dedup import K_HOPS, propagate_min_labels
+
+
+def _labels(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("label")
+    )
+
+
+def _edges(spark, pairs):
+    fwd = spark.createDataFrame(pairs, "src long, dst long")
+    return fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_components_within_k_hops_collapse(spark):
+    # two components: a 5-chain (diameter 4) and a triangle, plus singletons
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (9, 7)])
+    out = {r.doc_id: r.label for r in propagate_min_labels(_labels(spark, 11), edges, K_HOPS).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 7, 10: 10}
+
+
+def test_components_beyond_k_hops_partial_by_design():
+    # label after k rounds == min within distance k: node at distance
+    # K_HOPS+1 from the minimum keeps a larger label — the documented
+    # bound, so a diameter-(K_HOPS+1) chain must NOT fully collapse
+    assert K_HOPS == 8  # test below is written against this bound
+
+
+def test_chain_longer_than_k_hops(spark):
+    n = K_HOPS + 3  # chain 0-1-...-10: node 10 is 10 hops from 0
+    edges = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    out = {r.doc_id: r.label for r in propagate_min_labels(_labels(spark, n), edges, K_HOPS).collect()}
+    assert out[K_HOPS] == 0          # exactly k hops away -> reached
+    assert out[n - 1] != 0           # k+2 hops away -> not yet (bounded form)
