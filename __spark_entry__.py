@@ -27,6 +27,7 @@ from ocr_service_spark.operators import (  # noqa: E402
     relational,
     roundtrip,
     similarity,
+    temporal,
     text_stats,
 )
 
@@ -128,6 +129,7 @@ def _x42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
+    out.update(temporal.QUERIES)
     out.update(text_stats.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
@@ -153,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
+    out.update(temporal.ORACLES)
     out.update(text_stats.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)

@@ -43,6 +43,9 @@ HEADLINE_QUERIES = [
     "q18_fingerprints",
     "q19_embedding_neardup_pairs",
     "q20_cosine_topk",
+    "q22_asof_attribution",
+    "q23_conversion_pairs",
+    "q25_ivf_topk",
     "q30_extract_html_roundtrip",
     "q33_payload_ladder_roundtrip",
     "q35_main_content_roundtrip",

@@ -22,14 +22,29 @@
   for small-n verification only (tests assert the LSH output is a
   subset of it and measure recall).
 
+- ``q24_ivf_cells`` / ``q25_ivf_topk`` — the IVF (inverted-file)
+  alternative to LSH: every vector is assigned to its nearest of
+  ``IVF_CELLS`` deterministic centroids (argmax cosine, a pure
+  JVM fold per cell — map-side only, no shuffle for the assign), and
+  a top-k search probes only the ``IVF_NPROBE`` cells nearest the
+  query — scanning nprobe/ncells of the corpus instead of all of it.
+  Centroids here are md5-derived pseudo-random literals so the DuckDB
+  oracle reproduces the assignment bit-for-bit; at 100 TB they would
+  come from a sampled k-means fit on the driver and ship as literals
+  exactly the same way (the plan shape does not change).
+
 At 100 TB: q20 is broadcast-join + per-row fold + TakeOrdered (no
 shuffle); q19/q21 shuffle on (band, bucket_key) — bounded groups —
-then one join back to vectors for candidate scoring.
+then one join back to vectors for candidate scoring; q24 is one
+map-side assign + a 16-group agg; q25 prunes the scan to the probed
+cells (a broadcast equi-join on cell carries the query vector — no
+nested-loop join) and ends in TakeOrderedAndProject.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -176,6 +191,107 @@ def q19_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q24/q25: IVF cells + pruned top-k search ----------------------------------
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _centroid_weight(c: int, i: int) -> float:
+    """Centroid component (cell c, dim i) in [-1, 1), md5-derived like
+    the LSH hyperplanes — deterministic, reproducible in SQL."""
+    h = int(hashlib.md5(f"cell{c}|{i}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
+
+
+def _centroid_norm(c: int) -> float:
+    """L2 norm of centroid c, computed ONCE driver-side with the same
+    sequential order both engines would use, then shipped as the same
+    literal to Spark and the DuckDB oracle (no cross-engine sqrt)."""
+    acc = 0.0
+    for i in range(EMB_DIM):
+        w = _centroid_weight(c, i)
+        acc += w * w
+    return math.sqrt(acc)
+
+
+def _cell_scores(vec):
+    """array<double> of cosine-proportional scores vs every centroid:
+    dot(vec, centroid_c) / ||centroid_c|| (||vec|| is constant across
+    cells so it cannot change the argmax)."""
+    return F.array(
+        *[
+            (
+                _dot(vec, F.array(*[F.lit(_centroid_weight(c, i)) for i in range(EMB_DIM)]))
+                / F.lit(_centroid_norm(c))
+            )
+            for c in range(IVF_CELLS)
+        ]
+    )
+
+
+def _with_cell(emb: DataFrame) -> DataFrame:
+    """Assign each vector to its best cell (1-based; first-max wins on
+    ties in both engines: array_position / list_position)."""
+    scores = _cell_scores(F.col("vec"))
+    return emb.withColumn("scores", scores).withColumn(
+        "cell", F.array_position(F.col("scores"), F.array_max(F.col("scores"))).cast("bigint")
+    )
+
+
+def q24_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell stats: one row per centroid cell. The assign is pure
+    map-side (IVF_CELLS folds per row); the agg groups into at most
+    IVF_CELLS rows — partial-agg combines do nearly all of it."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return (
+        _with_cell(emb)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+def q25_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned cosine top-k: exact scoring restricted to the
+    IVF_NPROBE cells nearest the query vector. The probe set is a
+    <=IVF_NPROBE-row DataFrame carrying the query vector, so the prune
+    is a broadcast EQUI join on cell (never a nested-loop join) and
+    the final top-k is orderBy().limit() = TakeOrderedAndProject."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    assigned = _with_cell(emb)
+    # query row -> its IVF_NPROBE best cells, ranked by (score desc, cell asc)
+    ranked = F.transform(
+        F.col("scores"),
+        lambda s, i: F.struct((-s).alias("neg_score"), (i + 1).cast("bigint").alias("cell")),
+    )
+    probe = (
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("vec").alias("qvec"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(ranked), 1, IVF_NPROBE), lambda x: x["cell"]
+                )
+            ).alias("cell"),
+        )
+    )
+    cand = assigned.filter(F.col("vec_id") != QUERY_VEC_ID).join(F.broadcast(probe), "cell")
+    cos = _dot(F.col("vec"), F.col("qvec")) / (
+        F.sqrt(_dot(F.col("vec"), F.col("vec"))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    )
+    scored = cand.select("vec_id", "label", "cell", F.round(cos, 6).alias("cosine"))
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOPK)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs scorer — small-n VERIFICATION BASELINE ONLY (O(n^2);
     tests use it to measure q19's LSH recall). Never the scale path."""
@@ -237,6 +353,45 @@ _COS_SQL = (
     " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
 )
 
+
+def _centroid_sql(c: int) -> str:
+    """DuckDB twin of the cell-c centroid literal array."""
+    return (
+        f"list_transform(range(0, {EMB_DIM}), i -> "
+        f"CAST(('0x' || substr(md5('cell{c}|' || i), 1, 8)) AS BIGINT)"
+        f" / 2147483648.0 - 1.0)"
+    )
+
+
+def _cell_scores_sql(e: str = "e") -> str:
+    """DuckDB twin of _cell_scores: norm constants are the SAME Python
+    floats embedded via repr (exact round-trip), so both engines divide
+    by bit-identical values."""
+    terms = ", ".join(
+        f"list_dot_product({e}, {_centroid_sql(c)}) / {_centroid_norm(c)!r}"
+        for c in range(IVF_CELLS)
+    )
+    return f"list_value({terms})"
+
+
+_IVF_ASSIGNED_CTE = f"""
+    v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, label, e, sc,
+               CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell
+        FROM (SELECT vec_id, label, e, {_cell_scores_sql()} AS sc FROM v)
+    )
+"""
+
+_IVF_PROBE_ARMS = "\n            UNION ALL ".join(
+    f"SELECT CAST({c + 1} AS BIGINT) AS cell, sc[{c + 1}] AS score FROM q"
+    for c in range(IVF_CELLS)
+)
+
 ORACLES: dict[str, str] = {
     "q19_embedding_neardup_pairs": f"""
         WITH {_keys_cte(with_label=False)},
@@ -279,10 +434,42 @@ ORACLES: dict[str, str] = {
                min(vec_id) AS min_vec_id
         FROM keys GROUP BY 1, 2
     """,
+    "q24_ivf_cells": f"""
+        WITH {_IVF_ASSIGNED_CTE}
+        SELECT cell,
+               count(*) AS n_vectors,
+               count(DISTINCT label) AS n_labels,
+               min(vec_id) AS min_vec_id
+        FROM assigned GROUP BY 1
+    """,
+    "q25_ivf_topk": f"""
+        WITH {_IVF_ASSIGNED_CTE},
+        q AS (
+            SELECT e AS qe, sc FROM assigned WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        probe AS (
+            SELECT cell FROM (
+                {_IVF_PROBE_ARMS}
+            ) ORDER BY score DESC, cell LIMIT {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT a.vec_id, a.label, a.cell,
+                   round(list_dot_product(a.e, q.qe)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+            FROM assigned a JOIN probe USING (cell), q
+            WHERE a.vec_id != {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, cell, cosine,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored QUALIFY rank <= {TOPK}
+    """,
 }
 
 QUERIES = {
     "q19_embedding_neardup_pairs": q19_embedding_neardup_pairs,
     "q20_cosine_topk": q20_cosine_topk,
     "q21_lsh_ann_buckets": q21_lsh_ann_buckets,
+    "q24_ivf_cells": q24_ivf_cells,
+    "q25_ivf_topk": q25_ivf_topk,
 }

@@ -148,6 +148,30 @@ def q36_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", tokens.alias("tokens")).groupBy("lang").agg(*agg)
 
 
+# -- deterministic train/val split ------------------------------------------------
+SPLIT_SALT = "split"
+TRAIN_PCT = 90
+
+
+def q26_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split — the standard way to
+    partition a training corpus so membership is stable across runs,
+    re-shards, and incremental appends (no RNG, no stored assignment
+    table). Pure map-side projection + a tiny groupBy; at 100 TB the
+    split column would be written back and used for partition pruning."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(h32(F.col("doc_id").cast("string"), SPLIT_SALT), F.lit(100))
+    split = F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
 def _lang_id_oracle() -> str:
     hit_exprs = ", ".join(
         f"len(regexp_extract_all(text, '{_marker_pattern(m)}')) AS hits_{lang}"
@@ -195,6 +219,14 @@ ORACLES: dict[str, str] = {
                    f" AS p{int(p * 100)}" for p in PCTS)}
         FROM documents GROUP BY 1
     """,
+    "q26_train_val_split": f"""
+        SELECT lang,
+               CASE WHEN {h32_sql("CAST(doc_id AS VARCHAR)", SPLIT_SALT)} % 100 < {TRAIN_PCT}
+                    THEN 'train' ELSE 'val' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1, 2
+    """,
     "q18_fingerprints": f"""
         SELECT doc_id, fps[1] AS fp1, fps[2] AS fp2 FROM (
             SELECT doc_id,
@@ -212,5 +244,6 @@ QUERIES = {
     "q12_quality_buckets": q12_quality_buckets,
     "q13_lang_id": q13_lang_id,
     "q18_fingerprints": q18_fingerprints,
+    "q26_train_val_split": q26_train_val_split,
     "q36_token_percentiles": q36_token_percentiles,
 }

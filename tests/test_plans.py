@@ -137,6 +137,45 @@ def test_q19_uses_lsh_buckets_not_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_join_is_one_shuffle_no_join(spark):
+    """q22's as-of join is the union trick: one hash shuffle on
+    user_id, no join operator, no cartesian blow-up."""
+    import re
+
+    from ocr_service_spark.operators.temporal import q22_asof_attribution
+
+    plan = _formatted_plan(q22_asof_attribution(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+
+
+def test_conversion_pairs_is_equi_join_on_bands(spark):
+    """q23's range join must be planned as an equi join on
+    (user_id, band) — a shuffle-hash/sort-merge join, never a
+    nested-loop over the time predicate."""
+    from ocr_service_spark.operators.temporal import q23_conversion_pairs
+
+    plan = _formatted_plan(q23_conversion_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_ivf_topk_prunes_via_broadcast_equi_join(spark):
+    """q25 must prune the scan through a broadcast EQUI join on cell
+    (the probe rows carry the query vector) and finish with
+    TakeOrderedAndProject — no nested-loop join, no global window."""
+    from ocr_service_spark.operators.similarity import q25_ivf_topk
+
+    plan = _formatted_plan(q25_ivf_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_plan_hygiene_all_driver_queries(spark):
     """No driver query may plan a CartesianProduct, and nested-loop
     broadcast joins are allowed only where a 1-row broadcast makes them
