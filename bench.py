@@ -9,6 +9,9 @@ Env:
     SPARK_GRAFT_SF_DIR  table dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
     BENCH_DOCS          override synthetic corpus size
+    BENCH_REPS          timing repetitions, best-of (default 2 —
+                        the shared box shows 2x hypervisor-steal
+                        swings between runs; min is the robust read)
 """
 
 from __future__ import annotations
@@ -79,11 +82,14 @@ def main() -> None:
     # not session startup
     run_extraction(pages.limit(64)).groupBy().sum("pages").collect()
 
-    t0 = time.perf_counter()
-    results = run_extraction(pages)
-    agg = results.groupBy().sum("pages").collect()  # forces full extraction
-    extract_sec = time.perf_counter() - t0
-    total_pages = agg[0][0] or n_docs
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    extract_sec, total_pages = 1e18, n_docs
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        results = run_extraction(pages)
+        agg = results.groupBy().sum("pages").collect()  # forces full extraction
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
+        total_pages = agg[0][0] or n_docs
 
     timings: dict[str, float] = {"extract_synthetic": round(extract_sec, 3)}
 
@@ -97,9 +103,12 @@ def main() -> None:
         # JIT-warm the query's generated code on the tiny sf before
         # timing it at the bench sf (same plan shape -> same classes)
         fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = 1e18
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

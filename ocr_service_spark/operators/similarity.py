@@ -44,6 +44,7 @@ nested-loop join) and ends in TakeOrderedAndProject.
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -76,24 +77,47 @@ def _plane_weight(p: int, i: int) -> float:
     return h / 2147483648.0 - 1.0
 
 
-def _plane_weights_lit(p: int):
-    return F.array(*[F.lit(_plane_weight(p, i)) for i in range(EMB_DIM)])
+def _matrix_expr(rows: list[list[float]]):
+    """One array<array<double>> constant with a TINY expression tree:
+    from_json over a single string literal (3 nodes), which the
+    optimizer constant-folds into one Literal before execution.
+    Building it element-wise from F.lit / parsed array(...) trees puts
+    2048 nodes in the plan; every analyzer pass then re-walks them at
+    each of the 32 reference sites (~4 s of driver latency per query
+    build). json.dumps emits repr-precision digits and Jackson's
+    double parse is correctly rounded, so every value round-trips
+    bit-exactly."""
+    return F.from_json(F.lit(json.dumps(rows)), "array<array<double>>")
 
 
-def _band_key(vec, band: int):
+def _planes_matrix():
+    return _matrix_expr(
+        [
+            [_plane_weight(p, i) for i in range(EMB_DIM)]
+            for p in range(LSH_BANDS * LSH_ROWS)
+        ]
+    )
+
+
+def _band_key(vec, band: int, planes):
     """Integer bucket key for one band: LSH_ROWS sign bits packed."""
     key = None
     for j in range(LSH_ROWS):
         p = band * LSH_ROWS + j
-        bit = F.when(_dot(vec, _plane_weights_lit(p)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(
+            _dot(vec, F.element_at(planes, p + 1)) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
         key = bit if key is None else key + bit
     return key
 
 
 def _with_band_keys(emb: DataFrame) -> DataFrame:
     vec = F.col("embedding").cast("array<double>")
+    planes = _planes_matrix()
     cols = [F.col(c) for c in emb.columns]
-    return emb.select(*cols, *[_band_key(vec, b).alias(f"k{b}") for b in range(LSH_BANDS)])
+    return emb.select(
+        *cols, *[_band_key(vec, b, planes).alias(f"k{b}") for b in range(LSH_BANDS)]
+    )
 
 
 def _stacked_keys(emb: DataFrame) -> DataFrame:
@@ -217,13 +241,14 @@ def _centroid_norm(c: int) -> float:
 def _cell_scores(vec):
     """array<double> of cosine-proportional scores vs every centroid:
     dot(vec, centroid_c) / ||centroid_c|| (||vec|| is constant across
-    cells so it cannot change the argmax)."""
+    cells so it cannot change the argmax). Centroids ship as one
+    matrix literal (see _matrix_expr)."""
+    cents = _matrix_expr(
+        [[_centroid_weight(c, i) for i in range(EMB_DIM)] for c in range(IVF_CELLS)]
+    )
     return F.array(
         *[
-            (
-                _dot(vec, F.array(*[F.lit(_centroid_weight(c, i)) for i in range(EMB_DIM)]))
-                / F.lit(_centroid_norm(c))
-            )
+            (_dot(vec, F.element_at(cents, c + 1)) / F.lit(_centroid_norm(c)))
             for c in range(IVF_CELLS)
         ]
     )
