@@ -216,6 +216,29 @@ def q37_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def q38_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT stage: per-language summary of the
+    corpus after near-dup cluster filtering — the cluster minimum
+    (doc_id == cluster_id) is kept as the canonical copy, everything
+    else drops. One doc_id-join of labels back to the corpus plus a
+    tiny groupBy; at 100 TB this is the query that decides what the
+    training run actually reads."""
+    labels = q37_dedup_components(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    kept = F.col("doc_id") == F.col("cluster_id")
+    return (
+        docs.join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("bigint")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
+
+
 def propagate_min_labels(labels: DataFrame, edges: DataFrame, rounds: int) -> DataFrame:
     """``rounds`` iterations of min-label propagation over
     labels(doc_id, label) and directed edges(src, dst): after round k
@@ -330,6 +353,31 @@ ORACLES: dict[str, str] = {
         SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
         FROM reach GROUP BY 1
     """,
+    "q38_dedup_canonical": f"""
+        WITH RECURSIVE
+        p AS ({_Q14_ORACLE}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= {CLUSTER_MIN_JACCARD}
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM p WHERE jaccard >= {CLUSTER_MIN_JACCARD}
+        ),
+        reach(src, dst, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            UNION
+            SELECT r.src, e.dst, r.depth + 1
+            FROM reach r JOIN edges e ON e.src = r.dst
+            WHERE r.depth < {K_HOPS}
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN d.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN d.doc_id = l.cluster_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+        GROUP BY 1
+    """,
 }
 
 QUERIES = {
@@ -339,4 +387,5 @@ QUERIES = {
     "q16_lsh_buckets": q16_lsh_buckets,
     "q17_simhash": q17_simhash,
     "q37_dedup_components": q37_dedup_components,
+    "q38_dedup_canonical": q38_dedup_canonical,
 }

@@ -148,6 +148,47 @@ def q36_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", tokens.alias("tokens")).groupBy("lang").agg(*agg)
 
 
+# -- repetition-ratio quality filter (Gopher-style) --------------------------------
+REP_THRESHOLD = 0.2  # most-common-bigram fraction above which a doc is repetitive
+
+
+def q39_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the fraction of word bigrams
+    taken by the single most frequent bigram. Boilerplate/spam pages
+    repeat the same phrase; prose does not. Shape at 100 TB: bigram
+    explode -> two partial-agg groupBys keyed by doc — the same
+    map-side-combining pattern as the MinHash aggregations, no joins."""
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.trim("text"), TOKEN_RE)
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.size(t).alias("n_tokens"), F.explode_outer(grams).alias("gram")
+    )
+    per_gram = exploded.groupBy("doc_id", "n_tokens", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_gram.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias("top_n")
+    )
+    n_bigrams = F.greatest(F.col("n_tokens") - 1, F.lit(0)).cast("bigint")
+    ratio = F.when(
+        n_bigrams > 0, F.round(F.col("top_n").cast("double") / n_bigrams, 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return per_doc.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        F.coalesce(F.col("top_n"), F.lit(0)).cast("bigint").alias("top_bigram_n"),
+        ratio.alias("rep_ratio"),
+        (F.coalesce(ratio, F.lit(0.0)) > REP_THRESHOLD).alias("repetitive"),
+    )
+
+
 # -- deterministic train/val split ------------------------------------------------
 SPLIT_SALT = "split"
 TRAIN_PCT = 90
@@ -219,6 +260,28 @@ ORACLES: dict[str, str] = {
                    f" AS p{int(p * 100)}" for p in PCTS)}
         FROM documents GROUP BY 1
     """,
+    "q39_repetition_stats": f"""
+        WITH tk AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM tk
+        ),
+        pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        pd AS (SELECT doc_id, max(cnt) AS top_n FROM pg GROUP BY 1)
+        SELECT tk.doc_id,
+               CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(top_n, 0) AS BIGINT) AS top_bigram_n,
+               CASE WHEN len(t) - 1 > 0
+                    THEN round(CAST(top_n AS DOUBLE) / (len(t) - 1), 6) END AS rep_ratio,
+               coalesce(CASE WHEN len(t) - 1 > 0
+                    THEN round(CAST(top_n AS DOUBLE) / (len(t) - 1), 6) END, 0.0)
+                 > {REP_THRESHOLD} AS repetitive
+        FROM tk LEFT JOIN pd ON tk.doc_id = pd.doc_id
+    """,
     "q26_train_val_split": f"""
         SELECT lang,
                CASE WHEN {h32_sql("CAST(doc_id AS VARCHAR)", SPLIT_SALT)} % 100 < {TRAIN_PCT}
@@ -246,4 +309,5 @@ QUERIES = {
     "q18_fingerprints": q18_fingerprints,
     "q26_train_val_split": q26_train_val_split,
     "q36_token_percentiles": q36_token_percentiles,
+    "q39_repetition_stats": q39_repetition_stats,
 }

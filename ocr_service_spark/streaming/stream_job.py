@@ -88,6 +88,89 @@ def stream_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30
+_SESSION_OUTPUT = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint, closed_by_timeout boolean"
+)
+_SESSION_STATE = "start_us long, last_us long, n long"
+
+
+def stream_user_sessions(events_stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Custom stateful operator #2: streaming gap-based sessionization
+    (the batch q06 semantics, continuously). State per user is one open
+    session (start, last, count); events extend it or close it on a
+    >SESSION_GAP_MIN gap, and an EVENT-TIME TIMEOUT closes idle
+    sessions once the watermark passes last_event + gap — the part a
+    stateless window cannot express. Emits one row per CLOSED session;
+    the open session lives only in the state store. At 10^12 events the
+    state is one small tuple per active user and the shuffle key is
+    user_id — the same key the batch sessionizer shuffles on."""
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    gap_ms = SESSION_GAP_MIN * 60 * 1_000
+
+    def sessions(key, frames, state) -> "pd.DataFrame":
+        cols = [
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "closed_by_timeout",
+        ]
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            return iter(
+                [pd.DataFrame([(key[0], start_us, last_us, n, True)], columns=cols)]
+            )
+
+        ts_us: list[int] = []
+        for frame in frames:
+            # datetime64[ns] -> integer microseconds (same unit as the
+            # batch sessionizer's timestampdiff)
+            ts_us.extend(int(v) // 1_000 for v in frame["ts"].astype("int64"))
+        ts_us.sort()
+
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((key[0], start_us, last_us, n, False))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = max(last_us, t), n + 1
+        state.update((start_us, last_us, n))
+        # wake up when the watermark passes the gap after the last event
+        # (must be strictly beyond the current watermark)
+        state.setTimeoutTimestamp(
+            max(last_us // 1_000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return iter([pd.DataFrame(closed, columns=cols)])
+
+    from pyspark.sql import functions as F
+
+    return (
+        # watermarks require TIMESTAMP (not NTZ); the session pins UTC so
+        # the cast is a pure type change, no wall-clock shift
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessions,
+            outputStructType=_SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def start_extraction_stream(
     spark: SparkSession,
     pages_path: str,

@@ -84,6 +84,72 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     assert not out["first_seen"].all()  # duplicates exist and were flagged
 
 
+def test_stream_user_sessions_gap_and_timeout(spark, tmp_path):
+    """Gap-split sessions emit inline; idle sessions close via
+    EVENT-TIME TIMEOUT once later data advances the watermark."""
+    import datetime as dt
+
+    from ocr_service_spark.streaming.stream_job import stream_user_sessions
+
+    events_path = str(tmp_path / "events")
+    out_path = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp_ntz, user_id bigint"
+        ).coalesce(1).write.mode("append").parquet(events_path)
+
+    def _drain():
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp_ntz, user_id bigint")
+            .option("maxFilesPerTrigger", 100)
+            .parquet(events_path)
+        )
+        q = (
+            stream_user_sessions(stream)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r.user_id, r.session_start_us): r
+            for r in spark.read.parquet(out_path).collect()
+        }
+
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    us = lambda m: int((mins(m) - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+    # batch A: user 7 idle session (2 events); user 8 gap-split at +90min.
+    # The +90min event drives the watermark to ~+89min50s, and the
+    # drain's trailing no-data micro-batch fires user 7's event-time
+    # timeout (last event +10min, +gap = +40min < watermark) — so the
+    # idle-session close happens INSIDE the first drain.
+    _write(
+        [(1, mins(0), 7), (2, mins(10), 7), (3, mins(0), 8), (4, mins(90), 8)], "a"
+    )
+    out = _drain()
+    # user 8's first session closed by the gap, inline (not timeout)
+    s8 = out[(8, us(0))]
+    assert (s8.session_end_us, s8.n_events, s8.closed_by_timeout) == (us(0), 1, False)
+    s7 = out[(7, us(0))]
+    assert (s7.session_end_us, s7.n_events, s7.closed_by_timeout) == (us(10), 2, True)
+    assert (8, us(90)) not in out  # user 8's second session still open
+
+    # batch B: a far-future event advances the watermark; user 8's open
+    # session times out, user 9's own session stays open in state
+    _write([(5, mins(600), 9)], "b")
+    out = _drain()
+    s8b = out[(8, us(90))]
+    assert (s8b.session_end_us, s8b.n_events, s8b.closed_by_timeout) == (us(90), 1, True)
+    assert (9, us(600)) not in out
+
+
 def test_extraction_metrics_accumulators(spark):
     metrics = ExtractionMetrics.create(spark)
     pages = generate_pages(spark, 100, seed=9)
