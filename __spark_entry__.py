@@ -4,10 +4,11 @@
 ``queries``    — one entry per implemented operator (SURVEY.md §2 plus
                  the training-data operators: dedup, text analytics,
                  similarity search, extraction roundtrips).
-``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query;
-                 entries absent here (x4x_*, q21) are non-SQL-expressible
-                 pipelines (full extraction over binary fixtures, LSH
-                 over derived hyperplanes) and get rows-only checks.
+``oracle_sql`` — DuckDB-equivalent SQL for every query except
+                 x43 (OCR tier: engine output is environment-dependent
+                 by design, rows-only). Extraction queries whose
+                 semantics aren't SQL-expressible (x40-x42) are checked
+                 against committed, reviewed expected tables instead.
 """
 
 from __future__ import annotations

@@ -148,6 +148,31 @@ def q36_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", tokens.alias("tokens")).groupBy("lang").agg(*agg)
 
 
+# -- deterministic stratified sampling ----------------------------------------------
+SAMPLE_K = 20  # docs kept per language stratum
+SAMPLE_SALT = "sample"
+
+
+def q27_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the SAMPLE_K docs with the
+    smallest salted hash per language — a reproducible per-stratum
+    sample that is stable under re-shards and appends (new docs only
+    displace, never reshuffle, the kept set). One window per stratum;
+    at 100 TB a skewed stratum is pre-thinned with a cheap hash filter
+    (keep h < threshold) before the ranking window so no single
+    partition sorts a whole language."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    h = h32(F.col("doc_id").cast("string"), SAMPLE_SALT)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", h.alias("sample_key"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= SAMPLE_K)
+    )
+
+
 # -- repetition-ratio quality filter (Gopher-style) --------------------------------
 REP_THRESHOLD = 0.2  # most-common-bigram fraction above which a doc is repetitive
 
@@ -260,6 +285,17 @@ ORACLES: dict[str, str] = {
                    f" AS p{int(p * 100)}" for p in PCTS)}
         FROM documents GROUP BY 1
     """,
+    "q27_stratified_sample": f"""
+        SELECT doc_id, lang, sample_key, rank FROM (
+            SELECT doc_id, lang,
+                   {h32_sql("CAST(doc_id AS VARCHAR)", SAMPLE_SALT)} AS sample_key,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {h32_sql("CAST(doc_id AS VARCHAR)", SAMPLE_SALT)}, doc_id
+                   ) AS rank
+            FROM documents
+        ) WHERE rank <= {SAMPLE_K}
+    """,
     "q39_repetition_stats": f"""
         WITH tk AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
@@ -308,6 +344,7 @@ QUERIES = {
     "q13_lang_id": q13_lang_id,
     "q18_fingerprints": q18_fingerprints,
     "q26_train_val_split": q26_train_val_split,
+    "q27_stratified_sample": q27_stratified_sample,
     "q36_token_percentiles": q36_token_percentiles,
     "q39_repetition_stats": q39_repetition_stats,
 }

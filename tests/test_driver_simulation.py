@@ -29,8 +29,10 @@ qs = em.queries()
 oracles = em.oracle_sql()
 assert set(oracles) <= set(qs)
 for name in ["q01_pricing_summary", "q14_jaccard_pairs", "q19_embedding_neardup_pairs",
+             "q22_asof_attribution", "q25_ivf_topk",
              "q30_extract_html_roundtrip", "q33_payload_ladder_roundtrip",
              "q35_main_content_roundtrip", "q36_token_percentiles",
+             "q38_dedup_canonical", "q39_repetition_stats",
              "x40_extract_fixtures"]:
     rows = qs[name](spark, "/root/testdata/sf0.001").count()
     assert rows >= 0
