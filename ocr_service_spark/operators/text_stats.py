@@ -148,6 +148,76 @@ def q36_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", tokens.alias("tokens")).groupBy("lang").agg(*agg)
 
 
+# -- HLL-style distinct sketch (cross-engine exact) ---------------------------------
+HLL_BUCKETS = 64  # 2^6 registers; h32 splits into 6 bucket bits + 26 rank bits
+_HLL_ALPHA = 0.709  # standard alpha for m=64
+_HLL_RANK_BITS = 26
+
+
+def q28_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality per language, twice: exact
+    countDistinct and a from-scratch HLL built on the md5-derived h32
+    (NOT Spark's approx_count_distinct, whose HLL++ DuckDB cannot
+    reproduce). Register rank uses bin()/ltrim string ops — pure
+    integer logic, no libm log2 whose last ulp differs between
+    engines. The sketch is what scales: registers merge with max(), so
+    shards/days/partitions combine without touching raw tokens; the
+    estimate is the standard alpha*m^2 / sum(2^-r) harmonic mean, same
+    IEEE arithmetic on both engines."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(F.array_distinct(F.split(F.trim("text"), TOKEN_RE))).alias("tok")
+    )
+    h = h32(F.col("tok"), "hll")
+    bucket = F.pmod(h, F.lit(HLL_BUCKETS))
+    rest = (h / HLL_BUCKETS).cast("bigint")  # top 26 bits of the 32-bit hash
+    # rank = leading zeros within the 26-bit field + 1, via binary-string
+    # length (integer-exact in both engines)
+    rank = F.when(rest == 0, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        F.lit(_HLL_RANK_BITS + 1) - F.length(F.ltrim(F.bin(rest), F.lit("0")))
+    )
+    regs = (
+        toks.select("lang", bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("lang", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    # 2^-r via integer shift + division (exact dyadics; libm pow's last
+    # ulp is not guaranteed identical across engines)
+    est = F.lit(_HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS) / F.sum(
+        F.lit(1.0) / F.expr("shiftleft(1, CAST(r AS INT))")
+    )
+    sketch = regs.groupBy("lang").agg(
+        F.round(est, 3).alias("hll_estimate"),
+        F.count(F.lit(1)).alias("n_registers"),
+    )
+    exact = toks.groupBy("lang").agg(F.countDistinct("tok").alias("exact_distinct"))
+    return exact.join(sketch, "lang").select(
+        "lang", "exact_distinct", "hll_estimate", "n_registers"
+    )
+
+
+# -- top terms per language ----------------------------------------------------------
+TOP_TERMS_K = 5
+
+
+def q29_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent tokens per language (vocabulary heavy hitters):
+    explode -> partial-agg count -> per-group top-k window. At 100 TB
+    the count groupBy does the heavy lifting map-side; the window ranks
+    only one row per distinct (lang, token)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(F.split(F.trim("text"), TOKEN_RE)).alias("tok"))
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .select("lang", "tok", "n", "rank")
+    )
+
+
 # -- deterministic stratified sampling ----------------------------------------------
 SAMPLE_K = 20  # docs kept per language stratum
 SAMPLE_SALT = "sample"
@@ -285,6 +355,42 @@ ORACLES: dict[str, str] = {
                    f" AS p{int(p * 100)}" for p in PCTS)}
         FROM documents GROUP BY 1
     """,
+    "q28_hll_distinct_tokens": f"""
+        WITH toks AS (
+            SELECT lang,
+                   unnest(list_distinct(regexp_split_to_array(trim(text), '{TOKEN_RE}'))) AS tok
+            FROM documents
+        ),
+        h AS (SELECT lang, {h32_sql("tok", "hll")} AS h FROM toks),
+        regs AS (
+            SELECT lang, h % {HLL_BUCKETS} AS bucket,
+                   max(CASE WHEN h // {HLL_BUCKETS} = 0 THEN {_HLL_RANK_BITS + 1}
+                            ELSE {_HLL_RANK_BITS + 1}
+                                 - length(ltrim(bin(h // {HLL_BUCKETS}), '0')) END) AS r
+            FROM h GROUP BY 1, 2
+        ),
+        sk AS (
+            SELECT lang,
+                   round({_HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS!r}
+                         / sum(1.0 / (1 << r)), 3) AS hll_estimate,
+                   count(*) AS n_registers
+            FROM regs GROUP BY 1
+        ),
+        ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
+        SELECT lang, exact_distinct, hll_estimate, n_registers
+        FROM ex JOIN sk USING (lang)
+    """,
+    "q29_top_terms": f"""
+        SELECT lang, tok, n, rank FROM (
+            SELECT lang, tok, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY count(*) DESC, tok) AS rank
+            FROM (
+                SELECT lang, unnest(regexp_split_to_array(trim(text), '{TOKEN_RE}')) AS tok
+                FROM documents
+            ) GROUP BY 1, 2
+        ) WHERE rank <= {TOP_TERMS_K}
+    """,
     "q27_stratified_sample": f"""
         SELECT doc_id, lang, sample_key, rank FROM (
             SELECT doc_id, lang,
@@ -345,6 +451,8 @@ QUERIES = {
     "q18_fingerprints": q18_fingerprints,
     "q26_train_val_split": q26_train_val_split,
     "q27_stratified_sample": q27_stratified_sample,
+    "q28_hll_distinct_tokens": q28_hll_distinct_tokens,
+    "q29_top_terms": q29_top_terms,
     "q36_token_percentiles": q36_token_percentiles,
     "q39_repetition_stats": q39_repetition_stats,
 }
