@@ -54,10 +54,20 @@ def run_extraction(
     salt_min_bytes: int = SALT_MIN_BYTES,
     bucket_pages: int = 16,
     repartition: int | None = None,
+    repartition_by_size: bool = False,
     metrics=None,
     mode: str = "NO_OCR",
 ) -> DataFrame:
-    """pages -> results DataFrame (operators.extract.RESULT_SCHEMA)."""
+    """pages -> results DataFrame (operators.extract.RESULT_SCHEMA).
+
+    ``repartition`` spreads the single-pass branch by url hash;
+    ``repartition_by_size=True`` uses repartitionByRange on payload
+    byte-size instead — range partitioning clusters similar-sized
+    payloads, so the heavy tail lands in dedicated partitions that AQE
+    can split instead of hiding one giant doc inside a random hash
+    partition. Prefer it when the size distribution is long-tailed
+    BELOW the salt threshold (above it the salted page-bucket path
+    already dissolves the skew)."""
     if mode != "NO_OCR":
         # OCR tier: per-document engine recognition; the page-image
         # fan-out lives in operators/ocr.py for pre-rendered pages
@@ -66,7 +76,11 @@ def run_extraction(
     big = is_big_pdf(payload_col, salt_min_bytes)
 
     normal = pages.filter(~F.coalesce(big, F.lit(False)))
-    if repartition:
+    if repartition and repartition_by_size:
+        normal = normal.repartitionByRange(
+            repartition, F.octet_length(payload_col).asc_nulls_first(), F.col("url")
+        )
+    elif repartition:
         # spread payloads across tasks; size skew beyond this is AQE's job
         normal = normal.repartition(repartition, "url")
     normal_results = extract_documents(normal, payload_col, metrics=metrics)

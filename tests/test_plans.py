@@ -80,6 +80,16 @@ def test_bucketed_join_has_no_exchange(spark, pages_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_size_range_repartition_appears_in_plan(spark, pages_path):
+    """repartition_by_size must plan a RANGE exchange keyed on payload
+    byte-size (north-star skew handling), and results stay complete."""
+    pages = spark.read.parquet(pages_path)
+    df = run_extraction(pages, repartition=8, repartition_by_size=True)
+    plan = _formatted_plan(df)
+    assert "rangepartitioning(octet_length" in plan.replace(" ", "").lower(), plan
+    assert df.count() == 200
+
+
 def test_resume_antijoin_is_broadcast(spark, pages_path):
     pages = spark.read.parquet(pages_path)
     manifest_path = pages_path + "_manifest"
