@@ -37,7 +37,13 @@ def q10_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- MinHash ------------------------------------------------------------------------
-MINHASH_SEEDS = ("mh0|", "mh1|", "mh2|", "mh3|")
+# 16 permutations banded 4x4. The count is a knob, not a structure:
+# production near-dup dedup runs the SAME plan with 128 perms / 32
+# bands (one extra F.min per perm — all map-side partial agg).
+MINHASH_PERMS = 16
+MINHASH_SEEDS = tuple(f"mh{i}|" for i in range(MINHASH_PERMS))
+LSH_MH_BANDS = 4
+LSH_MH_ROWS = MINHASH_PERMS // LSH_MH_BANDS
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -47,7 +53,8 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-permutation MinHash signature over the distinct-token set."""
+    """MinHash signature (MINHASH_PERMS permutations) over the
+    distinct-token set — one explode + map-side partial min per perm."""
     toks = _tokens(_docs(spark, sf_dir))
     aggs = [
         F.min(h32(F.col("tok"), seed)).alias(f"mh{i}") for i, seed in enumerate(MINHASH_SEEDS)
@@ -56,16 +63,21 @@ def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q16_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding over the MinHash signature: 2 bands x 2 rows.
-    Documents sharing a band key are near-dup candidates."""
+    """LSH banding over the MinHash signature (LSH_MH_BANDS bands x
+    LSH_MH_ROWS rows). Documents sharing a band key are near-dup
+    candidates."""
     sigs = q15_minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(f"b{b}"),
+            *[f"mh{b * LSH_MH_ROWS + j}" for j in range(LSH_MH_ROWS)],
+        ).alias(f"band{b}")
+        for b in range(LSH_MH_BANDS)
+    ]
+    stacked = sigs.select("doc_id", *band_cols).select(
         "doc_id",
-        F.concat_ws("_", F.lit("b0"), "mh0", "mh1").alias("band0"),
-        F.concat_ws("_", F.lit("b1"), "mh2", "mh3").alias("band1"),
-    )
-    stacked = bands.select(
-        "doc_id", F.explode(F.array("band0", "band1")).alias("band_key")
+        F.explode(F.array(*[f"band{b}" for b in range(LSH_MH_BANDS)])).alias("band_key"),
     )
     return stacked.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
@@ -268,6 +280,16 @@ def _minhash_agg_sql() -> str:
     """
 
 
+def _lsh_band_arms_sql() -> str:
+    arms = []
+    for b in range(LSH_MH_BANDS):
+        concat = " || '_' || ".join(
+            f"mh{b * LSH_MH_ROWS + j}" for j in range(LSH_MH_ROWS)
+        )
+        arms.append(f"SELECT doc_id, 'b{b}_' || {concat} AS band_key FROM sigs")
+    return "\n            UNION ALL ".join(arms)
+
+
 def _simhash_oracle() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{b}"
@@ -328,9 +350,7 @@ ORACLES: dict[str, str] = {
     "q16_lsh_buckets": f"""
         WITH sigs AS ({_minhash_agg_sql()})
         SELECT band_key, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM (
-            SELECT doc_id, 'b0_' || mh0 || '_' || mh1 AS band_key FROM sigs
-            UNION ALL
-            SELECT doc_id, 'b1_' || mh2 || '_' || mh3 AS band_key FROM sigs
+            {_lsh_band_arms_sql()}
         ) GROUP BY 1
     """,
     "q17_simhash": _simhash_oracle(),
