@@ -44,6 +44,7 @@ MINHASH_PERMS = 16
 MINHASH_SEEDS = tuple(f"mh{i}|" for i in range(MINHASH_PERMS))
 LSH_MH_BANDS = 4
 LSH_MH_ROWS = MINHASH_PERMS // LSH_MH_BANDS
+MINHASH_VERIFY_MIN = 0.5  # exact-Jaccard floor applied after LSH candidate verify
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -84,6 +85,78 @@ def q16_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_stack(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_key): one row per doc per band (q16's construction)."""
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(f"b{b}"),
+            *[f"mh{b * LSH_MH_ROWS + j}" for j in range(LSH_MH_ROWS)],
+        ).alias(f"band{b}")
+        for b in range(LSH_MH_BANDS)
+    ]
+    return sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(F.array(*[f"band{b}" for b in range(LSH_MH_BANDS)])).alias("band_key"),
+    )
+
+
+def q34_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MinHash-LSH dedup pipeline end-to-end: 3-word
+    SHINGLES (unigram sets are near-degenerate on a small vocabulary)
+    -> MinHash signature -> band keys -> WITHIN-BUCKET candidate pairs
+    (posting-list explode, the q14/q19 pattern — never a self-join) ->
+    exact shingle-set Jaccard on candidates only, post-verify floored
+    at MINHASH_VERIFY_MIN. At 100 TB the candidate set is the quadratic
+    term LSH prunes; everything else is linear passes, and the final
+    exact verify touches only pairs that share a band. Output is
+    directly comparable to q14's exact inverted-index pairs at the
+    same threshold (LSH recall measurement comes free)."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(h32(F.col("tok"), seed)).alias(f"mh{i}")
+            for i, seed in enumerate(MINHASH_SEEDS)
+        ]
+    )
+    posting = (
+        _band_stack(sigs)
+        .groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    tok_sets = docs.select("doc_id", _shingle_array().alias("toks"))
+    a = tok_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # post-verify cut on the ROUNDED value (both engines cut on
+        # identical doubles): candidates that shared a band by luck —
+        # common on this tiny-vocabulary corpus — are not near-dups
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
+    )
+
+
 # -- SimHash -----------------------------------------------------------------------
 SIMHASH_BITS = 16
 
@@ -109,10 +182,10 @@ def q17_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_MAX_DF = 20  # inverted-index doc-frequency cap (candidate bound)
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct 3-word shingles per doc (word n-grams carry far more
-    signal than unigrams on a small-vocabulary corpus, and their doc
-    frequency keeps the inverted index selective at scale)."""
+def _shingle_array() -> F.Column:
+    """array<string> of distinct 3-word shingles (word n-grams carry
+    far more signal than unigrams on a small-vocabulary corpus, and
+    their doc frequency keeps the inverted index selective at scale)."""
     arr = F.split(F.trim("text"), r"\s+")
     # F.sequence(1, n) DESCENDS when n < 1 (docs with < 3 tokens), which
     # would index element_at(arr, 0) and crash; DuckDB range() yields an
@@ -125,7 +198,12 @@ def _shingles(docs: DataFrame) -> DataFrame:
                                   F.element_at(arr, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("tok"))
+    return F.array_distinct(shingles)
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok): one row per distinct 3-word shingle per doc."""
+    return docs.select("doc_id", F.explode(_shingle_array()).alias("tok"))
 
 
 def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +433,41 @@ ORACLES: dict[str, str] = {
     """,
     "q17_simhash": _simhash_oracle(),
     "q14_jaccard_pairs": _Q14_ORACLE,
+    "q34_minhash_neardup_pairs": f"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+        ),
+        t AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, len(w) - 1),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]
+            )) AS toks
+            FROM words
+        ),
+        sh AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        sigs AS (
+            SELECT doc_id, {", ".join(
+                f"min({h32_sql('tok', seed)}) AS mh{i}"
+                for i, seed in enumerate(MINHASH_SEEDS))}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {_lsh_band_arms_sql()}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+        FROM cand
+        JOIN t a ON a.doc_id = doc_a
+        JOIN t b ON b.doc_id = doc_b
+        WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(a.toks || b.toks)), 4) >= {MINHASH_VERIFY_MIN}
+    """,
     "q37_dedup_components": f"""
         WITH RECURSIVE
         p AS ({_Q14_ORACLE}),
@@ -406,6 +519,7 @@ QUERIES = {
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_lsh_buckets": q16_lsh_buckets,
     "q17_simhash": q17_simhash,
+    "q34_minhash_neardup_pairs": q34_minhash_neardup_pairs,
     "q37_dedup_components": q37_dedup_components,
     "q38_dedup_canonical": q38_dedup_canonical,
 }

@@ -39,3 +39,26 @@ def test_chain_longer_than_k_hops(spark):
     out = {r.doc_id: r.label for r in propagate_min_labels(_labels(spark, n), edges, K_HOPS).collect()}
     assert out[K_HOPS] == 0          # exactly k hops away -> reached
     assert out[n - 1] != 0           # k+2 hops away -> not yet (bounded form)
+
+
+def test_minhash_lsh_recall_vs_exact_pairs(spark):
+    """q34 (shingle MinHash-LSH + verify) must recover nearly all of
+    q14's exact inverted-index pairs at the same Jaccard floor — the
+    measurable guarantee the banded index trades candidates for."""
+    from ocr_service_spark.operators.dedup import (
+        MINHASH_VERIFY_MIN,
+        q14_jaccard_pairs,
+        q34_minhash_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in q14_jaccard_pairs(spark, sf)
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
+        .collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in q34_minhash_neardup_pairs(spark, sf).collect()}
+    assert exact, "corpus must contain near-dup pairs for this test to bind"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, (len(exact), len(lsh), recall)
