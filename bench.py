@@ -49,6 +49,7 @@ HEADLINE_QUERIES = [
     "q22_asof_attribution",
     "q23_conversion_pairs",
     "q25_ivf_topk",
+    "q34_minhash_neardup_pairs",
     "q30_extract_html_roundtrip",
     "q33_payload_ladder_roundtrip",
     "q35_main_content_roundtrip",
