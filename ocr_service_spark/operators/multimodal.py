@@ -39,20 +39,79 @@ def _png_dimensions(payload: bytes) -> tuple[int, int] | None:
     return width, height
 
 
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Real JPEG header walk (ISO/IEC 10918 marker structure): skip
+    segments by their length field until a frame header (SOF0-SOF15,
+    excluding DHT/DAC/RST markers) carries height/width."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:  # desynchronized
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no length
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
+            return None
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+        if is_sof:
+            if pos + 9 > n:
+                return None
+            height, width = struct.unpack_from(">HH", payload, pos + 5)
+            return width, height
+        pos += 2 + seg_len
+    return None
+
+
+def _gif_dimensions(payload: bytes) -> tuple[int, int] | None:
+    # logical screen descriptor, little-endian u16 pair right after magic
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 10:
+        return None
+    width, height = struct.unpack_from("<HH", payload, 6)
+    return width, height
+
+
+def _bmp_dimensions(payload: bytes) -> tuple[int, int] | None:
+    # BITMAPINFOHEADER: signed i32 pair at offset 18 (height may be
+    # negative = top-down rows)
+    if payload[:2] != b"BM" or len(payload) < 26:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return abs(width), abs(height)
+
+
+_DIMENSION_PARSERS = (
+    ("image/png", _png_dimensions),
+    ("image/jpeg", _jpeg_dimensions),
+    ("image/gif", _gif_dimensions),
+    ("image/bmp", _bmp_dimensions),
+)
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for the codec call.
 
-    A real deployment replaces this body with e.g.
-    ``PIL.Image.open(BytesIO(payload))`` — the surrounding operator is
-    unchanged. NOTE: stub, clearly marked per the build brief.
+    Header-level fields (media type, dimensions) are REAL parses of the
+    public container formats — no codec needed. Only the pixel-level
+    work (feature vector, frame contents) is stubbed: a real deployment
+    replaces that part with e.g. ``PIL.Image.open(BytesIO(payload))``
+    and the surrounding operator is unchanged. NOTE: pixel stub is
+    clearly marked per the build brief.
     """
     digest = hashlib.sha256(payload).digest()
-    dims = _png_dimensions(payload)
-    if dims:
-        media_type, (width, height), n_frames = "image/png", dims, 1
-    else:
-        media_type = "application/octet-stream"
-        width = height = 0
+    media_type, width, height, n_frames = "application/octet-stream", 0, 0, 0
+    for mtype, parser in _DIMENSION_PARSERS:
+        dims = parser(payload)
+        if dims:
+            media_type, (width, height), n_frames = mtype, dims, 1
+            break
+    if not n_frames:
         n_frames = 1 + digest[0] % 4
     feature_vec = [b / 255.0 for b in digest[:8]]
     return {

@@ -190,3 +190,42 @@ def test_media_feature_plumbing(spark):
     # deterministic features
     feats2 = extract_media_features(pages).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_image_header_parsers_are_real():
+    """JPEG/GIF/BMP dimensions come from real public-spec header walks
+    (handcrafted minimal headers), not the pixel stub."""
+    import struct
+
+    from ocr_service_spark.operators.multimodal import _fake_decode
+
+    # JPEG: SOI + APP0(JFIF) + DQT skipped by length + SOF0 with dims
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+    meta = _fake_decode(jpeg)
+    assert (meta["media_type"], meta["width"], meta["height"]) == ("image/jpeg", 640, 480)
+
+    # progressive JPEG (SOF2)
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 32, 64) + b"\x01\x01\x11\x00"
+    meta = _fake_decode(b"\xff\xd8" + app0 + sof2)
+    assert (meta["media_type"], meta["width"], meta["height"]) == ("image/jpeg", 64, 32)
+
+    # DHT (C4) must NOT be treated as a frame header
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x00\x00"
+    meta = _fake_decode(b"\xff\xd8" + dht + sof0)
+    assert (meta["width"], meta["height"]) == (640, 480)
+
+    # truncated JPEG (no SOF before SOS) falls back to the stub
+    meta = _fake_decode(b"\xff\xd8\xff\xda\x00\x02")
+    assert meta["media_type"] == "application/octet-stream"
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    meta = _fake_decode(gif)
+    assert (meta["media_type"], meta["width"], meta["height"]) == ("image/gif", 320, 200)
+
+    # BMP with top-down (negative) height
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    meta = _fake_decode(bmp)
+    assert (meta["media_type"], meta["width"], meta["height"]) == ("image/bmp", 100, 50)
