@@ -86,11 +86,60 @@ def _bmp_dimensions(payload: bytes) -> tuple[int, int] | None:
     return abs(width), abs(height)
 
 
+def _tiff_info(payload: bytes) -> tuple[int, int, int] | None:
+    """Real TIFF 6.0 IFD walk (both byte orders): dimensions from the
+    first IFD's ImageWidth/ImageLength tags, page count = number of
+    chained IFDs (multipage TIFF is the scan format the reference's
+    OCR path splits into per-page work)."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    width = height = None
+    pages = 0
+    off = struct.unpack_from(e + "I", payload, 4)[0]
+    while off and off + 2 <= len(payload) and pages < 256:
+        n = struct.unpack_from(e + "H", payload, off)[0]
+        if off + 2 + n * 12 + 4 > len(payload):
+            break
+        if pages == 0:
+            for i in range(n):
+                entry = off + 2 + i * 12
+                tag, typ, _cnt = struct.unpack_from(e + "HHI", payload, entry)
+                if tag in (256, 257):
+                    # SHORT (3) packs in the value field's first 2 bytes
+                    val = (
+                        struct.unpack_from(e + "H", payload, entry + 8)[0]
+                        if typ == 3
+                        else struct.unpack_from(e + "I", payload, entry + 8)[0]
+                    )
+                    if tag == 256:
+                        width = val
+                    else:
+                        height = val
+        pages += 1
+        off = struct.unpack_from(e + "I", payload, off + 2 + n * 12)[0]
+    if not pages or width is None or height is None:
+        return None
+    return width, height, pages
+
+
+def _wh1(parser):
+    def wrapped(payload: bytes) -> tuple[int, int, int] | None:
+        dims = parser(payload)
+        return (dims[0], dims[1], 1) if dims else None
+
+    return wrapped
+
+
 _DIMENSION_PARSERS = (
-    ("image/png", _png_dimensions),
-    ("image/jpeg", _jpeg_dimensions),
-    ("image/gif", _gif_dimensions),
-    ("image/bmp", _bmp_dimensions),
+    ("image/png", _wh1(_png_dimensions)),
+    ("image/jpeg", _wh1(_jpeg_dimensions)),
+    ("image/gif", _wh1(_gif_dimensions)),
+    ("image/bmp", _wh1(_bmp_dimensions)),
+    ("image/tiff", _tiff_info),
 )
 
 
@@ -107,9 +156,9 @@ def _fake_decode(payload: bytes) -> dict:
     digest = hashlib.sha256(payload).digest()
     media_type, width, height, n_frames = "application/octet-stream", 0, 0, 0
     for mtype, parser in _DIMENSION_PARSERS:
-        dims = parser(payload)
-        if dims:
-            media_type, (width, height), n_frames = mtype, dims, 1
+        info = parser(payload)
+        if info:
+            media_type, (width, height, n_frames) = mtype, info
             break
     if not n_frames:
         n_frames = 1 + digest[0] % 4

@@ -229,3 +229,45 @@ def test_image_header_parsers_are_real():
     bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
     meta = _fake_decode(bmp)
     assert (meta["media_type"], meta["width"], meta["height"]) == ("image/bmp", 100, 50)
+
+
+def test_tiff_ifd_walk_both_endians_and_multipage():
+    import struct
+
+    from ocr_service_spark.operators.multimodal import _fake_decode
+
+    def ifd(e, entries, next_off):
+        out = struct.pack(e + "H", len(entries))
+        for tag, typ, val in entries:
+            packed = (
+                struct.pack(e + "H", val) + b"\x00\x00"
+                if typ == 3
+                else struct.pack(e + "I", val)
+            )
+            out += struct.pack(e + "HHI", tag, typ, 1) + packed
+        return out + struct.pack(e + "I", next_off)
+
+    # little-endian, 2-page TIFF: dims from the FIRST IFD only
+    e = "<"
+    ifd1 = ifd(e, [(256, 3, 800), (257, 4, 600)], 0)  # placeholder next
+    hdr = b"II*\x00" + struct.pack(e + "I", 8)
+    ifd2_off = 8 + len(ifd1)
+    ifd1 = ifd(e, [(256, 3, 800), (257, 4, 600)], ifd2_off)
+    ifd2 = ifd(e, [(256, 3, 10), (257, 3, 10)], 0)
+    meta = _fake_decode(hdr + ifd1 + ifd2)
+    assert (meta["media_type"], meta["width"], meta["height"], meta["n_frames"]) == (
+        "image/tiff", 800, 600, 2,
+    )
+
+    # big-endian, single page
+    e = ">"
+    hdr = b"MM\x00*" + struct.pack(e + "I", 8)
+    one = ifd(e, [(256, 4, 1024), (257, 3, 16)], 0)
+    meta = _fake_decode(hdr + one)
+    assert (meta["media_type"], meta["width"], meta["height"], meta["n_frames"]) == (
+        "image/tiff", 1024, 16, 1,
+    )
+
+    # truncated IFD falls back to the stub
+    meta = _fake_decode(b"II*\x00" + struct.pack("<I", 8) + b"\x05")
+    assert meta["media_type"] == "application/octet-stream"
