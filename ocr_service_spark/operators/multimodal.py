@@ -126,6 +126,91 @@ def _tiff_info(payload: bytes) -> tuple[int, int, int] | None:
     return width, height, pages
 
 
+def _mp4_probe(payload: bytes) -> tuple[int, int, int] | None:
+    """Real ISO BMFF (MP4) box walk: ftyp gates detection; dimensions
+    come from the first video track's tkhd (16.16 fixed point), the
+    notional frame count from mvhd duration/timescale at 1 fps (the
+    sampler's fps knob rescales it). Codec work stays stubbed."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def boxes(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = struct.unpack_from(">I", payload, pos)[0]
+            btype = payload[pos + 4 : pos + 8]
+            header = 8
+            if size == 1 and pos + 16 <= end:
+                size = struct.unpack_from(">Q", payload, pos + 8)[0]
+                header = 16
+            elif size == 0:
+                size = end - pos
+            if size < header or pos + size > end:
+                return
+            yield btype, pos + header, pos + size
+            pos += size
+
+    duration_s = 0.0
+    width = height = 0
+    for btype, body, bend in boxes(0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in boxes(body, bend):
+            if ctype == b"mvhd" and cbody + 4 <= bend:
+                version = payload[cbody]
+                if version == 1 and cbody + 32 <= cend:
+                    timescale = struct.unpack_from(">I", payload, cbody + 20)[0]
+                    duration = struct.unpack_from(">Q", payload, cbody + 24)[0]
+                elif cbody + 20 <= cend:
+                    timescale = struct.unpack_from(">I", payload, cbody + 12)[0]
+                    duration = struct.unpack_from(">I", payload, cbody + 16)[0]
+                else:
+                    continue
+                if timescale:
+                    duration_s = duration / timescale
+            elif ctype == b"trak" and not width:
+                for ttype, tbody, tend in boxes(cbody, cend):
+                    if ttype != b"tkhd":
+                        continue
+                    off = tbody + (88 if payload[tbody] == 1 else 76)
+                    if off + 8 <= tend:
+                        w_fp, h_fp = struct.unpack_from(">II", payload, off)
+                        width, height = w_fp >> 16, h_fp >> 16
+        return width, height, max(1, int(duration_s))
+    return None
+
+
+def _wav_info(payload: bytes) -> dict | None:
+    """Real RIFF/WAVE chunk walk: fmt (channels, sample rate, bit
+    depth) + data size -> sample count and duration."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt: dict | None = None
+    data_size = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= n:
+            _fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            fmt = {"channels": channels, "sample_rate": sample_rate, "bits": bits}
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not fmt or data_size is None or not fmt["channels"] or not fmt["bits"]:
+        return None
+    frame_bytes = fmt["channels"] * fmt["bits"] // 8
+    n_samples = data_size // frame_bytes if frame_bytes else 0
+    duration = n_samples / fmt["sample_rate"] if fmt["sample_rate"] else 0.0
+    return {
+        "media_type": "audio/wav",
+        **fmt,
+        "n_samples": n_samples,
+        "duration_s": round(duration, 6),
+    }
+
+
 def _wh1(parser):
     def wrapped(payload: bytes) -> tuple[int, int, int] | None:
         dims = parser(payload)
@@ -140,6 +225,7 @@ _DIMENSION_PARSERS = (
     ("image/gif", _wh1(_gif_dimensions)),
     ("image/bmp", _wh1(_bmp_dimensions)),
     ("image/tiff", _tiff_info),
+    ("video/mp4", _mp4_probe),
 )
 
 
@@ -252,6 +338,57 @@ def resize_images(
 
     narrowed = df.select("url", F.col(payload_col).alias("payload"))
     return narrowed.mapInPandas(run, schema="url string, resized binary, width int, height int")
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "url string, media_type string, sample_rate int, channels int, bits int, "
+    "n_samples bigint, duration_s double, feature_hash string"
+)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """(url, binary) -> typed audio metadata. Container fields are a
+    REAL RIFF/WAVE parse; non-audio payloads pass through with nulls;
+    the spectral feature is the hash stub (swap for librosa/torchaudio
+    on a cluster image — schema and batching unchanged)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "url", "media_type", "sample_rate", "channels", "bits",
+            "n_samples", "duration_s", "feature_hash",
+        ]
+        for batch in batches:
+            rows = []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                info = _wav_info(payload)
+                digest = hashlib.sha256(payload).hexdigest()[:16]
+                if info:
+                    rows.append({"url": url, "feature_hash": digest, **info})
+                else:
+                    rows.append(
+                        {
+                            "url": url,
+                            "media_type": "application/octet-stream",
+                            "sample_rate": None,
+                            "channels": None,
+                            "bits": None,
+                            "n_samples": None,
+                            "duration_s": None,
+                            "feature_hash": digest,
+                        }
+                    )
+            frame = pd.DataFrame(rows, columns=cols)
+            if len(frame):
+                for c in ("sample_rate", "channels", "bits"):
+                    frame[c] = frame[c].astype("Int32")
+                frame["n_samples"] = frame["n_samples"].astype("Int64")
+            yield frame
+
+    narrowed = df.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def extract_media_features(df: DataFrame, payload_col: str = "html") -> DataFrame:

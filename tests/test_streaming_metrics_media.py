@@ -271,3 +271,48 @@ def test_tiff_ifd_walk_both_endians_and_multipage():
     # truncated IFD falls back to the stub
     meta = _fake_decode(b"II*\x00" + struct.pack("<I", 8) + b"\x05")
     assert meta["media_type"] == "application/octet-stream"
+
+
+def test_wav_and_mp4_probes(spark):
+    import struct
+
+    from ocr_service_spark.operators.multimodal import (
+        _fake_decode,
+        _wav_info,
+        extract_audio_features,
+    )
+
+    # minimal valid WAV: 16-bit stereo 8kHz, 16000-byte data = 4000 frames
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    data = b"data" + struct.pack("<I", 16000) + b"\x00" * 16000
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
+    info = _wav_info(wav)
+    assert info == {
+        "media_type": "audio/wav", "channels": 2, "sample_rate": 8000,
+        "bits": 16, "n_samples": 4000, "duration_s": 0.5,
+    }
+
+    # minimal MP4: ftyp + moov(mvhd v0 timescale=1000 duration=7500,
+    # trak(tkhd v0 with 640x360 in 16.16 fixed point))
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x00\x00"
+    mvhd_body = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", 1000, 7500) + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    tkhd_body = b"\x00\x00\x00\x00" + b"\x00" * 72 + struct.pack(">II", 640 << 16, 360 << 16)
+    tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    meta = _fake_decode(ftyp + moov)
+    assert (meta["media_type"], meta["width"], meta["height"], meta["n_frames"]) == (
+        "video/mp4", 640, 360, 7,
+    )
+
+    # operator end-to-end: wav row parsed, junk row nulled
+    df = spark.createDataFrame(
+        [("a.wav", bytearray(wav)), ("b.bin", bytearray(b"\x00\x01\x02"))],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in extract_audio_features(df).collect()}
+    assert rows["a.wav"].media_type == "audio/wav"
+    assert rows["a.wav"].n_samples == 4000 and rows["a.wav"].duration_s == 0.5
+    assert rows["b.bin"].media_type == "application/octet-stream"
+    assert rows["b.bin"].sample_rate is None
