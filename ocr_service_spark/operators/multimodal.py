@@ -97,6 +97,8 @@ def _tiff_info(payload: bytes) -> tuple[int, int, int] | None:
         e = ">"
     else:
         return None
+    if len(payload) < 8:
+        return None
     width = height = None
     pages = 0
     off = struct.unpack_from(e + "I", payload, 4)[0]
@@ -170,7 +172,7 @@ def _mp4_probe(payload: bytes) -> tuple[int, int, int] | None:
                     duration_s = duration / timescale
             elif ctype == b"trak" and not width:
                 for ttype, tbody, tend in boxes(cbody, cend):
-                    if ttype != b"tkhd":
+                    if ttype != b"tkhd" or tbody >= tend:
                         continue
                     off = tbody + (88 if payload[tbody] == 1 else 76)
                     if off + 8 <= tend:

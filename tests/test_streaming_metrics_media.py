@@ -316,3 +316,43 @@ def test_wav_and_mp4_probes(spark):
     assert rows["a.wav"].n_samples == 4000 and rows["a.wav"].duration_s == 0.5
     assert rows["b.bin"].media_type == "application/octet-stream"
     assert rows["b.bin"].sample_rate is None
+
+
+def test_media_probes_never_crash_on_junk():
+    """Every container probe must classify arbitrary bytes without
+    raising — random junk, truncations of valid headers, and
+    bit-flipped magics (hypothesis-driven)."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_service_spark.operators.multimodal import _fake_decode, _wav_info
+
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    wav = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + fmt + b"data" + struct.pack("<I", 64) + b"\x00" * 64
+    jpeg = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+    tiff = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1) + struct.pack("<HHI", 256, 3, 1) + struct.pack("<HH", 4, 0) + struct.pack("<I", 0)
+    seeds = [wav, jpeg, tiff, b"GIF89a\x00", b"BM\x00", b"\x00\x00\x00\x08ftyp"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=200),
+            st.sampled_from(seeds).flatmap(
+                lambda s: st.integers(0, len(s)).map(lambda k: s[:k])
+            ),
+            st.sampled_from(seeds).flatmap(
+                lambda s: st.tuples(
+                    st.integers(0, max(len(s) - 1, 0)), st.integers(0, 255)
+                ).map(lambda t: s[: t[0]] + bytes([t[1]]) + s[t[0] + 1 :])
+            ),
+        )
+    )
+    def run(payload):
+        meta = _fake_decode(payload)
+        assert meta["media_type"]
+        assert meta["n_frames"] >= 1
+        _wav_info(payload)  # must not raise
+
+    run()
