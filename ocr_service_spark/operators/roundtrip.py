@@ -99,6 +99,55 @@ def q33_payload_ladder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV container probe under an oracle: deterministic RIFF/WAVE
+    payloads built from doc_id (sample rate / channels / sample count
+    are closed-form), parsed back by extract_audio_features, compared
+    to the closed form in SQL. duration_s stays out of the compared
+    set: it is a Python-side round() whose half-case behavior is not
+    bit-pinned against DuckDB's (the integer fields derive it anyway)."""
+    import struct
+
+    import pandas as pd
+
+    from ocr_service_spark.operators.multimodal import extract_audio_features
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                sr = 8000 + (i % 5) * 1000
+                ch = 1 + i % 2
+                n = 100 + i % 50
+                data = b"\x00" * (n * ch * 2)
+                fmt = (
+                    b"fmt "
+                    + struct.pack("<I", 16)
+                    + struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+                )
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rows.append({"url": f"doc://{i}.wav", "html": wav})
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    feats = extract_audio_features(pages)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return feats.select(
+        doc_id.alias("doc_id"), "media_type", "sample_rate", "channels", "bits", "n_samples"
+    )
+
+
 ORACLES: dict[str, str] = {
     # html: T1 joins title-text and body-text nodes with "\n"
     "q30_extract_html_roundtrip": """
@@ -135,10 +184,19 @@ ORACLES: dict[str, str] = {
                CASE WHEN doc_id % 5 IN (0, 1, 2) THEN lang END AS footer_src
         FROM documents
     """,
+    "q44_audio_roundtrip": """
+        SELECT doc_id, 'audio/wav' AS media_type,
+               CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(16 AS INT) AS bits,
+               CAST(100 + doc_id % 50 AS BIGINT) AS n_samples
+        FROM documents
+    """,
 }
 
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
+    "q44_audio_roundtrip": q44_audio_roundtrip,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,
     "q32_extract_xml_roundtrip": q32_extract_xml_roundtrip,
     "q33_payload_ladder_roundtrip": q33_payload_ladder_roundtrip,
