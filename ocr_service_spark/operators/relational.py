@@ -169,7 +169,39 @@ def q07_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+# -- q45: semi-structured JSON extraction ---------------------------------------
+def q45_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction in the hot path: get_json_object is
+    JVM-side (no Python), pushed through a partial-agg groupBy. At
+    100 TB the right move is extracting once into a typed column at
+    ingest; this query is the probe that the extraction semantics
+    match a second engine's JSON parser."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q45_json_props_stats": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k,
+               count(DISTINCT k) AS n_distinct_k
+        FROM (
+            SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+        ) GROUP BY 1
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -262,4 +294,5 @@ QUERIES = {
     "q07_top_purchasers": q07_top_purchasers,
     "q08_rollup_order_totals": q08_rollup_order_totals,
     "q09_customer_set_ops": q09_customer_set_ops,
+    "q45_json_props_stats": q45_json_props_stats,
 }
