@@ -317,6 +317,56 @@ def q25_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+# -- q46: binary embeddings + Hamming top-k -------------------------------------
+HAMMING_WORDS = 2  # 64 dims -> two 32-bit sign words (bigint-safe, no overflow)
+
+
+def _sign_word(vec, word: int):
+    """Pack 32 sign bits (dims word*32 .. word*32+31) MSB-first into a
+    bigint via an acc*2 fold — integer-exact, 2^32 max, no ANSI
+    overflow risk (a single 64-bit word would put dim 0 in the sign
+    bit)."""
+    half = F.slice(vec, word * 32 + 1, 32)
+    return F.aggregate(
+        half,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * 2 + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def q46_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding similarity search: 64-dim float vectors
+    compress 32x into sign bitmaps; distance = popcount(xor) — pure
+    integer ops, so the oracle is exact. At 100 TB this is the
+    first-stage filter before exact re-ranking: the packed table is
+    16 bytes/vector and the scan is SIMD-friendly bit math, with the
+    final top-k planned as TakeOrderedAndProject."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    packed = emb.select(
+        "vec_id",
+        "label",
+        *[_sign_word(F.col("vec"), w).alias(f"w{w}") for w in range(HAMMING_WORDS)],
+    )
+    query = (
+        packed.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(*[F.col(f"w{w}").alias(f"q{w}") for w in range(HAMMING_WORDS)])
+        .withColumn("j", F.lit(1))
+    )
+    cand = packed.filter(F.col("vec_id") != QUERY_VEC_ID).withColumn("j", F.lit(1))
+    hamming = None
+    for w in range(HAMMING_WORDS):
+        term = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"q{w}")))
+        hamming = term if hamming is None else hamming + term
+    scored = cand.join(F.broadcast(query), "j").select(
+        "vec_id", "label", hamming.cast("bigint").alias("hamming")
+    )
+    top = scored.orderBy(F.col("hamming").asc(), F.col("vec_id")).limit(TOPK)
+    w = Window.orderBy(F.col("hamming").asc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs scorer — small-n VERIFICATION BASELINE ONLY (O(n^2);
     tests use it to measure q19's LSH recall). Never the scale path."""
@@ -417,6 +467,15 @@ _IVF_PROBE_ARMS = "\n            UNION ALL ".join(
     for c in range(IVF_CELLS)
 )
 
+
+def _sign_word_sql(word: int, e: str = "e") -> str:
+    """DuckDB twin of _sign_word: MSB-first 32-bit sign pack."""
+    terms = " + ".join(
+        f"CASE WHEN {e}[{word * 32 + j + 1}] >= 0 THEN {1 << (31 - j)} ELSE 0 END"
+        for j in range(32)
+    )
+    return f"({terms})"
+
 ORACLES: dict[str, str] = {
     "q19_embedding_neardup_pairs": f"""
         WITH {_keys_cte(with_label=False)},
@@ -467,6 +526,27 @@ ORACLES: dict[str, str] = {
                min(vec_id) AS min_vec_id
         FROM assigned GROUP BY 1
     """,
+    "q46_hamming_topk": f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        p AS (
+            SELECT vec_id, label,
+                   {_sign_word_sql(0)} AS w0, {_sign_word_sql(1)} AS w1
+            FROM v
+        ),
+        q AS (SELECT w0 AS q0, w1 AS q1 FROM p WHERE vec_id = {QUERY_VEC_ID}),
+        scored AS (
+            SELECT vec_id, label,
+                   CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS BIGINT) AS hamming
+            FROM p, q WHERE vec_id != {QUERY_VEC_ID}
+        )
+        SELECT vec_id, label, hamming,
+               row_number() OVER (ORDER BY hamming, vec_id) AS rank
+        FROM scored QUALIFY rank <= {TOPK}
+    """,
     "q25_ivf_topk": f"""
         WITH {_IVF_ASSIGNED_CTE},
         q AS (
@@ -497,4 +577,5 @@ QUERIES = {
     "q21_lsh_ann_buckets": q21_lsh_ann_buckets,
     "q24_ivf_cells": q24_ivf_cells,
     "q25_ivf_topk": q25_ivf_topk,
+    "q46_hamming_topk": q46_hamming_topk,
 }
