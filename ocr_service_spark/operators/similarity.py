@@ -349,17 +349,16 @@ def q46_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[_sign_word(F.col("vec"), w).alias(f"w{w}") for w in range(HAMMING_WORDS)],
     )
-    query = (
-        packed.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(*[F.col(f"w{w}").alias(f"q{w}") for w in range(HAMMING_WORDS)])
-        .withColumn("j", F.lit(1))
+    query = packed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        *[F.col(f"w{w}").alias(f"q{w}") for w in range(HAMMING_WORDS)]
     )
-    cand = packed.filter(F.col("vec_id") != QUERY_VEC_ID).withColumn("j", F.lit(1))
+    cand = packed.filter(F.col("vec_id") != QUERY_VEC_ID)
     hamming = None
     for w in range(HAMMING_WORDS):
         term = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"q{w}")))
         hamming = term if hamming is None else hamming + term
-    scored = cand.join(F.broadcast(query), "j").select(
+    # 1-row query broadcast: the nested-loop join IS the intended plan
+    scored = cand.crossJoin(F.broadcast(query)).select(
         "vec_id", "label", hamming.cast("bigint").alias("hamming")
     )
     top = scored.orderBy(F.col("hamming").asc(), F.col("vec_id")).limit(TOPK)
