@@ -169,6 +169,37 @@ def q07_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+# -- q47: two-phase salted aggregation for hot keys --------------------------------
+SALT_BUCKETS = 16
+
+
+def q47_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation: events has only a handful
+    of event_type values, so a plain groupBy funnels each key through
+    one reducer. Phase 1 groups on (key, salt) — SALT_BUCKETS parallel
+    partials per hot key — phase 2 combines the tiny partials. For
+    algebraic aggregates Spark's map-side partial agg usually makes
+    this unnecessary; the explicit form is the pattern for the cases it
+    can't cover (high-cardinality state per group, e.g. exact distinct
+    counts under a skewed key, where every distinct value would
+    otherwise ship to the hot key's single reducer). Counts and sums
+    reassemble exactly; the oracle is the plain one-phase SQL."""
+    events = _t(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(cents(F.col("value"))).alias("pv"),
+    )
+    # only salt-INVARIANT aggregates leave this operator (the salt is an
+    # engine-internal xxhash64, deliberately not oracle-reproducible)
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.sum("pv").cast("bigint").alias("value_cents"),
+    )
+
+
 # -- q45: semi-structured JSON extraction ---------------------------------------
 def q45_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction in the hot path: get_json_object is
@@ -192,6 +223,11 @@ def q45_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q47_salted_hot_key_agg": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1
+    """,
     "q45_json_props_stats": """
         SELECT event_type, count(*) AS n_events,
                CAST(sum(k) AS BIGINT) AS sum_k,
@@ -295,4 +331,5 @@ QUERIES = {
     "q08_rollup_order_totals": q08_rollup_order_totals,
     "q09_customer_set_ops": q09_customer_set_ops,
     "q45_json_props_stats": q45_json_props_stats,
+    "q47_salted_hot_key_agg": q47_salted_hot_key_agg,
 }
