@@ -9,7 +9,7 @@ Env:
     SPARK_GRAFT_SF_DIR  table dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
     BENCH_DOCS          override synthetic corpus size
-    BENCH_REPS          timing repetitions, best-of (default 2 —
+    BENCH_REPS          timing repetitions, best-of (default 3 —
                         the shared box shows 2x hypervisor-steal
                         swings between runs; min is the robust read)
 """
@@ -83,7 +83,7 @@ def main() -> None:
     # not session startup
     run_extraction(pages.limit(64)).groupBy().sum("pages").collect()
 
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     extract_sec, total_pages = 1e18, n_docs
     for _ in range(reps):
         t0 = time.perf_counter()
