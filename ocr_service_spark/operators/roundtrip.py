@@ -99,6 +99,38 @@ def q33_payload_ladder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# simple dialect-portable patterns (identical semantics in Java regex
+# and DuckDB's RE2 for this character-class-only subset)
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+PII_PHONE_RE = r"555-[0-9]{4}"
+
+
+def q48_pii_scrub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every web-scale training
+    corpus runs before the tokenizer. Deterministic synthetic PII
+    (an email + a phone derived from doc_id) is injected into each
+    document, counted, and masked with JVM-side regexp_replace; the
+    oracle rebuilds and scrubs the same text in SQL. All column work
+    stays in whole-stage codegen — no Python in the loop."""
+    docs = _docs(spark, sf_dir)
+    pii_text = F.format_string(
+        "%s contact u%s@mail.example.org or 555-%s now",
+        F.col("text"),
+        F.col("doc_id").cast("string"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(pii_text, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(pii_text, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
+
+
 def q44_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WAV container probe under an oracle: deterministic RIFF/WAVE
     payloads built from doc_id (sample rate / channels / sample count
@@ -184,6 +216,22 @@ ORACLES: dict[str, str] = {
                CASE WHEN doc_id % 5 IN (0, 1, 2) THEN lang END AS footer_src
         FROM documents
     """,
+    "q48_pii_scrub_roundtrip": f"""
+        WITH pii AS (
+            SELECT doc_id,
+                   text || ' contact u' || doc_id || '@mail.example.org or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5,
+               CAST(length(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PII_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+        FROM pii
+    """,
     "q44_audio_roundtrip": """
         SELECT doc_id, 'audio/wav' AS media_type,
                CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
@@ -197,6 +245,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
     "q44_audio_roundtrip": q44_audio_roundtrip,
+    "q48_pii_scrub_roundtrip": q48_pii_scrub_roundtrip,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,
     "q32_extract_xml_roundtrip": q32_extract_xml_roundtrip,
     "q33_payload_ladder_roundtrip": q33_payload_ladder_roundtrip,
