@@ -134,7 +134,121 @@ def q23_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q50: running cumulative aggregate ------------------------------------------
+def q50_running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running lifetime spend per user at every purchase — the explicit
+    ROWS UNBOUNDED PRECEDING frame. One shuffle on user_id; the frame
+    is a single sequential pass within each sorted partition (no
+    re-scan per row)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    sel = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias(
+            "us"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("spend_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sel.select(
+        "user_id",
+        "event_id",
+        "spend_cents",
+        F.sum("spend_cents").over(w).cast("bigint").alias("running_cents"),
+    )
+
+
+# -- q49: ordered conversion funnel --------------------------------------------
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def q49_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users signed up, then viewed AFTER the
+    signup, then purchased AFTER that view. One groupBy(user) computing
+    the earliest qualifying timestamp per step with conditional min
+    aggregates — min(ts) per step cannot express the ORDER constraint,
+    so step k uses min(ts where type=step_k) guarded downstream:
+    first_view > first_signup, first_purchase > first_view. Single
+    shuffle on user_id; the funnel counts are one more tiny agg."""
+    ev = _events_us(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("t_signup")
+    )
+    # "first view after signup" needs min(view.us WHERE us > t_signup),
+    # not min(view.us) — a second conditional pass over the events
+    joined = ev.filter(F.col("event_type").isin(*FUNNEL_STEPS)).join(
+        firsts, "user_id"
+    )
+    steps = joined.groupBy("user_id").agg(
+        F.min("t_signup").alias("t0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("us") > F.col("t_signup")),
+                F.col("us"),
+            )
+        ).alias("t1"),
+    )
+    # purchase must follow the first qualifying view (t1)
+    purchases = ev.filter(F.col("event_type") == "purchase").join(steps, "user_id")
+    t2 = purchases.groupBy("user_id").agg(
+        F.min("t0").alias("t0"),
+        F.min("t1").alias("t1"),
+        F.min(F.when(F.col("us") > F.col("t1"), F.col("us"))).alias("t2"),
+    )
+    full = steps.join(t2.select("user_id", "t2"), "user_id", "left")
+    return full.select(
+        F.count(F.when(F.col("t0").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(F.col("t1").isNotNull(), 1)).alias("n_signup_view"),
+        F.count(
+            F.when(F.col("t1").isNotNull() & F.col("t2").isNotNull(), 1)
+        ).alias("n_signup_view_purchase"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q50_running_user_spend": """
+        SELECT user_id, event_id, spend_cents,
+               CAST(sum(spend_cents) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(round(value*100) AS BIGINT) AS spend_cents
+            FROM events WHERE event_type = 'purchase'
+        )
+    """,
+    "q49_event_funnel": """
+        WITH us AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        f AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN us END) AS t0
+            FROM us GROUP BY 1
+        ),
+        v AS (
+            SELECT us.user_id,
+                   min(f.t0) AS t0,
+                   min(CASE WHEN event_type = 'view' AND us.us > f.t0 THEN us.us END) AS t1
+            FROM us JOIN f ON us.user_id = f.user_id
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT v.user_id,
+                   min(CASE WHEN event_type = 'purchase' AND us.us > v.t1 THEN us.us END) AS t2
+            FROM us JOIN v ON us.user_id = v.user_id
+            GROUP BY 1
+        )
+        SELECT count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_signup,
+               count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n_signup_view,
+               count(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL THEN 1 END)
+                   AS n_signup_view_purchase
+        FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
     "q22_asof_attribution": """
         WITH clicks AS (
             SELECT user_id, epoch_us(ts) AS us, max(event_id) AS click_event_id
@@ -163,4 +277,6 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "q22_asof_attribution": q22_asof_attribution,
     "q23_conversion_pairs": q23_conversion_pairs,
+    "q49_event_funnel": q49_event_funnel,
+    "q50_running_user_spend": q50_running_user_spend,
 }
