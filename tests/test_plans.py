@@ -186,6 +186,45 @@ def test_ivf_topk_prunes_via_broadcast_equi_join(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """North-rule skew handling, runtime half: with the session's AQE
+    skew-join setting, a join whose shuffle has one hot key is split at
+    RUNTIME — the final adaptive plan shows SortMergeJoin(skew=true)
+    over a 'coalesced and skewed' AQEShuffleRead. Thresholds are scaled
+    to test data size (64KB stands in for the production 256MB); the
+    flags under test are exactly the ones build_session enables."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(200_000)
+            .select(F.lit(0).alias("k"), F.rand(7).alias("x"))
+            .unionAll(
+                spark.range(20_000).select((F.col("id") % 200 + 1).alias("k"), F.rand(8).alias("x"))
+            )
+        )
+        right = spark.range(201).select(F.col("id").alias("k"), F.lit("dim").alias("name"))
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 220_000
+        plan = _formatted_plan(joined)  # post-execution: final adaptive plan
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_plan_hygiene_all_driver_queries(spark):
     """No driver query may plan a CartesianProduct, and nested-loop
     broadcast joins are allowed only where a 1-row broadcast makes them
