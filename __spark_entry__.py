@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ocr_service_spark.operators import (  # noqa: E402
+    corpus,
     dedup,
     main_content,
     relational,
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(temporal.QUERIES)
     out.update(text_stats.QUERIES)
+    out.update(corpus.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
 
@@ -158,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLES)
     out.update(temporal.ORACLES)
     out.update(text_stats.ORACLES)
+    out.update(corpus.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(roundtrip.ORACLES)

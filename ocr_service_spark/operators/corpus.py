@@ -1,0 +1,325 @@
+"""Corpus-hygiene operators for a training-data pipeline: segment-level
+boilerplate removal, benchmark-contamination detection, TF-IDF term
+ranking, and embedding quantization.
+
+These extend the reference's extraction surface (CogStack/ocr-service
+produces the raw text this pipeline consumes) with the downstream
+cleanup steps a 100 TB pretraining corpus needs. All hot paths are
+JVM-side built-ins; every query has a DuckDB oracle. Rank orderings use
+integer keys only (tf, df, counts) so no float last-ulp divergence can
+flip an ordering across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_service_spark.functions.hashing import h32, h32_sql
+
+TOKEN_RE = r"\s+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+# -- segment-level boilerplate dedup (CCNet/RefinedWeb line-dedup analog) -----
+SEG_WORDS = 3  # non-overlapping segment width in tokens
+BOILERPLATE_MIN_DOCS = 4  # a segment seen in >= this many docs is boilerplate
+
+
+def q51_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal at segment granularity: chunk
+    every document into non-overlapping SEG_WORDS-token segments, count
+    how many distinct documents each segment appears in, and report per
+    document how much of it is corpus-wide boilerplate (the line-dedup
+    step of CCNet/RefinedWeb, with fixed-width segments standing in for
+    lines since the synthetic corpus is single-line).
+
+    Shape at 100 TB: explode -> count-distinct-docs per segment (two-
+    phase partial agg on a high-cardinality key); the frequent set is
+    tiny by construction — boilerplate is the head of the distribution
+    — so only IT broadcasts back onto the exploded stream (never the
+    full per-segment frequency table), and per-doc totals come straight
+    from the source row, not from re-aggregating the join output.
+    """
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.trim("text"), TOKEN_RE)
+    n_segs = (F.size(t) / SEG_WORDS).cast("int")  # floor division
+    segs = F.when(
+        n_segs >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(t, i * SEG_WORDS + 1, SEG_WORDS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(segs).alias("seg"))
+    bp_set = (
+        exploded.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs_with_seg"))
+        .filter(F.col("n_docs_with_seg") >= BOILERPLATE_MIN_DOCS)
+        .select("seg")
+    )
+    hits = (
+        exploded.join(F.broadcast(bp_set), "seg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    base = docs.select(
+        "doc_id", F.size(segs).cast("bigint").alias("n_segments")
+    ).filter(F.col("n_segments") >= 1)
+    n_bp = F.coalesce("n_boilerplate", F.lit(0)).cast("bigint")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        n_bp.alias("n_boilerplate"),
+        F.round(n_bp.cast("double") / F.col("n_segments"), 6).alias("bp_ratio"),
+    )
+
+
+# -- benchmark contamination (train/eval n-gram overlap) ----------------------
+EVAL_MOD = 20  # docs with hash % EVAL_MOD == 0 form the held-out eval slice
+CONTAM_NGRAM = 3  # word n-gram width probed for overlap
+CONTAM_SALT = "eval"
+
+
+def _word_ngrams(t, n: int):
+    """Overlapping word n-grams of a split-token array (empty when the
+    doc is shorter than n tokens — mirrors DuckDB range() semantics)."""
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q52_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-eval decontamination check: a deterministic hash slice of
+    the corpus stands in for a held-out benchmark; count, per language,
+    how many training documents share at least one word CONTAM_NGRAM-
+    gram with the eval slice, and the total overlapping gram incidence.
+
+    Shape at 100 TB: the eval gram set is small by construction (a
+    fixed benchmark, not a corpus) -> distinct + broadcast; training
+    docs stream through a broadcast semi-probe, no shuffle of the big
+    side. That is exactly how PaLM/GPT-style decontamination sweeps
+    run: benchmark n-grams in memory on every executor.
+    """
+    docs = _docs(spark, sf_dir)
+    is_eval = F.pmod(h32(F.col("doc_id").cast("string"), CONTAM_SALT), F.lit(EVAL_MOD)) == 0
+    t = F.split(F.trim("text"), TOKEN_RE)
+    grams = docs.select(
+        "doc_id", "lang", is_eval.alias("is_eval"), F.explode(_word_ngrams(t, CONTAM_NGRAM)).alias("gram")
+    )
+    eval_grams = grams.filter("is_eval").select("gram").distinct()
+    train = grams.filter(~F.col("is_eval"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = (
+        train.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(hits.select("doc_id", "n_hits"), "doc_id", "left")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.coalesce("n_hits", F.lit(0))).cast("bigint").alias("sum_hits"),
+            F.sum("n_grams").cast("bigint").alias("sum_grams"),
+        )
+    )
+
+
+# -- TF-IDF top terms per document --------------------------------------------
+TFIDF_K = 3
+
+
+def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms: rank each document's tokens by
+    (tf DESC, df ASC, term ASC) — the tf-idf ordering expressed with
+    integer keys only, so the rank is bit-stable across engines (no
+    log() whose last ulp could flip a tie). Emits tf and df so a
+    consumer can apply any idf formula downstream.
+
+    Shape at 100 TB: tf is a (doc, term) partial agg; df is a term
+    partial agg whose result — one row per vocabulary term — is small
+    and broadcast back; the top-k window partitions by doc_id, so no
+    global sort.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), TOKEN_RE)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(F.broadcast(df), "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+# -- embedding int8 quantization ----------------------------------------------
+QUANT_LEVELS = 255
+
+
+def q54_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the standard compression
+    step before shipping embeddings to an ANN index (4x smaller than
+    float32, recall loss negligible at 8 bits). q_i = round((x_i - min)
+    * 255 / (max - min)); emits the integer checksum and the first two
+    codes per vector plus the rounded scale params. Pure map-side
+    projection: no shuffle at any scale. Degenerate constant vectors
+    (max == min) quantize to all-zero codes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = (mx - mn) / QUANT_LEVELS
+    codes = F.when(
+        mx > mn,
+        F.transform(v, lambda x: F.round((x - mn) / scale).cast("bigint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+    return emb.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.try_element_at(codes, F.lit(1)).alias("code1"),
+        F.try_element_at(codes, F.lit(2)).alias("code2"),
+        F.round(mn, 6).alias("q_min"),
+        F.round(mx, 6).alias("q_max"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q51_boilerplate_segments": f"""
+        WITH tk AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, len(t) // {SEG_WORDS}),
+                       i -> array_to_string(t[i*{SEG_WORDS}+1 : i*{SEG_WORDS}+{SEG_WORDS}], ' ')
+                   )) AS seg
+            FROM tk
+        ),
+        seg_df AS (
+            SELECT seg, count(DISTINCT doc_id) AS n_docs_with_seg
+            FROM segs GROUP BY 1
+        )
+        SELECT s.doc_id,
+               count(*) AS n_segments,
+               CAST(sum(CASE WHEN d.n_docs_with_seg >= {BOILERPLATE_MIN_DOCS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+               round(CAST(sum(CASE WHEN d.n_docs_with_seg >= {BOILERPLATE_MIN_DOCS}
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS bp_ratio
+        FROM segs s JOIN seg_df d USING (seg)
+        GROUP BY 1
+    """,
+    "q52_contamination": f"""
+        WITH tk AS (
+            SELECT doc_id, lang,
+                   {h32_sql("CAST(doc_id AS VARCHAR)", CONTAM_SALT)} % {EVAL_MOD} = 0 AS is_eval,
+                   regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang, is_eval,
+                   unnest(list_transform(
+                       range(1, len(t) - {CONTAM_NGRAM - 2}),
+                       i -> array_to_string(t[i : i+{CONTAM_NGRAM - 1}], ' ')
+                   )) AS gram
+            FROM tk
+        ),
+        ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+        train AS (SELECT * FROM grams WHERE NOT is_eval),
+        hits AS (
+            SELECT doc_id, count(*) AS n_hits
+            FROM train JOIN ev USING (gram) GROUP BY 1
+        ),
+        per_doc AS (
+            SELECT t.doc_id, t.lang, count(*) AS n_grams, any_value(h.n_hits) AS n_hits
+            FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT lang,
+               count(*) AS n_train_docs,
+               CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(sum(coalesce(n_hits, 0)) AS BIGINT) AS sum_hits,
+               CAST(sum(n_grams) AS BIGINT) AS sum_grams
+        FROM per_doc GROUP BY 1
+    """,
+    "q53_tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '{TOKEN_RE}')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1)
+        SELECT doc_id, term, tf, df, rank FROM (
+            SELECT doc_id, term, tf, df,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
+                   ) AS rank
+            FROM tf JOIN df USING (term)
+        ) WHERE rank <= {TFIDF_K}
+    """,
+    "q54_embedding_quantize": f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        mm AS (
+            SELECT vec_id, v,
+                   list_aggregate(v, 'min') AS mn,
+                   list_aggregate(v, 'max') AS mx
+            FROM base
+        ),
+        q AS (
+            SELECT vec_id, mn, mx,
+                   CASE WHEN mx > mn
+                        THEN list_transform(v, x -> CAST(round((x - mn) / ((mx - mn) / {QUANT_LEVELS})) AS BIGINT))
+                        ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+            FROM mm
+        )
+        SELECT vec_id,
+               CAST(list_sum(codes) AS BIGINT) AS code_sum,
+               codes[1] AS code1,
+               codes[2] AS code2,
+               round(mn, 6) AS q_min,
+               round(mx, 6) AS q_max
+        FROM q
+    """,
+}
+
+QUERIES = {
+    "q51_boilerplate_segments": q51_boilerplate_segments,
+    "q52_contamination": q52_contamination,
+    "q53_tfidf_top_terms": q53_tfidf_top_terms,
+    "q54_embedding_quantize": q54_embedding_quantize,
+}
