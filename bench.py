@@ -54,6 +54,8 @@ HEADLINE_QUERIES = [
     "q33_payload_ladder_roundtrip",
     "q35_main_content_roundtrip",
     "q36_token_percentiles",
+    "q51_boilerplate_segments",
+    "q53_tfidf_top_terms",
 ]
 
 

@@ -384,6 +384,154 @@ def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q55: k-means (2 unrolled Lloyd iterations, integer-exact) -------------------
+KM_K = 8  # clusters; init = the KM_K smallest vec_ids
+KM_SCALE = 1000  # embedding -> integer code scale
+KM_ITERS = 2  # fixed unrolled iterations (deterministic, oracle-able)
+
+
+def _km_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors as integer codes (round(x*KM_SCALE)): every distance and
+    every comparison downstream is integer arithmetic, so assignment is
+    bit-stable across engines — no float-sum ordering hazards."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * KM_SCALE).cast("bigint")
+        ).alias("c"),
+    )
+
+
+def _km_assign(codes: DataFrame, cent: list[list[int]]) -> DataFrame:
+    """Nearest-centroid assignment against centroid LITERALS: a pure
+    projection (no join of any kind) — the exact shape MLlib uses,
+    where the K centroids live on the driver and ship with the task.
+    argmin with cid tie-break via array_min over (dist, cid) structs
+    (lexicographic struct ordering)."""
+    structs = []
+    for cid, comp in enumerate(cent):
+        lit = F.array(*[F.lit(int(v)) for v in comp])
+        d = F.aggregate(
+            F.zip_with("c", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    return codes.withColumn("cid", F.array_min(F.array(*structs))["cid"])
+
+
+def _km_update(assigned: DataFrame, prev: list[list[int]]) -> list[list[int]]:
+    """New centroids: per-component floor(sum/count) — the mean in
+    integer space. The aggregation is distributed (posexplode ->
+    two-phase groupBy on (cid, pos)); only the K x DIM result lands on
+    the driver, the MLlib pattern. Empty clusters keep their previous
+    centroid."""
+    rows = (
+        assigned.select("cid", F.posexplode("c").alias("pos", "comp"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.floor(F.sum("comp").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("m")
+        )
+        .collect()
+    )
+    new = {r["cid"]: dict() for r in rows}
+    for r in rows:
+        new[r["cid"]][r["pos"]] = r["m"]
+    return [
+        [new[cid][p] for p in sorted(new[cid])] if cid in new else prev[cid]
+        for cid in range(KM_K)
+    ]
+
+
+def q55_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embeddings, KM_ITERS unrolled Lloyd iterations,
+    fully integer-exact so the DuckDB oracle reproduces every
+    assignment bit-for-bit (the oracle unrolls the same iterations as
+    CTEs). Init = the KM_K smallest vec_ids. Per iteration: one
+    projection-only assign (centroid literals, no join) + one
+    distributed mean aggregation with a K x DIM driver collect — the
+    standard iterative-ML shape on Spark; at 100 TB ``codes`` would be
+    persisted across iterations instead of re-scanned."""
+    codes = _km_codes(spark, sf_dir)
+    cent = [
+        [int(v) for v in r["c"]]
+        for r in codes.filter(F.col("vec_id") < KM_K).orderBy("vec_id").collect()
+    ]
+    for _ in range(KM_ITERS - 1):
+        cent = _km_update(_km_assign(codes, cent), cent)
+    assigned = _km_assign(codes, cent)
+    checksum = F.create_map(
+        *[
+            lit
+            for cid, comp in enumerate(cent)
+            for lit in (F.lit(cid), F.lit(int(sum(comp))))
+        ]
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("cid").cast("bigint").alias("cluster"),
+            "n_members",
+            F.element_at(checksum, F.col("cid")).cast("bigint").alias("centroid_checksum"),
+        )
+    )
+
+
+def _km_oracle() -> str:
+    dim = EMB_DIM
+
+    def assign(codes_cte: str, cent_cte: str) -> str:
+        return f"""
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                           i -> (v.c[i] - c.c[i]) * (v.c[i] - c.c[i]))), c.cid
+                   ) AS rn
+            FROM {codes_cte} v CROSS JOIN {cent_cte} c
+        ) WHERE rn = 1
+        """
+
+    def update(assign_cte: str, prev_cent: str) -> str:
+        return f"""
+        SELECT p.cid, coalesce(n.c, p.c) AS c
+        FROM {prev_cent} p LEFT JOIN (
+            SELECT cid, array_agg(comp ORDER BY pos) AS c FROM (
+                SELECT a.cid, pos,
+                       CAST(floor(CAST(sum(v.c[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS comp
+                FROM {assign_cte} a JOIN codes v USING (vec_id),
+                     unnest(range(1, {dim + 1})) AS t(pos)
+                GROUP BY a.cid, pos
+            ) GROUP BY cid
+        ) n ON p.cid = n.cid
+        """
+
+    return f"""
+    WITH codes AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS c
+        FROM embeddings
+    ),
+    cent0 AS (SELECT vec_id AS cid, c FROM codes WHERE vec_id < {KM_K}),
+    a1 AS ({assign("codes", "cent0")}),
+    cent1 AS ({update("a1", "cent0")}),
+    a2 AS ({assign("codes", "cent1")})
+    SELECT a2.cid AS cluster,
+           count(*) AS n_members,
+           CAST(list_sum(any_value(cent1.c)) AS BIGINT) AS centroid_checksum
+    FROM a2 JOIN cent1 ON a2.cid = cent1.cid
+    GROUP BY 1
+    """
+
+
 # -- DuckDB oracle twins ---------------------------------------------------------
 def _w_sql(p: int) -> str:
     """DuckDB twin of _plane_weights_lit(p): same md5-derived doubles."""
@@ -570,6 +718,8 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["q55_kmeans_clusters"] = _km_oracle()
+
 QUERIES = {
     "q19_embedding_neardup_pairs": q19_embedding_neardup_pairs,
     "q20_cosine_topk": q20_cosine_topk,
@@ -577,4 +727,5 @@ QUERIES = {
     "q24_ivf_cells": q24_ivf_cells,
     "q25_ivf_topk": q25_ivf_topk,
     "q46_hamming_topk": q46_hamming_topk,
+    "q55_kmeans_clusters": q55_kmeans_clusters,
 }

@@ -43,3 +43,64 @@ def test_q21_bucket_structure(spark):
     for r in rows:
         per_band[r.band] = per_band.get(r.band, 0) + r.n_vectors
     assert all(v == n_vecs for v in per_band.values()), per_band
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    """q55 invariants: every vector lands in exactly one cluster, at
+    most KM_K clusters exist, and no cluster is empty on this corpus."""
+    from ocr_service_spark.operators.similarity import KM_K, q55_kmeans_clusters
+
+    rows = q55_kmeans_clusters(spark, "/root/testdata/sf0.001").collect()
+    n_total = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == n_total
+    assert len(rows) <= KM_K
+    assert all(r["n_members"] > 0 for r in rows)
+
+
+def test_kmeans_iteration_does_not_increase_inertia(spark):
+    """One Lloyd iteration must not increase total within-cluster
+    distance (the monotone-descent property of k-means)."""
+    from pyspark.sql import functions as F
+
+    from ocr_service_spark.operators.similarity import (
+        KM_K,
+        _km_assign,
+        _km_codes,
+        _km_update,
+    )
+
+    codes = _km_codes(spark, "/root/testdata/sf0.001")
+    cent0 = [
+        [int(v) for v in r["c"]]
+        for r in codes.filter(F.col("vec_id") < KM_K).orderBy("vec_id").collect()
+    ]
+
+    def inertia(cent):
+        a = _km_assign(codes, cent)
+        structs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "c",
+                            F.array(*[F.lit(int(v)) for v in comp]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, comp in enumerate(cent)
+            ]
+        )
+        return (
+            a.withColumn("best", F.array_min(structs)["d"])
+            .agg(F.sum("best"))
+            .collect()[0][0]
+        )
+
+    i0 = inertia(cent0)
+    cent1 = _km_update(_km_assign(codes, cent0), cent0)
+    i1 = inertia(cent1)
+    assert i1 <= i0

@@ -239,3 +239,30 @@ def test_plan_hygiene_all_driver_queries(spark):
         assert "CartesianProduct" not in plan, name
         if name not in nlj_allowed:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_corpus_hygiene_joins_are_broadcast(spark):
+    """q51 joins only the tiny frequent-segment set back (broadcast),
+    q52 probes a broadcast benchmark-gram set, q53 broadcasts the
+    vocabulary df table — none may shuffle the big exploded side into
+    a SortMergeJoin."""
+    from ocr_service_spark.operators.corpus import (
+        q51_boilerplate_segments,
+        q52_contamination,
+        q53_tfidf_top_terms,
+    )
+
+    for fn, min_bc in ((q51_boilerplate_segments, 1), (q52_contamination, 1), (q53_tfidf_top_terms, 1)):
+        plan = _formatted_plan(fn(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= min_bc, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+
+def test_quantize_is_pure_projection(spark):
+    """q54 is a map-side projection: no exchange other than the
+    explicit fan-out repartition, no join, no aggregate shuffle."""
+    from ocr_service_spark.operators.corpus import q54_embedding_quantize
+
+    plan = _formatted_plan(q54_embedding_quantize(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
