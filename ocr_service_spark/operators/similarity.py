@@ -39,6 +39,12 @@ then one join back to vectors for candidate scoring; q24 is one
 map-side assign + a 16-group agg; q25 prunes the scan to the probed
 cells (a broadcast equi-join on cell carries the query vector — no
 nested-loop join) and ends in TakeOrderedAndProject.
+
+- ``q55_kmeans_clusters`` — k-means with unrolled Lloyd iterations in
+  quantized integer space: assignment is a join-free projection
+  against centroid literals, the mean update a distributed two-phase
+  agg collecting only K x DIM rows; bit-exact vs the CTE-unrolled
+  DuckDB oracle.
 """
 
 from __future__ import annotations
