@@ -40,11 +40,16 @@ def q51_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines since the synthetic corpus is single-line).
 
     Shape at 100 TB: explode -> count-distinct-docs per segment (two-
-    phase partial agg on a high-cardinality key); the frequent set is
-    tiny by construction — boilerplate is the head of the distribution
-    — so only IT broadcasts back onto the exploded stream (never the
-    full per-segment frequency table), and per-doc totals come straight
-    from the source row, not from re-aggregating the join output.
+    phase partial agg on a high-cardinality key); only the >=K-doc
+    frequent set joins back onto the exploded stream (never the full
+    per-segment frequency table), and per-doc totals come straight
+    from the source row, not from re-aggregating the join output. The
+    join carries NO broadcast hint: at CC scale the >=K-doc segment set
+    (every nav/footer/cookie banner on the web) can still be millions
+    of rows, so the size decision is left to AQE — it broadcasts when
+    the measured set fits, and falls back to a shuffle join keyed on
+    ``seg`` (which the exploded side would need for the groupBy anyway)
+    when it does not.
     """
     docs = _docs(spark, sf_dir)
     t = F.split(F.trim("text"), TOKEN_RE)
@@ -66,7 +71,7 @@ def q51_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg")
     )
     hits = (
-        exploded.join(F.broadcast(bp_set), "seg")
+        exploded.join(bp_set, "seg")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boilerplate"))
     )
@@ -155,9 +160,13 @@ def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer can apply any idf formula downstream.
 
     Shape at 100 TB: tf is a (doc, term) partial agg; df is a term
-    partial agg whose result — one row per vocabulary term — is small
-    and broadcast back; the top-k window partitions by doc_id, so no
-    global sort.
+    partial agg joined back WITHOUT a broadcast hint — a web-scale
+    vocabulary is heavy-tailed and its distinct-term table is billions
+    of rows, so forcing a broadcast would OOM; AQE broadcasts at
+    runtime iff the measured df side is actually small, and otherwise
+    both sides are already hash-partitioned on ``term`` from their
+    aggs, making the sort-merge join cheap. The top-k window partitions
+    by doc_id, so no global sort.
     """
     docs = _docs(spark, sf_dir)
     toks = docs.select(
@@ -167,7 +176,7 @@ def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = tf.join(F.broadcast(df), "term")
+    scored = tf.join(df, "term")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
@@ -189,7 +198,10 @@ def q54_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     * 255 / (max - min)); emits the integer checksum and the first two
     codes per vector plus the rounded scale params. Pure map-side
     projection: no shuffle at any scale. Degenerate constant vectors
-    (max == min) quantize to all-zero codes."""
+    (max == min) quantize to all-zero codes; a zero-length vector gets
+    code_sum 0 in both engines (Spark's F.aggregate returns the init
+    value over an empty array, the oracle coalesces DuckDB's NULL
+    list_sum([]) to match) with NULL codes and scale params."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -308,7 +320,7 @@ ORACLES: dict[str, str] = {
             FROM mm
         )
         SELECT vec_id,
-               CAST(list_sum(codes) AS BIGINT) AS code_sum,
+               CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS code_sum,
                codes[1] AS code1,
                codes[2] AS code2,
                round(mn, 6) AS q_min,

@@ -38,12 +38,27 @@ SALT_MIN_BYTES = 2 * 1024 * 1024
 PDF_MAGIC = bytes(b"%PDF")
 
 
-def is_big_pdf(payload_col: str = "html", salt_min_bytes: int = SALT_MIN_BYTES):
-    """Declarative router predicate (JVM-side, pushable)."""
+def is_big_pdf(
+    payload_col: str = "html",
+    salt_min_bytes: int = SALT_MIN_BYTES,
+    size_col: str | None = None,
+):
+    """Declarative router predicate (JVM-side).
+
+    ``octet_length(payload)`` cannot prune parquet row groups (no
+    column stats for a computed length), so the salted branch's second
+    scan reads the full payload column again. When the pages table
+    carries a byte-size metadata column (any production CC-style table
+    should), pass it as ``size_col``: the size comparison then lands in
+    PushedFilters and the salted scan skips every row group whose max
+    size is under the threshold — at 100 TB that turns the second scan
+    from a full read into a touch of the rare big-document row groups.
+    """
     col = F.col(payload_col)
+    size = F.col(size_col) if size_col else F.octet_length(col)
     return (
         col.isNotNull()
-        & (F.octet_length(col) > F.lit(salt_min_bytes))
+        & (size > F.lit(salt_min_bytes))
         & (F.substring(col, 1, 4) == F.lit(PDF_MAGIC))
     )
 
@@ -57,6 +72,7 @@ def run_extraction(
     repartition_by_size: bool = False,
     metrics=None,
     mode: str = "NO_OCR",
+    size_col: str | None = None,
 ) -> DataFrame:
     """pages -> results DataFrame (operators.extract.RESULT_SCHEMA).
 
@@ -73,7 +89,7 @@ def run_extraction(
         # fan-out lives in operators/ocr.py for pre-rendered pages
         return extract_documents(pages, payload_col, metrics=metrics, mode=mode)
 
-    big = is_big_pdf(payload_col, salt_min_bytes)
+    big = is_big_pdf(payload_col, salt_min_bytes, size_col)
 
     normal = pages.filter(~F.coalesce(big, F.lit(False)))
     if repartition and repartition_by_size:
@@ -85,12 +101,21 @@ def run_extraction(
         normal = normal.repartition(repartition, "url")
     normal_results = extract_documents(normal, payload_col, metrics=metrics)
 
-    # Salted branch: big PDFs are rare by construction (the router
-    # threshold keeps this to a sliver of documents), so collapse the
-    # scan to a few tasks — per-task Python-worker overhead on dozens of
-    # near-empty partitions otherwise dominates. The bucket explode then
-    # re-spreads the real work across the cluster by (url, bucket).
-    salted = pages.filter(F.coalesce(big, F.lit(False))).coalesce(4)
+    # Salted branch: filter at FULL scan width (a coalesce here would
+    # collapse the scan itself to a few tasks — a non-starter when the
+    # scan is 100 TB), then shuffle the survivors by url. Big PDFs are
+    # rare by construction, so the shuffle moves only a sliver of bytes
+    # and AQE coalesces its read side into a few dense partitions —
+    # which is what keeps the page-count parse stage from paying
+    # per-task Python-worker overhead on dozens of near-empty
+    # partitions. The bucket explode then re-spreads the real work by
+    # (url, bucket).
+    # filter(big) (not coalesce(big, false)): SQL filters keep only
+    # TRUE rows, so the semantics are identical, and the bare
+    # conjunction lets Catalyst split + push the size conjunct into
+    # the parquet scan (coalesce() is an opaque wrapper the optimizer
+    # will not decompose)
+    salted = pages.filter(big).repartition("url")
     buckets = explode_pdf_buckets(salted, payload_col, bucket_pages)
     if repartition:
         buckets = buckets.repartition(repartition, "url", "bucket")

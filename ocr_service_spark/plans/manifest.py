@@ -29,14 +29,20 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_N_PARTS = 64
 
 
-def with_part_hash(df: DataFrame, n_parts: int = DEFAULT_N_PARTS) -> DataFrame:
-    return df.withColumn("part_hash", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int"))
+def with_part_hash(
+    df: DataFrame, n_parts: int = DEFAULT_N_PARTS, hash_expr: Column | None = None
+) -> DataFrame:
+    """xxhash64(url) by default (fastest, engine-internal); callers that
+    need a cross-engine-reproducible lineage key (e.g. the q56 driver
+    oracle) can pass any deterministic bigint expression instead."""
+    h = hash_expr if hash_expr is not None else F.xxhash64("url")
+    return df.withColumn("part_hash", F.pmod(h, F.lit(n_parts)).cast("int"))
 
 
 def input_snapshot_id(pages_path: str, n_parts: int = DEFAULT_N_PARTS) -> str:
@@ -65,13 +71,14 @@ def resume_filter(
     manifest_path: str,
     snapshot_id: str,
     n_parts: int = DEFAULT_N_PARTS,
+    hash_expr: Column | None = None,
 ) -> DataFrame:
     """Drop documents whose partition is already manifested.
 
     The completed-part set is tiny (≤ n_parts rows): the anti-join is
     broadcast, so resume costs one scan-side hash probe, no shuffle.
     """
-    pages = with_part_hash(pages, n_parts)
+    pages = with_part_hash(pages, n_parts, hash_expr)
     done = completed_parts(spark, manifest_path, snapshot_id)
     if done is None:
         return pages
@@ -111,6 +118,7 @@ def run_with_checkpoint(
     results_path: str,
     manifest_path: str,
     n_parts: int = DEFAULT_N_PARTS,
+    hash_expr: Column | None = None,
     **extract_kwargs,
 ) -> None:
     """Resumable extraction: skip manifested parts, write results with
@@ -118,10 +126,10 @@ def run_with_checkpoint(
     from ocr_service_spark.plans.job import run_extraction
 
     snapshot_id = input_snapshot_id(pages_path, n_parts)
-    todo = resume_filter(pages, spark, manifest_path, snapshot_id, n_parts)
+    todo = resume_filter(pages, spark, manifest_path, snapshot_id, n_parts, hash_expr)
 
     results = run_extraction(todo, **extract_kwargs)
-    results = with_part_hash(results, n_parts)
+    results = with_part_hash(results, n_parts, hash_expr)
 
     (
         results.write.mode("overwrite")

@@ -54,6 +54,10 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # every NTZ->TIMESTAMP cast in the engine (streaming watermarks,
+        # session windows) assumes UTC wall-clock; enforce it so results
+        # are identical no matter the host's TZ / DST rules
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

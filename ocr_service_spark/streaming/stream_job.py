@@ -155,9 +155,15 @@ def stream_user_sessions(events_stream: DataFrame, watermark: str = "10 seconds"
 
     from pyspark.sql import functions as F
 
+    # Watermarks require TIMESTAMP (not NTZ). The NTZ->TIMESTAMP cast
+    # interprets wall-clock in spark.sql.session.timeZone, and the
+    # event-time timeout compares against the watermark derived from the
+    # cast column — so UTC is a hard requirement, not a convention.
+    # build_session pins it; enforce here for sessions built elsewhere
+    # (runtime conf, safe to set before the stream starts).
+    events_stream.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+
     return (
-        # watermarks require TIMESTAMP (not NTZ); the session pins UTC so
-        # the cast is a pure type change, no wall-clock shift
         events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .groupBy("user_id")

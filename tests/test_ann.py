@@ -103,4 +103,12 @@ def test_kmeans_iteration_does_not_increase_inertia(spark):
     i0 = inertia(cent0)
     cent1 = _km_update(_km_assign(codes, cent0), cent0)
     i1 = inertia(cent1)
-    assert i1 <= i0
+    # q55 uses floor(sum/count) integer centroids, not the exact mean.
+    # Writing centroid = mean + e with e in [0,1) per component, the
+    # cross term sums to zero at the exact mean, so the floored
+    # centroid's inertia exceeds the exact-mean inertia by at most
+    # sum(e^2) <= n_vectors * dim — monotone descent holds up to
+    # exactly that slack.
+    n_vectors = codes.count()
+    dim = len(cent0[0])
+    assert i1 <= i0 + n_vectors * dim

@@ -33,7 +33,7 @@ for name in ["q01_pricing_summary", "q14_jaccard_pairs", "q19_embedding_neardup_
              "q30_extract_html_roundtrip", "q33_payload_ladder_roundtrip",
              "q35_main_content_roundtrip", "q36_token_percentiles",
              "q38_dedup_canonical", "q39_repetition_stats",
-             "x40_extract_fixtures"]:
+             "q40_extract_fixtures"]:
     rows = qs[name](spark, "/root/testdata/sf0.001").count()
     assert rows >= 0
 print("DRIVER_SIM_OK", n, len(qs), len(oracles))

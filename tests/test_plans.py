@@ -48,6 +48,39 @@ def test_filter_pushdown_reaches_scan(spark, pages_path):
     assert any("EqualTo(lang,en)" in ln for ln in pushed)
 
 
+def test_size_col_router_predicate_is_pushed_down(spark, tmp_path):
+    """With a byte-size metadata column, the salted branch's size test
+    must land in PushedFilters so the second scan prunes row groups at
+    scale — and the routed results must be identical to the
+    octet_length router's."""
+    path = str(tmp_path / "pages_sized")
+    generate_pages(spark, 200, seed=13).withColumn(
+        "payload_bytes", F.octet_length("html").cast("bigint")
+    ).write.parquet(path)
+    pages = spark.read.parquet(path)
+
+    sized = run_extraction(pages, size_col="payload_bytes")
+    pushed = [ln for ln in _formatted_plan(sized).splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThan(payload_bytes" in ln for ln in pushed), pushed
+
+    default = run_extraction(pages)
+    key = lambda df: sorted(
+        df.select("url", F.length(F.coalesce("extracted_text", F.lit(""))).alias("n"))
+        .collect()
+    )
+    assert key(sized) == key(default)
+
+
+def test_salted_scan_stays_wide(spark, pages_path):
+    """The salted branch must NOT coalesce the scan itself — at 100 TB
+    that would serialize the second read. The plan therefore contains
+    no Coalesce over a scan; the post-filter shuffle (AQE-coalescible)
+    provides the dense partitions for the explode stage."""
+    pages = spark.read.parquet(pages_path)
+    plan = _formatted_plan(run_extraction(pages))
+    assert "Coalesce" not in plan, plan
+
+
 def test_dim_joins_are_broadcast(spark):
     plan = _formatted_plan(q02_revenue_by_region(spark, SF_DIR))
     assert "SortMergeJoin" not in plan
@@ -241,21 +274,28 @@ def test_plan_hygiene_all_driver_queries(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-def test_corpus_hygiene_joins_are_broadcast(spark):
-    """q51 joins only the tiny frequent-segment set back (broadcast),
-    q52 probes a broadcast benchmark-gram set, q53 broadcasts the
-    vocabulary df table — none may shuffle the big exploded side into
-    a SortMergeJoin."""
+def test_corpus_hygiene_join_strategies(spark):
+    """q52's benchmark-gram probe is an EXPLICIT broadcast (a fixed
+    benchmark is small by construction). q51's frequent-segment set and
+    q53's vocabulary df table must NOT be hint-forced broadcasts — at
+    web scale both can exceed executor memory, so the size decision
+    belongs to AQE; any equi-join strategy is acceptable, but never a
+    cartesian/nested-loop plan."""
     from ocr_service_spark.operators.corpus import (
         q51_boilerplate_segments,
         q52_contamination,
         q53_tfidf_top_terms,
     )
 
-    for fn, min_bc in ((q51_boilerplate_segments, 1), (q52_contamination, 1), (q53_tfidf_top_terms, 1)):
+    plan = _formatted_plan(q52_contamination(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1, "q52 gram probe"
+    assert "SortMergeJoin" not in plan, "q52 gram probe"
+
+    for fn in (q51_boilerplate_segments, q53_tfidf_top_terms):
         plan = _formatted_plan(fn(spark, SF_DIR))
-        assert plan.count("BroadcastHashJoin") >= min_bc, fn.__name__
-        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), fn.__name__
 
 
 def test_quantize_is_pure_projection(spark):

@@ -1,13 +1,13 @@
 #!/usr/bin/env python3
 """Generate committed expected tables for the deterministic extraction
-driver queries (tests/golden/x4*_expected.parquet).
+driver queries (tests/golden/q4*_expected.parquet).
 
-x40 (fixture extraction), x41 (synthetic-corpus extraction stats) and
-x42 (media features over the deterministic fake decoder) are
+q40 (fixture extraction), q41 (synthetic-corpus extraction stats) and
+q42 (media features over the deterministic fake decoder) are
 deterministic end-to-end on the NO_OCR tier, so their expected outputs
 are reviewable artifacts the driver's DuckDB oracle reads back
 (``SELECT ... FROM '<path>'``), upgrading them from rows-only to
-hash-checked. x43 stays rows-only BY DESIGN: its OCR-tier output
+hash-checked. q43 stays rows-only BY DESIGN: its OCR-tier output
 depends on which engine binary is present.
 
 Regenerate only on a deliberate semantic change, and eyeball the diff
@@ -25,9 +25,9 @@ sys.path.insert(0, str(REPO))
 GOLDEN = REPO / "tests" / "golden"
 
 TARGETS = {
-    "x40_extract_fixtures": ("x40_expected.parquet", "url"),
-    "x41_extract_synthetic": ("x41_expected.parquet", "doc_class"),
-    "x42_media_features": ("x42_expected.parquet", "url"),
+    "q40_extract_fixtures": ("q40_expected.parquet", "url"),
+    "q41_extract_synthetic": ("q41_expected.parquet", "doc_class"),
+    "q42_media_features": ("q42_expected.parquet", "url"),
 }
 
 
