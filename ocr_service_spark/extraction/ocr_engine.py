@@ -83,13 +83,21 @@ _ENGINE: OcrEngine | None = None
 
 def get_engine() -> OcrEngine:
     """Executor-singleton accessor (module scope survives across Arrow
-    batches in a reused Python worker)."""
+    batches in a reused Python worker).
+
+    Engine ladder: tesseract when the executor image ships it, else the
+    from-scratch glyph-matching engine (extraction/glyph_ocr.py — real
+    PNG decode + template recognition, always constructible). The hash
+    stub remains available for tests that need schema-only plumbing.
+    """
     global _ENGINE
     if _ENGINE is None:
         try:
             _ENGINE = TesseractEngine()
         except Exception:
-            _ENGINE = StubOcrEngine()
+            from ocr_service_spark.extraction.glyph_ocr import GlyphOcrEngine
+
+            _ENGINE = GlyphOcrEngine()
     return _ENGINE
 
 

@@ -39,6 +39,9 @@ PAGES_SCHEMA = StructType(
 
 REFERENCE_DOCS = Path("/root/reference/ocr_service/tests/resources/docs")
 
+# ground truth for the rendered OCR fixture in load_fixture_pages
+GLYPH_FIXTURE_TEXT = "SCANNED PAGE 1\nPATIENT ID: 12345\nFINDINGS: NORMAL"
+
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Parquet reader for a pages table (Iceberg catalogs plug in the
@@ -116,6 +119,20 @@ def load_fixture_pages(spark: SparkSession) -> DataFrame:
         )
     rows.append(("https://fixtures.test/null-payload", base_ts, None, None, "en"))
     rows.append(("https://fixtures.test/empty-payload", base_ts, bytearray(b""), None, "en"))
+    # in-model OCR fixture: a page rendered in the glyph engine's own
+    # font (deterministic bytes, rendered at load time). NO_OCR skips it
+    # like any image; OCR mode must read it back exactly at conf 100.
+    from ocr_service_spark.extraction.glyph_ocr import render_text_png
+
+    rows.append(
+        (
+            "https://fixtures.test/rendered/glyph_page.png",
+            base_ts,
+            bytearray(render_text_png(GLYPH_FIXTURE_TEXT)),
+            None,
+            "en",
+        )
+    )
     return spark.createDataFrame(rows, PAGES_SCHEMA)
 
 

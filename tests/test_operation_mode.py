@@ -7,21 +7,36 @@ from __future__ import annotations
 from pathlib import Path
 
 from ocr_service_spark.extraction import extract_document
-from ocr_service_spark.extraction.ocr_engine import StubOcrEngine
+from ocr_service_spark.extraction.glyph_ocr import GlyphOcrEngine, render_text_png
 from ocr_service_spark.plans.job import run_extraction
 from ocr_service_spark.sources.pages import load_fixture_pages
 
 RES = Path("/root/reference/ocr_service/tests/resources/docs")
 
 
-def test_image_ocr_mode_recognizes():
-    png = (RES / "generic/pat_id_1.png").read_bytes()
+def test_image_ocr_mode_recognizes_rendered_page_exactly():
+    # in-model input: a page rendered in the engine's font is read back
+    # byte-exactly at confidence 100
+    png = render_text_png("PATIENT ID: 12345\nREPORT OK")
     row = extract_document(png, "u.png", mode="OCR")
-    text, conf = StubOcrEngine().recognize(png)
-    assert row["extracted_text"] == text.strip()
-    assert row["confidence"] == round(conf, 4)
+    assert row["extracted_text"] == "PATIENT ID: 12345\nREPORT OK"
+    assert row["confidence"] == 100.0
     assert row["pages"] == 1
     assert row["success"] is True
+    assert row["ocr_skipped"] is False
+
+
+def test_image_ocr_mode_reference_png_routes_through_engine():
+    # out-of-model input (antialiased proportional font): the engine
+    # must decode the real pixels, return its best guess without
+    # crashing, and report an honestly low confidence
+    png = (RES / "generic/pat_id_1.png").read_bytes()
+    row = extract_document(png, "u.png", mode="OCR")
+    text, conf = GlyphOcrEngine().recognize(png)
+    assert row["extracted_text"] == text.strip()
+    assert row["confidence"] == round(conf, 4)
+    assert 0 < conf < 60  # garbage must not masquerade as confident
+    assert row["pages"] == 1
     assert row["ocr_skipped"] is False
 
 
@@ -49,10 +64,17 @@ def test_text_formats_fall_back_in_ocr_mode():
 
 
 def test_spark_job_ocr_mode(spark):
+    from ocr_service_spark.sources.pages import GLYPH_FIXTURE_TEXT
+
     pages = load_fixture_pages(spark)
     rows = {r["url"]: r for r in run_extraction(pages, mode="OCR").collect()}
     png = rows["https://fixtures.test/generic/pat_id_1.png"]
     assert png["success"] is True and png["confidence"] is not None
+    # the in-model rendered page is recognized EXACTLY by the real
+    # glyph engine, end-to-end through the Spark job
+    glyph = rows["https://fixtures.test/rendered/glyph_page.png"]
+    assert glyph["extracted_text"] == GLYPH_FIXTURE_TEXT
+    assert glyph["confidence"] == 100.0 and glyph["success"] is True
     # deterministic NO_OCR results unchanged by the mode default
     rows_default = {r["url"]: r for r in run_extraction(pages).collect()}
     assert rows_default["https://fixtures.test/generic/pat_id_1.png"]["ocr_skipped"] is True
