@@ -79,6 +79,38 @@ _RAW_FONT = {
     "+": ".....|..X..|..X..|XXXXX|..X..|..X..|.....",
     "=": ".....|.....|XXXXX|.....|XXXXX|.....|.....",
     "%": "XX..X|XX..X|...X.|..X..|.X...|X..XX|X..XX",
+    ";": ".....|.XX..|.XX..|.....|.XX..|..X..|.X...",
+    "&": ".XX..|X..X.|X.X..|.X...|X.X.X|X..X.|.XX.X",
+    "*": ".....|..X..|X.X.X|.XXX.|X.X.X|..X..|.....",
+    "$": "..X..|.XXXX|X.X..|.XXX.|..X.X|XXXX.|..X..",
+    "#": ".X.X.|XXXXX|.X.X.|.X.X.|.X.X.|XXXXX|.X.X.",
+    "@": ".XXX.|X...X|X.XXX|X.X.X|X.XXX|X....|.XXX.",
+    "a": ".....|.....|.XXX.|....X|.XXXX|X...X|.XXXX",
+    "b": "X....|X....|XXXX.|X...X|X...X|X...X|XXXX.",
+    "c": ".....|.....|.XXX.|X....|X....|X...X|.XXX.",
+    "d": "....X|....X|.XXXX|X...X|X...X|X...X|.XXXX",
+    "e": ".....|.....|.XXX.|X...X|XXXXX|X....|.XXX.",
+    "f": "..XX.|.X..X|.X...|XXX..|.X...|.X...|.X...",
+    "g": ".....|.XXXX|X...X|X...X|.XXXX|....X|.XXX.",
+    "h": "X....|X....|XXXX.|X...X|X...X|X...X|X...X",
+    "i": "..X..|.....|.XX..|..X..|..X..|..X..|.XXX.",
+    "j": "...X.|.....|..XX.|...X.|...X.|X..X.|.XX..",
+    "k": "X....|X....|X..X.|X.X..|XX...|X.X..|X..X.",
+    "l": ".XX..|..X..|..X..|..X..|..X..|..X..|.XXX.",
+    "m": ".....|.....|XX.X.|X.X.X|X.X.X|X.X.X|X.X.X",
+    "n": ".....|.....|XXXX.|X...X|X...X|X...X|X...X",
+    "o": ".....|.....|.XXX.|X...X|X...X|X...X|.XXX.",
+    "p": ".....|XXXX.|X...X|X...X|XXXX.|X....|X....",
+    "q": ".....|.XXXX|X...X|X...X|.XXXX|....X|....X",
+    "r": ".....|.....|X.XX.|XX..X|X....|X....|X....",
+    "s": ".....|.....|.XXXX|X....|.XXX.|....X|XXXX.",
+    "t": ".X...|.X...|XXXX.|.X...|.X...|.X..X|..XX.",
+    "u": ".....|.....|X...X|X...X|X...X|X...X|.XXXX",
+    "v": ".....|.....|X...X|X...X|X...X|.X.X.|..X..",
+    "w": ".....|.....|X...X|X...X|X.X.X|X.X.X|.X.X.",
+    "x": ".....|.....|X...X|.X.X.|..X..|.X.X.|X...X",
+    "y": ".....|X...X|X...X|X...X|.XXXX|....X|.XXX.",
+    "z": ".....|.....|XXXXX|...X.|..X..|.X...|XXXXX",
 }
 
 GLYPH_W, GLYPH_H = 5, 7
@@ -100,12 +132,12 @@ FONT: dict[str, frozenset[tuple[int, int]]] = {
 def render_text_png(text: str, ink: int = 0, paper: int = 255) -> bytes:
     """Rasterize ``text`` (multi-line) in the 5x7 font -> PNG bytes.
 
-    Unknown characters render as blank cells; lowercase maps to the
-    uppercase template (the font is single-case, like a fax header).
+    Case-exact (the font carries both cases); unknown characters render
+    as blank cells.
     """
     from ocr_service_spark.extraction.png_codec import encode_png_gray
 
-    lines = text.upper().splitlines() or [""]
+    lines = text.splitlines() or [""]
     width = 2 * MARGIN + max(1, max(len(ln) for ln in lines)) * ADVANCE
     height = 2 * MARGIN + len(lines) * LINE_PITCH
     px = bytearray([paper]) * (width * height)
@@ -144,6 +176,22 @@ def _classify(cells: frozenset[tuple[int, int]]) -> tuple[str, int]:
     return best_ch, best_d
 
 
+# trimmed-pattern -> char exact-match fast path; build-time uniqueness
+# check guarantees no two templates are translates of each other (the
+# reason '_' and '"' are not in the font)
+def _trim(cells) -> frozenset[tuple[int, int]]:
+    rmin = min(r for r, _ in cells)
+    cmin = min(c for _, c in cells)
+    return frozenset((r - rmin, c - cmin) for r, c in cells)
+
+
+_EXACT: dict[frozenset[tuple[int, int]], str] = {}
+for _ch, _tmpl in FONT.items():
+    _key = _trim(_tmpl)
+    assert _key not in _EXACT, f"font templates {_EXACT.get(_key)}/{_ch} are translates"
+    _EXACT[_key] = _ch
+
+
 def _match_glyph(cells: list[tuple[int, int]]) -> tuple[str, float]:
     """Best template over every placement of the glyph's trimmed
     bounding box inside the 5x7 cell (a '.' segmented from a line band
@@ -153,6 +201,9 @@ def _match_glyph(cells: list[tuple[int, int]]) -> tuple[str, float]:
     rmin = min(r for r, _ in cells)
     cmin = min(c for _, c in cells)
     trimmed = [(r - rmin, c - cmin) for r, c in cells]
+    exact = _EXACT.get(frozenset(trimmed))
+    if exact is not None:  # clean render: skip the placement search
+        return exact, 100.0
     h_t = 1 + max(r for r, _ in trimmed)
     w_t = 1 + max(c for _, c in trimmed)
     best_ch, best_d = "?", 10**9
@@ -207,8 +258,11 @@ class GlyphOcrEngine:
             chars: list[str] = []
             prev_end = None
             for x0, x1 in segs:
-                if prev_end is not None and x0 - prev_end >= ADVANCE - 1:
-                    chars.append(" ")
+                # inter-glyph gaps are at most ADVANCE-1 empty columns
+                # (widest trailing+leading template whitespace); a space
+                # adds a full ADVANCE per blank cell
+                if prev_end is not None and x0 - prev_end >= ADVANCE:
+                    chars.append(" " * ((x0 - prev_end - 1) // ADVANCE))
                 prev_end = x1
                 cells = [
                     (y - y0, x - x0)

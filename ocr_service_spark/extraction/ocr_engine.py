@@ -102,19 +102,33 @@ def get_engine() -> OcrEngine:
 
 
 def rasterize_pdf_page(pdf_bytes: bytes, page_no: int) -> bytes:
-    """PDF page -> PNG bytes at the pinned DPI/grayscale settings.
+    """PDF page -> PNG bytes.
 
-    Requires pdfium on the executor image; in this sandbox the OCR
-    tier is exercised through pre-rendered page images instead (the
-    plumbing accepts any (url, page_no, png) rows). STUB: raises.
+    With pdfium on the executor image this is a geometric render at the
+    pinned DPI/grayscale settings (reference converter.py:139-150).
+    Without it, the from-scratch fallback renders the page's TEXT LAYER
+    in the glyph engine's font (extraction/glyph_ocr.py) — layout-free
+    but pixel-real, so the OCR tier's full loop (parse -> rasterize ->
+    binarize -> segment -> recognize -> ordered concat) runs on actual
+    images in any environment, and recognized text round-trips the text
+    layer byte-exactly for in-font characters.
     """
     try:
         import pypdfium2 as pdfium  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "pdfium not available in this environment; feed pre-rendered "
-            "page images to operators.ocr.run_ocr_pages instead"
-        ) from exc
+    except ImportError:
+        from ocr_service_spark.extraction.glyph_ocr import render_text_png
+        from ocr_service_spark.extraction.pdf_text import pdf_page_texts
+
+        (text,) = pdf_page_texts(pdf_bytes, page_no, page_no + 1)
+        # wrap like a physical page would (A4 at this glyph pitch);
+        # keeps the raster compact for arbitrarily long text runs
+        wrapped: list[str] = []
+        for line in text.splitlines() or [""]:
+            while len(line) > 96:
+                wrapped.append(line[:96])
+                line = line[96:]
+            wrapped.append(line)
+        return render_text_png("\n".join(wrapped))
     doc = pdfium.PdfDocument(pdf_bytes)  # pragma: no cover
     page = doc.get_page(page_no)
     bitmap = page.render(

@@ -192,7 +192,11 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
                     confs.append(conf)
                 images_present = n_pages > 0
                 output_text = "".join(texts)  # submission order (ocr_engine.py:67)
-                meta["pages"] = n_pages
+                if images_present:
+                    # reference: pages metadata comes from image_count
+                    # (ocr_engine.py:80) — a rasterizer that produced no
+                    # images leaves the key unset (converter.py:213-225)
+                    meta["pages"] = n_pages
                 if confs:
                     meta["confidence"] = round(sum(confs) / len(confs), 4)
             except Exception:

@@ -5,14 +5,18 @@ typed metadata struct, processed by Arrow-batched ``mapInPandas``
 stages — identical plumbing to the text-extraction operator, so the
 same partitioning/skew machinery applies.
 
-The actual codecs (image decode, resample, frame sampling) are NOT in
-this container, so the decode step is a clearly-marked deterministic
-stub (`_fake_decode`): it parses real header fields where the format
-makes that cheap (PNG width/height from the IHDR chunk — real parsing,
-no codec needed) and otherwise derives deterministic pseudo-features
-from the payload hash. Swap `_fake_decode` for a PIL/ffmpeg call on a
-cluster image and nothing else changes: schema, batching, partitioning
-and tests are the production shapes.
+Decode reality by format (`_decode`):
+
+- container metadata (type, dimensions, page/frame counts): REAL
+  public-spec parses for PNG/JPEG/GIF/BMP/TIFF/MP4/WAV;
+- pixel planes: REAL for PNG (from-scratch codec in
+  extraction/png_codec.py) and uncompressed BMP — feature hash is a
+  content hash of the decoded luma, features are pixel statistics;
+  WAV feature hash is a content hash of the PCM data chunk;
+- JPEG/GIF/TIFF pixels and MP4 frames: deterministic payload-hash
+  stand-in, clearly marked — swap in PIL/ffmpeg on a cluster image and
+  nothing else changes: schema, batching, partitioning and tests are
+  the production shapes.
 """
 
 from __future__ import annotations
@@ -199,6 +203,7 @@ def _wav_info(payload: bytes) -> dict | None:
             fmt = {"channels": channels, "sample_rate": sample_rate, "bits": bits}
         elif cid == b"data":
             data_size = csize
+            data_off = pos + 8
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if not fmt or data_size is None or not fmt["channels"] or not fmt["bits"]:
         return None
@@ -210,6 +215,8 @@ def _wav_info(payload: bytes) -> dict | None:
         **fmt,
         "n_samples": n_samples,
         "duration_s": round(duration, 6),
+        # private: PCM byte span for content-hashing; callers pop it
+        "_data_span": (data_off, min(data_size, n - data_off)),
     }
 
 
@@ -231,15 +238,100 @@ _DIMENSION_PARSERS = (
 )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for the codec call.
+def _bmp_luma(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Real pixel decode for uncompressed BMP (24/32-bit BGR(A) and
+    8-bit palette), BITMAPINFOHEADER, bottom-up or top-down rows."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (8, 24, 32) or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    palette = None
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        palette = payload[pal_off : pal_off + 4 * n_colors]
+    row_stride = ((width * bpp + 31) // 32) * 4
+    if data_off + row_stride * height > len(payload):
+        return None
+    luma = bytearray(width * height)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        base = data_off + src_y * row_stride
+        for x in range(width):
+            if bpp == 8:
+                i = 4 * payload[base + x]
+                b, g, r = palette[i], palette[i + 1], palette[i + 2]
+            else:
+                o = base + x * (bpp // 8)
+                b, g, r = payload[o], payload[o + 1], payload[o + 2]
+            luma[y * width + x] = (299 * r + 587 * g + 114 * b) // 1000
+    return width, height, bytes(luma)
 
-    Header-level fields (media type, dimensions) are REAL parses of the
-    public container formats — no codec needed. Only the pixel-level
-    work (feature vector, frame contents) is stubbed: a real deployment
-    replaces that part with e.g. ``PIL.Image.open(BytesIO(payload))``
-    and the surrounding operator is unchanged. NOTE: pixel stub is
-    clearly marked per the build brief.
+
+def _image_luma(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Real pixel plane for the codecs buildable from scratch: PNG (via
+    extraction/png_codec) and uncompressed BMP. DCT/LZW formats (JPEG,
+    GIF) stay header-only until a codec library is present."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            from ocr_service_spark.extraction.png_codec import decode_png_gray
+
+            return decode_png_gray(payload)
+        except Exception:
+            return None
+    return _bmp_luma(payload)
+
+
+def _luma_features(width: int, height: int, luma: bytes) -> tuple[str, list[float]]:
+    """Real pixel statistics: content hash of the luma plane (layout-
+    and-container independent) + an 8-dim feature vector [mean, std,
+    min, max, dark fraction, light fraction, mean |row gradient|,
+    mean |col gradient|], all normalized to 0..1."""
+    n = len(luma)
+    mean = sum(luma) / n
+    var = sum((v - mean) ** 2 for v in luma) / n
+    dark = sum(1 for v in luma if v < 64) / n
+    light = sum(1 for v in luma if v >= 192) / n
+    rg = cg = 0
+    if width > 1:
+        rg = sum(
+            abs(luma[i] - luma[i - 1])
+            for y in range(height)
+            for i in range(y * width + 1, (y + 1) * width)
+        ) / (height * (width - 1))
+    if height > 1:
+        cg = sum(
+            abs(luma[i] - luma[i - width]) for i in range(width, n)
+        ) / (width * (height - 1))
+    vec = [
+        mean / 255.0, (var ** 0.5) / 255.0,
+        min(luma) / 255.0, max(luma) / 255.0,
+        dark, light, rg / 255.0, cg / 255.0,
+    ]
+    return hashlib.sha256(luma).hexdigest()[:16], [round(v, 6) for v in vec]
+
+
+def _decode(payload: bytes) -> dict:
+    """Codec stage: REAL where a from-scratch decoder exists, an
+    explicit deterministic stand-in elsewhere.
+
+    - media type / dimensions / frame count: real container parses for
+      all six formats (no codec needed);
+    - pixel plane: REAL for PNG and uncompressed BMP (feature hash =
+      content hash of the decoded luma, features = pixel statistics);
+    - JPEG/GIF/TIFF pixels and MP4 frames: payload-hash stand-in,
+      clearly marked — swap in PIL/ffmpeg on a cluster image and the
+      surrounding operator (schema, batching, partitioning) is
+      unchanged.
     """
     digest = hashlib.sha256(payload).digest()
     media_type, width, height, n_frames = "application/octet-stream", 0, 0, 0
@@ -248,6 +340,18 @@ def _fake_decode(payload: bytes) -> dict:
         if info:
             media_type, (width, height, n_frames) = mtype, info
             break
+    decoded = _image_luma(payload) if media_type.startswith("image/") else None
+    if decoded is not None:
+        w, h, luma = decoded
+        feature_hash, feature_vec = _luma_features(w, h, luma)
+        return {
+            "media_type": media_type,
+            "width": w,
+            "height": h,
+            "n_frames": n_frames or 1,
+            "feature_hash": feature_hash,
+            "feature_vec": feature_vec,
+        }
     if not n_frames:
         n_frames = 1 + digest[0] % 4
     feature_vec = [b / 255.0 for b in digest[:8]]
@@ -259,6 +363,10 @@ def _fake_decode(payload: bytes) -> dict:
         "feature_hash": digest.hex()[:16],
         "feature_vec": feature_vec,
     }
+
+
+# backwards-compatible name (tests/docs reference the stub explicitly)
+_fake_decode = _decode
 
 
 FRAME_SCHEMA = (
@@ -366,8 +474,10 @@ def extract_audio_features(df: DataFrame, payload_col: str = "html") -> DataFram
                     continue
                 payload = bytes(payload)
                 info = _wav_info(payload)
-                digest = hashlib.sha256(payload).hexdigest()[:16]
                 if info:
+                    # content hash of the PCM data (container-independent)
+                    off, size = info.pop("_data_span")
+                    digest = hashlib.sha256(payload[off : off + size]).hexdigest()[:16]
                     rows.append({"url": url, "feature_hash": digest, **info})
                 else:
                     rows.append(
@@ -379,7 +489,7 @@ def extract_audio_features(df: DataFrame, payload_col: str = "html") -> DataFram
                             "bits": None,
                             "n_samples": None,
                             "duration_s": None,
-                            "feature_hash": digest,
+                            "feature_hash": hashlib.sha256(payload).hexdigest()[:16],
                         }
                     )
             frame = pd.DataFrame(rows, columns=cols)

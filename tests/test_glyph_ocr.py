@@ -119,10 +119,17 @@ def test_engine_reads_back_every_font_character():
     assert conf == 100.0
 
 
-def test_engine_multiline_and_case_folding():
+def test_engine_multiline_and_case_exact():
     eng = GlyphOcrEngine()
-    got, conf = eng.recognize(render_text_png("Hello World\nline 2"))
-    assert got == "HELLO WORLD\nLINE 2"
+    got, conf = eng.recognize(render_text_png("Hello World\nline 2, Mixed-Case."))
+    assert got == "Hello World\nline 2, Mixed-Case."
+    assert conf == 100.0
+
+
+def test_engine_multi_space_runs_preserved():
+    eng = GlyphOcrEngine()
+    got, conf = eng.recognize(render_text_png("a  b   c d"))
+    assert got == "a  b   c d"
     assert conf == 100.0
 
 

@@ -40,10 +40,26 @@ def test_image_ocr_mode_reference_png_routes_through_engine():
     assert row["ocr_skipped"] is False
 
 
-def test_pdf_ocr_mode_without_rasterizer_swallows():
-    # converter.py:213-225: rasterizer failure -> empty images, no pages
+def test_pdf_ocr_mode_runs_rasterize_recognize_loop():
+    # full loop: parse -> text-layer rasterize (glyph font) -> binarize
+    # -> segment -> recognize -> ordered page concat; output must clear
+    # the reference acceptance gate vs the NO_OCR text layer
+    from ocr_service_spark.functions.similarity_gate import lev_similarity
+
     pdf = (RES / "generic/pat_id_1.pdf").read_bytes()
     row = extract_document(pdf, "u.pdf", mode="OCR")
+    truth = extract_document(pdf, "u.pdf", mode="NO_OCR")
+    assert row["success"] is True
+    assert row["pages"] == truth["pages"] == 1
+    assert row["confidence"] == 100.0  # every glyph matched exactly
+    assert lev_similarity(row["extracted_text"], truth["extracted_text"]) >= 0.60
+    assert "Bart Davidson" in row["extracted_text"]
+    assert row["content_type"] == "application/pdf"
+
+
+def test_pdf_ocr_mode_corrupt_pdf_swallows():
+    # converter.py:213-225: rasterizer failure -> empty images, no pages
+    row = extract_document(b"%PDF-1.4 garbage with no xref", "u.pdf", mode="OCR")
     assert row["success"] is False
     assert row["extracted_text"] == ""
     assert row["pages"] is None

@@ -287,6 +287,7 @@ def test_wav_and_mp4_probes(spark):
     data = b"data" + struct.pack("<I", 16000) + b"\x00" * 16000
     wav = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
     info = _wav_info(wav)
+    assert info.pop("_data_span") == (44, 16000)  # PCM byte span for hashing
     assert info == {
         "media_type": "audio/wav", "channels": 2, "sample_rate": 8000,
         "bits": 16, "n_samples": 4000, "duration_s": 0.5,
@@ -356,3 +357,86 @@ def test_media_probes_never_crash_on_junk():
         _wav_info(payload)  # must not raise
 
     run()
+
+
+def test_png_pixel_decode_is_real():
+    """PNG features come from the decoded luma plane, not the payload
+    hash: re-encoding the same pixels into a byte-different container
+    must give the SAME feature hash and statistics."""
+    import zlib
+
+    from ocr_service_spark.extraction.png_codec import encode_png_gray
+    from ocr_service_spark.operators.multimodal import _decode
+
+    px = bytes([0, 255, 128, 64])  # 2x2
+    a = encode_png_gray(2, 2, px)
+    # same pixels, different container bytes (recompress level 0)
+    b_raw = b"\x00" + px[:2] + b"\x00" + px[2:]
+    import struct as st
+
+    def chunk(t, body):
+        return st.pack(">I", len(body)) + t + body + st.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+
+    b = (b"\x89PNG\r\n\x1a\n"
+         + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(b_raw, 0))
+         + chunk(b"IEND", b""))
+    assert a != b
+    ma, mb = _decode(a), _decode(b)
+    assert ma["feature_hash"] == mb["feature_hash"]
+    assert ma["feature_vec"] == mb["feature_vec"]
+    assert (ma["width"], ma["height"]) == (2, 2)
+    # mean of [0,255,128,64] = 111.75 -> 0.438235...
+    assert abs(ma["feature_vec"][0] - 111.75 / 255.0) < 1e-6
+    assert ma["feature_vec"][2] == 0.0 and ma["feature_vec"][3] == 1.0
+
+
+def test_bmp_pixel_decode_is_real():
+    import struct as st
+
+    from ocr_service_spark.operators.multimodal import _bmp_luma, _decode
+
+    # 2x2 24-bit bottom-up BMP: rows padded to 8 bytes
+    # bottom row (y=1 in image coords written first): white, black
+    # top row: red, green
+    def px(b, g, r):
+        return bytes([b, g, r])
+
+    rows = px(0, 0, 255) + px(0, 255, 0) + b"\x00\x00"   # file row 0 = image top? no: bottom-up -> this is image BOTTOM
+    rows2 = px(255, 255, 255) + px(0, 0, 0) + b"\x00\x00"
+    data = rows + rows2
+    hdr = (b"BM" + st.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+           + st.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 0, 0, 0, 0))
+    bmp = hdr + data
+    w, h, luma = _bmp_luma(bmp)
+    assert (w, h) == (2, 2)
+    # bottom-up: file row order is bottom first -> image top = rows2
+    assert list(luma) == [255, 0, 76, 149]  # white, black / red, green lumas
+    meta = _decode(bmp)
+    assert meta["media_type"] == "image/bmp"
+    assert meta["feature_vec"][2] == 0.0 and meta["feature_vec"][3] == 1.0
+
+
+def test_wav_feature_hash_is_pcm_content_hash(spark):
+    """Two WAVs with identical PCM but different trailing metadata
+    chunks hash identically; different PCM hashes differently."""
+    import struct as st
+
+    from ocr_service_spark.operators.multimodal import extract_audio_features
+
+    def wav(pcm, extra=b""):
+        fmt = b"fmt " + st.pack("<I", 16) + st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        data = b"data" + st.pack("<I", len(pcm)) + pcm
+        body = b"WAVE" + fmt + data + extra
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    pcm1 = st.pack("<4h", 0, 1000, -1000, 32767)
+    pcm2 = st.pack("<4h", 0, 1000, -1000, 32000)
+    rows = [("a", bytearray(wav(pcm1))),
+            ("b", bytearray(wav(pcm1, extra=b"LIST\x04\x00\x00\x00INFO"))),
+            ("c", bytearray(wav(pcm2)))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in extract_audio_features(df).collect()}
+    assert out["a"]["feature_hash"] == out["b"]["feature_hash"]
+    assert out["a"]["feature_hash"] != out["c"]["feature_hash"]
+    assert out["a"]["n_samples"] == 4
