@@ -38,6 +38,7 @@ from ocr_service_spark.operators import (  # noqa: E402
     relational,
     roundtrip,
     similarity,
+    stream_queries,
     temporal,
     text_stats,
 )
@@ -259,6 +260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q43_ocr_mode_stats"] = _q43_ocr_mode_stats
     out["q56_resume_roundtrip"] = _q56_resume_roundtrip
     out["q57_compaction_roundtrip"] = _q57_compaction_roundtrip
+    for name, fn in stream_queries.QUERIES.items():  # q58 q59 (real streams)
+        out[name] = _wrap(fn)
     # -- single-format extraction roundtrips
     for name, fn in roundtrip.QUERIES.items():  # q30 q44 q48 q31 q32 q33
         out[name] = _wrap(fn)
@@ -268,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_lsh_ann_buckets",  # sub-stage of q19
         "q24_ivf_cells",  # sub-stage of q25
         "q04_priority_counts", "q05_events_daily", "q09_customer_set_ops",
+        # same-module shapes as q11/q53, both of which stay in the window
+        "q12_quality_buckets", "q29_top_terms",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity):
         for name, fn in mod.QUERIES.items():
@@ -291,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(roundtrip.ORACLES)
     out.update(main_content.ORACLES)
+    out.update(stream_queries.ORACLES)
     # q40/q41/q42 are deterministic end-to-end (NO_OCR tier, seeded
     # corpora, deterministic fake media decoder); their expected outputs
     # are committed, reviewed golden tables (tools/gen_expected.py) the

@@ -1,0 +1,162 @@
+"""Structured Streaming under the driver's DuckDB oracle gate.
+
+Streaming correctness was previously pytest-only; these two queries
+run REAL streams (file source -> availableNow drain -> parquet sink,
+exactly-once checkpointing) whose final output is closed-form:
+
+- q58: the streaming extraction backfill over html-wrapped documents
+  must produce byte-identical results to the batch job — the oracle is
+  the same closed-form transform q30 uses.
+- q59: the stateful gap sessionizer (applyInPandasWithState, event-time
+  timeout). With all events in ONE micro-batch, the emitted set is
+  exactly: every non-final session of a user (closed inline by the gap
+  split) plus each user's final session iff the end-of-stream watermark
+  (max event time - 10 s) strictly passed its last event + the 30 min
+  gap — which a window-function oracle expresses directly. This pins
+  the one semantics a stateless window cannot: which sessions the
+  TIMEOUT has closed by end of stream.
+
+Both write under a deterministic /tmp scratch dir that is cleared at
+the start of each invocation (results must outlive the function —
+the driver collects the returned DataFrame lazily).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_service_spark.streaming.stream_job import (
+    SESSION_GAP_MIN,
+    stream_user_sessions,
+)
+
+_HTML_FMT = "<!DOCTYPE html>\n<html><head><title>t</title></head><body><p>%s</p></body></html>"
+
+
+def q58_stream_extract_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_service_spark.streaming.stream_job import start_extraction_stream
+
+    base = f"/tmp/ocr_spark_q58_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir, results_dir, ckpt = f"{base}/pages", f"{base}/results", f"{base}/ckpt"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.format_string("doc://%s.html", F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(F.format_string(_HTML_FMT, F.col("text")), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    # several files -> several micro-batches: the drain must compose
+    # batches correctly, not just pass one batch through
+    pages.repartition(24).write.parquet(pages_dir)
+
+    q = start_extraction_stream(spark, pages_dir, results_dir, ckpt, available_now=True)
+    q.awaitTermination(600)
+
+    results = spark.read.parquet(results_dir)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return results.select(
+        doc_id.alias("doc_id"),
+        "extracted_text",
+        "content_type",
+        "pages",
+        "success",
+        "doc_class",
+    )
+
+
+def q59_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"/tmp/ocr_spark_q59_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir, out_dir, ckpt = f"{base}/events", f"{base}/sessions", f"{base}/ckpt"
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    # ONE file -> one data micro-batch: every gap split happens inline
+    # and only each user's final session reaches the state store, so
+    # the trailing no-data batch's timeout sweep is the single
+    # watermark comparison the oracle mirrors
+    events.coalesce(1).write.parquet(events_dir)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(events_dir)
+    )
+    q = (
+        stream_user_sessions(stream, watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    return (
+        spark.read.parquet(out_dir)
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "closed_by_timeout")
+    )
+
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+_GAP_MS = SESSION_GAP_MIN * 60 * 1_000
+
+ORACLES: dict[str, str] = {
+    "q58_stream_extract_backfill": """
+        SELECT doc_id, 't' || chr(10) || trim(text) AS extracted_text,
+               'text/html' AS content_type, 1 AS pages, TRUE AS success,
+               'html' AS doc_class
+        FROM documents
+    """,
+    "q59_stream_sessions": f"""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us FROM events
+        ),
+        wm AS (
+            SELECT max(epoch_ms(ts)) - 10000 AS wm_ms FROM events
+        ),
+        d AS (
+            SELECT user_id, us,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > {_GAP_US}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ),
+        s AS (
+            SELECT user_id, us,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM d
+        ),
+        g AS (
+            SELECT user_id, sid,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us,
+                   count(*) AS n_events
+            FROM s GROUP BY 1, 2
+        ),
+        last_s AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1)
+        SELECT g.user_id,
+               CAST(session_start_us AS BIGINT) AS session_start_us,
+               CAST(session_end_us AS BIGINT) AS session_end_us,
+               CAST(n_events AS BIGINT) AS n_events,
+               (g.sid = l.last_sid) AS closed_by_timeout
+        FROM g JOIN last_s l USING (user_id), wm
+        WHERE g.sid <> l.last_sid
+           OR (session_end_us // 1000 + {_GAP_MS} < wm_ms)
+    """,
+}
+
+QUERIES = {
+    "q58_stream_extract_backfill": q58_stream_extract_backfill,
+    "q59_stream_sessions": q59_stream_sessions,
+}
