@@ -440,3 +440,91 @@ def test_wav_feature_hash_is_pcm_content_hash(spark):
     assert out["a"]["feature_hash"] == out["b"]["feature_hash"]
     assert out["a"]["feature_hash"] != out["c"]["feature_hash"]
     assert out["a"]["n_samples"] == 4
+
+
+def test_gif_pixel_decode_is_real():
+    import struct as st
+
+    from ocr_service_spark.operators.multimodal import _decode, _gif_luma
+
+    # palette: 0 -> white, 1 -> black, 2 -> red, 3 -> green
+    pal = bytes([255, 255, 255, 0, 0, 0, 255, 0, 0, 0, 255, 0])
+    # pixel indices [0,1,2,3] encoded with the trivial CLEAR-before-
+    # every-code LZW scheme (min_code_size=2 -> clear=4, end=5, 3-bit codes)
+    codes = [4, 0, 4, 1, 4, 2, 4, 3, 5]
+    bits = []
+    for c in codes:
+        bits += [(c >> i) & 1 for i in range(3)]
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    lzw = bytes([2]) + bytes([len(data)]) + bytes(data) + b"\x00"
+    gif = (b"GIF89a" + st.pack("<HH", 2, 2) + bytes([0x81, 0, 0]) + pal
+           + b"\x2c" + st.pack("<HHHH", 0, 0, 2, 2) + b"\x00" + lzw + b"\x3b")
+    w, h, luma = _gif_luma(gif)
+    assert (w, h) == (2, 2)
+    assert list(luma) == [255, 0, 76, 149]
+    meta = _decode(gif)
+    assert meta["media_type"] == "image/gif"
+    assert meta["feature_vec"][2] == 0.0 and meta["feature_vec"][3] == 1.0
+
+
+def test_gif_lzw_dictionary_growth_and_width_bump():
+    from ocr_service_spark.operators.multimodal import _gif_lzw
+
+    # codes [CLEAR,0,1,6,END], min_code_size=2: code 6 is the entry the
+    # decoder built one step earlier ([0,1]); after adding code 7 the
+    # width bumps to 4 bits, so END is read at the new width
+    bits = []
+    for c, width in ((4, 3), (0, 3), (1, 3), (6, 3), (5, 4)):
+        bits += [(c >> i) & 1 for i in range(width)]
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        data.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    out = _gif_lzw(bytes(data), 2, 4)
+    assert list(out) == [0, 1, 0, 1]
+
+
+def test_tiff_pixel_decode_is_real():
+    import struct as st
+
+    from ocr_service_spark.operators.multimodal import _decode, _tiff_luma
+
+    def tiff(entries, tail, e="<"):
+        n = len(entries)
+        ifd = st.pack(e + "H", n)
+        for tag, typ, cnt, val in entries:
+            ifd += st.pack(e + "HHI", tag, typ, cnt)
+            ifd += st.pack(e + "H", val) + b"\x00\x00" if typ == 3 else st.pack(e + "I", val)
+        ifd += st.pack(e + "I", 0)
+        return (b"II*\x00" if e == "<" else b"MM\x00*") + st.pack(e + "I", 8) + ifd + tail
+
+    # 2x2 gray, one strip right after the IFD (8 + 2 + 6*12 + 4 = 86)
+    px = bytes([10, 200, 30, 250])
+    t = tiff(
+        [(256, 3, 1, 2), (257, 3, 1, 2), (259, 3, 1, 1),
+         (273, 4, 1, 86), (277, 3, 1, 1), (279, 4, 1, 4)], px)
+    w, h, luma = _tiff_luma(t)
+    assert (w, h, list(luma)) == (2, 2, [10, 200, 30, 250])
+    meta = _decode(t)
+    assert meta["media_type"] == "image/tiff"
+    assert meta["feature_hash"] != "0" * 16
+
+    # WhiteIsZero inverts
+    t0 = tiff(
+        [(256, 3, 1, 2), (257, 3, 1, 2), (259, 3, 1, 1), (262, 3, 1, 0),
+         (273, 4, 1, 98), (277, 3, 1, 1), (279, 4, 1, 4)], px)
+    assert list(_tiff_luma(t0)[2]) == [245, 55, 225, 5]
+
+    # RGB 2x1, big-endian (6 IFD entries -> strip at 8 + 2 + 6*12 + 4 = 86)
+    rgb = bytes([255, 0, 0, 0, 255, 0])
+    t2 = tiff(
+        [(256, 3, 1, 2), (257, 3, 1, 1), (259, 3, 1, 1),
+         (273, 4, 1, 86), (277, 3, 1, 3), (279, 4, 1, 6)], rgb, e=">")
+    assert list(_tiff_luma(t2)[2]) == [76, 149]
+
+    # compressed TIFF refuses (no silent garbage)
+    tc = tiff(
+        [(256, 3, 1, 2), (257, 3, 1, 2), (259, 3, 1, 5),
+         (273, 4, 1, 86), (277, 3, 1, 1), (279, 4, 1, 4)], px)
+    assert _tiff_luma(tc) is None
