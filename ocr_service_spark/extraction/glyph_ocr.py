@@ -227,14 +227,14 @@ class GlyphOcrEngine:
     docstring). Satisfies the OcrEngine protocol."""
 
     def recognize(self, image_bytes: bytes) -> tuple[str, float]:
-        from ocr_service_spark.extraction.png_codec import decode_png_gray
+        from ocr_service_spark.extraction.image_codecs import decode_image_luma
 
-        try:
-            width, height, luma = decode_png_gray(image_bytes)
-        except Exception:
-            # non-PNG or malformed input: the empty-page contract
-            # (reference ocr_engine.py:37 — denominator max(len,1) -> 0.0)
+        decoded = decode_image_luma(image_bytes)
+        if decoded is None:
+            # undecodable input: the empty-page contract (reference
+            # ocr_engine.py:37 — denominator max(len,1) -> 0.0)
             return "", 0.0
+        width, height, luma = decoded
         ink = [luma[i] < 128 for i in range(width * height)]
         row_has = [any(ink[y * width : (y + 1) * width]) for y in range(height)]
 

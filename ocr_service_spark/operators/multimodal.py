@@ -9,16 +9,15 @@ Decode reality by format (`_decode`):
 
 - container metadata (type, dimensions, page/frame counts): REAL
   public-spec parses for PNG/JPEG/GIF/BMP/TIFF/MP4/WAV;
-- pixel planes: REAL for PNG (from-scratch codec in
-  extraction/png_codec.py), uncompressed BMP, GIF (from-scratch LZW,
-  palette, interlace) and uncompressed TIFF (strips, both byte
-  orders) — feature hash is a content hash of the decoded luma,
-  features are pixel statistics; WAV feature hash is a content hash
-  of the PCM data chunk;
-- JPEG pixels and MP4 frames: deterministic payload-hash
-  stand-in, clearly marked — swap in PIL/ffmpeg on a cluster image and
-  nothing else changes: schema, batching, partitioning and tests are
-  the production shapes.
+- pixel planes: REAL for PNG, baseline JPEG, uncompressed BMP, GIF
+  (LZW) and uncompressed TIFF via extraction/image_codecs.py (all
+  from-scratch, no native libraries) — feature hash is a content hash
+  of the decoded luma, features are pixel statistics; WAV feature
+  hash is a content hash of the PCM data chunk;
+- progressive JPEG, compressed TIFF and MP4 frames: deterministic
+  payload-hash stand-in, clearly marked — swap in PIL/ffmpeg on a
+  cluster image and nothing else changes: schema, batching,
+  partitioning and tests are the production shapes.
 """
 
 from __future__ import annotations
@@ -240,252 +239,13 @@ _DIMENSION_PARSERS = (
 )
 
 
-def _bmp_luma(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Real pixel decode for uncompressed BMP (24/32-bit BGR(A) and
-    8-bit palette), BITMAPINFOHEADER, bottom-up or top-down rows."""
-    if payload[:2] != b"BM" or len(payload) < 54:
-        return None
-    data_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size = struct.unpack_from("<I", payload, 14)[0]
-    if hdr_size < 40:
-        return None
-    width, height = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0 or bpp not in (8, 24, 32) or width <= 0 or height == 0:
-        return None
-    top_down = height < 0
-    height = abs(height)
-    palette = None
-    if bpp == 8:
-        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
-        pal_off = 14 + hdr_size
-        palette = payload[pal_off : pal_off + 4 * n_colors]
-    row_stride = ((width * bpp + 31) // 32) * 4
-    if data_off + row_stride * height > len(payload):
-        return None
-    luma = bytearray(width * height)
-    for y in range(height):
-        src_y = y if top_down else height - 1 - y
-        base = data_off + src_y * row_stride
-        for x in range(width):
-            if bpp == 8:
-                i = 4 * payload[base + x]
-                b, g, r = palette[i], palette[i + 1], palette[i + 2]
-            else:
-                o = base + x * (bpp // 8)
-                b, g, r = payload[o], payload[o + 1], payload[o + 2]
-            luma[y * width + x] = (299 * r + 587 * g + 114 * b) // 1000
-    return width, height, bytes(luma)
-
-
-def _gif_lzw(data: bytes, min_code_size: int, max_pixels: int) -> bytes | None:
-    """GIF-variant LZW decode (LSB-first variable-width codes, CLEAR /
-    END control codes, dictionary growth to 12 bits)."""
-    clear = 1 << min_code_size
-    end = clear + 1
-    code_size = min_code_size + 1
-    base = {i: bytes([i]) for i in range(clear)}
-    table = dict(base)
-    next_code = end + 1
-    out = bytearray()
-    prev: int | None = None
-    bitpos, nbits = 0, len(data) * 8
-    while len(out) < max_pixels:
-        if bitpos + code_size > nbits:
-            break
-        code = 0
-        for i in range(code_size):
-            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
-        bitpos += code_size
-        if code == end:
-            break
-        if code == clear:
-            table = dict(base)
-            next_code = end + 1
-            code_size = min_code_size + 1
-            prev = None
-            continue
-        if prev is None:
-            entry = table.get(code)
-            if entry is None:
-                return None
-            out += entry
-            prev = code
-            continue
-        if code in table:
-            entry = table[code]
-        elif code == next_code:
-            entry = table[prev] + table[prev][:1]
-        else:
-            return None
-        out += entry
-        if next_code < 4096:
-            table[next_code] = table[prev] + entry[:1]
-            next_code += 1
-            if next_code == (1 << code_size) and code_size < 12:
-                code_size += 1
-        prev = code
-    return bytes(out[:max_pixels]) if len(out) >= max_pixels else None
-
-
-def _gif_luma(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Real pixel decode for GIF (LZW, palette, optional interlace);
-    first frame only — later frames are deltas a feature extractor
-    doesn't need."""
-    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
-        return None
-    flags = payload[10]
-    pos = 13
-    gct = None
-    if flags & 0x80:
-        n = 2 << (flags & 7)
-        gct = payload[pos : pos + 3 * n]
-        pos += 3 * n
-    while pos < len(payload):
-        marker = payload[pos]
-        if marker == 0x21:  # extension: label byte + sub-blocks
-            pos += 2
-            while pos < len(payload) and payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
-        elif marker == 0x2C:  # image descriptor
-            if pos + 10 > len(payload):
-                return None
-            _ix, _iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
-            lflags = payload[pos + 9]
-            pos += 10
-            pal = gct
-            if lflags & 0x80:
-                n = 2 << (lflags & 7)
-                pal = payload[pos : pos + 3 * n]
-                pos += 3 * n
-            if pal is None or pos >= len(payload) or not iw or not ih:
-                return None
-            min_code_size = payload[pos]
-            pos += 1
-            data = bytearray()
-            while pos < len(payload) and payload[pos] != 0:
-                sz = payload[pos]
-                data += payload[pos + 1 : pos + 1 + sz]
-                pos += 1 + sz
-            idx = _gif_lzw(bytes(data), min_code_size, iw * ih)
-            if idx is None:
-                return None
-            if lflags & 0x40:  # Adam-free GIF interlace: 4 row passes
-                order = (
-                    list(range(0, ih, 8)) + list(range(4, ih, 8))
-                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
-                )
-                rows = [idx[r * iw : (r + 1) * iw] for r in range(ih)]
-                deinter = [None] * ih
-                for src, dst in enumerate(order):
-                    deinter[dst] = rows[src]
-                idx = b"".join(deinter)
-            luma = bytearray(iw * ih)
-            for p in range(iw * ih):
-                i = 3 * idx[p]
-                if i + 2 >= len(pal):
-                    return None
-                r, g, b = pal[i], pal[i + 1], pal[i + 2]
-                luma[p] = (299 * r + 587 * g + 114 * b) // 1000
-            return iw, ih, bytes(luma)
-        else:  # trailer or junk before any image
-            return None
-    return None
-
-
-def _tiff_luma(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Real pixel decode for uncompressed TIFF (Compression=1, 8 bits
-    per sample, gray or RGB, strip layout, both byte orders)."""
-    if payload[:4] == b"II*\x00":
-        e = "<"
-    elif payload[:4] == b"MM\x00*":
-        e = ">"
-    else:
-        return None
-    off = struct.unpack_from(e + "I", payload, 4)[0]
-    if not off or off + 2 > len(payload):
-        return None
-    n = struct.unpack_from(e + "H", payload, off)[0]
-    if off + 2 + n * 12 + 4 > len(payload):
-        return None
-    tags: dict[int, tuple[int, int, int]] = {}  # tag -> (type, count, value_off)
-    for i in range(n):
-        entry = off + 2 + i * 12
-        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, entry)
-        tags[tag] = (typ, cnt, entry + 8)
-
-    def vals(tag: int, default=None) -> list[int] | None:
-        if tag not in tags:
-            return default
-        typ, cnt, voff = tags[tag]
-        size = {3: 2, 4: 4}.get(typ)
-        if size is None:
-            return None
-        if cnt * size > 4:
-            voff = struct.unpack_from(e + "I", payload, voff)[0]
-        fmt = e + ("H" if typ == 3 else "I")
-        if voff + cnt * size > len(payload):
-            return None
-        return [struct.unpack_from(fmt, payload, voff + k * size)[0] for k in range(cnt)]
-
-    def one(tag: int, default=None):
-        v = vals(tag, None)
-        return v[0] if v else default
-
-    width, height = one(256), one(257)
-    if not width or not height:
-        return None
-    if one(259, 1) != 1:  # Compression: uncompressed only
-        return None
-    spp = one(277, 1)
-    bits = vals(258, [8])
-    if spp not in (1, 3) or bits is None or any(b != 8 for b in bits[:spp]):
-        return None
-    offsets = vals(273)
-    counts = vals(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        return None
-    data = bytearray()
-    for o, c in zip(offsets, counts):
-        if o + c > len(payload):
-            return None
-        data += payload[o : o + c]
-    if len(data) < width * height * spp:
-        return None
-    luma = bytearray(width * height)
-    if spp == 1:
-        luma[:] = data[: width * height]
-        if one(262, 1) == 0:  # PhotometricInterpretation WhiteIsZero
-            luma = bytearray(255 - v for v in luma)
-    else:
-        for p in range(width * height):
-            r, g, b = data[3 * p], data[3 * p + 1], data[3 * p + 2]
-            luma[p] = (299 * r + 587 * g + 114 * b) // 1000
-    return width, height, bytes(luma)
-
-
-def _image_luma(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Real pixel plane for the codecs buildable from scratch: PNG (via
-    extraction/png_codec), uncompressed BMP, GIF (LZW) and uncompressed
-    TIFF. JPEG's DCT entropy coding stays header-only until a codec
-    library is present."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        try:
-            from ocr_service_spark.extraction.png_codec import decode_png_gray
-
-            return decode_png_gray(payload)
-        except Exception:
-            return None
-    for decoder in (_bmp_luma, _gif_luma, _tiff_luma):
-        try:
-            out = decoder(payload)
-        except Exception:
-            out = None
-        if out is not None:
-            return out
-    return None
+from ocr_service_spark.extraction.image_codecs import (  # noqa: E402
+    _bmp_luma,
+    _gif_luma,
+    _gif_lzw,
+    _tiff_luma,
+    decode_image_luma as _image_luma,
+)
 
 
 def _luma_features(width: int, height: int, luma: bytes) -> tuple[str, list[float]]:
@@ -523,9 +283,11 @@ def _decode(payload: bytes) -> dict:
 
     - media type / dimensions / frame count: real container parses for
       all six formats (no codec needed);
-    - pixel plane: REAL for PNG and uncompressed BMP (feature hash =
-      content hash of the decoded luma, features = pixel statistics);
-    - JPEG/GIF/TIFF pixels and MP4 frames: payload-hash stand-in,
+    - pixel plane: REAL for PNG / baseline JPEG / uncompressed BMP /
+      GIF / uncompressed TIFF (feature hash = content hash of the
+      decoded luma, features = pixel statistics);
+    - progressive JPEG, compressed TIFF and MP4 frames: payload-hash
+      stand-in,
       clearly marked — swap in PIL/ffmpeg on a cluster image and the
       surrounding operator (schema, batching, partitioning) is
       unchanged.
