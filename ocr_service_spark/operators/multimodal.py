@@ -382,27 +382,41 @@ def sample_frames(
 def resize_images(
     df: DataFrame, payload_col: str = "html", target: tuple[int, int] = (224, 224)
 ) -> DataFrame:
-    """Resize plumbing: (url, binary) -> (url, resized binary, dims).
-    STUB decode/resize (PIL absent): emits the original bytes with the
-    target dims recorded — schema, batching and the UDF signature are
-    what a PIL `Image.resize` drop-in needs."""
+    """REAL resize for every decodable format (the standard vision
+    preprocessing step): decode to luma via the from-scratch codec
+    ladder, box-filter resample to the target, re-encode as grayscale
+    PNG. Undecodable payloads pass through unchanged with NULL dims —
+    downstream filters on ``width IS NOT NULL``."""
+    from ocr_service_spark.extraction.image_codecs import box_resize_luma, decode_image_luma
+    from ocr_service_spark.extraction.png_codec import encode_png_gray
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            rows = [
-                {
-                    "url": url,
-                    "resized": bytes(payload),
-                    "width": target[0],
-                    "height": target[1],
-                }
-                for url, payload in zip(batch["url"], batch["payload"])
-                if payload is not None
-            ]
+            rows = []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                decoded = decode_image_luma(payload)
+                if decoded is None:
+                    rows.append(
+                        {"url": url, "resized": payload, "width": None, "height": None}
+                    )
+                    continue
+                w, h, luma = decoded
+                out = box_resize_luma(w, h, luma, target[0], target[1])
+                rows.append(
+                    {
+                        "url": url,
+                        "resized": encode_png_gray(target[0], target[1], out),
+                        "width": target[0],
+                        "height": target[1],
+                    }
+                )
             frame = pd.DataFrame(rows, columns=["url", "resized", "width", "height"])
             if len(frame):
-                frame["width"] = frame["width"].astype("int32")
-                frame["height"] = frame["height"].astype("int32")
+                frame["width"] = frame["width"].astype("Int32")
+                frame["height"] = frame["height"].astype("Int32")
             yield frame
 
     narrowed = df.select("url", F.col(payload_col).alias("payload"))

@@ -149,3 +149,41 @@ def test_engine_degrades_gracefully_out_of_model():
     assert eng.recognize(b"GIF89a...") == ("", 0.0)
     text, conf = eng.recognize(REF_PNG.read_bytes())
     assert isinstance(text, str) and 0 <= conf < 60
+
+
+def test_codec_ladder_never_crashes_on_fuzz():
+    """Truncations and bit-flips of valid images must yield a decoded
+    plane or None — never an uncaught exception — and the OCR engine
+    must uphold its ('', 0.0) contract on every undecodable input."""
+    import random
+
+    from ocr_service_spark.extraction.image_codecs import decode_image_luma
+    from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray
+
+    rng = random.Random(11)
+    px = bytes(rng.randrange(256) for _ in range(16 * 16))
+    seeds = [
+        render_text_png("FUZZ SEED"),
+        encode_jpeg_gray(16, 16, px),
+        b"GIF89a" + bytes(rng.randrange(256) for _ in range(64)),
+        b"II*\x00" + bytes(rng.randrange(256) for _ in range(64)),
+        b"BM" + bytes(rng.randrange(256) for _ in range(64)),
+    ]
+    eng = GlyphOcrEngine()
+    for seed in seeds:
+        for _ in range(40):
+            data = bytearray(seed)
+            op = rng.randrange(3)
+            if op == 0:
+                data = data[: rng.randrange(1, len(data))]
+            elif op == 1:
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            else:
+                for _ in range(8):
+                    data[rng.randrange(len(data))] = rng.randrange(256)
+            out = decode_image_luma(bytes(data))
+            if out is not None:
+                w, h, luma = out
+                assert len(luma) == w * h
+            text, conf = eng.recognize(bytes(data))
+            assert isinstance(text, str) and 0.0 <= conf <= 100.0

@@ -174,8 +174,34 @@ def test_frame_sampling_and_resize_plumbing(spark):
         assert nos == list(range(len(nos)))  # dense frame indices
         assert len({r["frame_hash"] for r in rows}) == len(rows)
     resized = resize_images(pages).collect()
-    assert all((r["width"], r["height"]) == (224, 224) for r in resized)
     assert len(resized) == 5
+    originals = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    for r in resized:
+        if r["width"] is not None:  # decodable -> real 224x224 gray PNG
+            assert (r["width"], r["height"]) == (224, 224)
+            assert bytes(r["resized"])[:8] == b"\x89PNG\r\n\x1a\n"
+        else:  # undecodable -> passthrough, flagged by NULL dims
+            assert bytes(r["resized"]) == originals[r["url"]]
+
+
+def test_resize_is_real_pixels(spark):
+    from ocr_service_spark.extraction.png_codec import decode_png_gray, encode_png_gray
+    from ocr_service_spark.operators.multimodal import resize_images
+
+    # 8x8 checkerboard of 0/255 in 2x2 blocks -> 4x4 resize averages
+    # each 2x2 block exactly
+    px = bytes(
+        (0 if ((x // 2) + (y // 2)) % 2 == 0 else 255) for y in range(8) for x in range(8)
+    )
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_png_gray(8, 8, px)))], "url string, html binary"
+    )
+    row = resize_images(df, target=(4, 4)).collect()[0]
+    w, h, out = decode_png_gray(bytes(row["resized"]))
+    assert (w, h) == (4, 4)
+    # each target pixel averages exactly one uniform 2x2 source block
+    expect = bytes((0 if (x + y) % 2 == 0 else 255) for y in range(4) for x in range(4))
+    assert list(out) == list(expect)
 
 
 def test_media_feature_plumbing(spark):
