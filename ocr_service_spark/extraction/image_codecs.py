@@ -249,28 +249,6 @@ def _tiff_luma(payload: bytes) -> tuple[int, int, bytes] | None:
     return width, height, bytes(luma)
 
 
-def _image_luma(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Real pixel plane for the codecs buildable from scratch: PNG (via
-    extraction/png_codec), uncompressed BMP, GIF (LZW) and uncompressed
-    TIFF. JPEG's DCT entropy coding stays header-only until a codec
-    library is present."""
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        try:
-            from ocr_service_spark.extraction.png_codec import decode_png_gray
-
-            return decode_png_gray(payload)
-        except Exception:
-            return None
-    for decoder in (_bmp_luma, _gif_luma, _tiff_luma):
-        try:
-            out = decoder(payload)
-        except Exception:
-            out = None
-        if out is not None:
-            return out
-    return None
-
-
 def decode_image_luma(payload: bytes) -> tuple[int, int, bytes] | None:
     """(width, height, row-major luma) for any from-scratch-decodable
     image format; None otherwise (e.g. progressive JPEG, LZW TIFF)."""

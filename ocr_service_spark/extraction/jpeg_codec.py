@@ -75,18 +75,23 @@ class _BitReader:
     def _fill(self) -> bool:
         if self.marker is not None:
             return False
-        if self.pos >= len(self.data):
-            return False
-        b = self.data[self.pos]
-        if b == 0xFF:
+        while True:
+            if self.pos >= len(self.data):
+                return False
+            b = self.data[self.pos]
+            if b != 0xFF:
+                self.pos += 1
+                break
             nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
             if nxt == 0x00:
                 self.pos += 2
-            else:
-                self.marker = nxt
-                return False
-        else:
-            self.pos += 1
+                break
+            if nxt == 0xFF:
+                # T.81 B.1.1.2: optional fill byte before a marker
+                self.pos += 1
+                continue
+            self.marker = nxt
+            return False
         self.bits = (self.bits << 8) | b
         self.nbits += 8
         return True
@@ -107,9 +112,9 @@ class _BitReader:
         self.bits = 0
         self.nbits = 0
         if self.marker is None:
-            # scan forward to the marker
+            # scan forward to the marker (0xFF 0xFF = fill byte, keep going)
             while self.pos + 1 < len(self.data):
-                if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                if self.data[self.pos] == 0xFF and self.data[self.pos + 1] not in (0x00, 0xFF):
                     self.marker = self.data[self.pos + 1]
                     self.pos += 2
                     break
@@ -172,6 +177,8 @@ def decode_jpeg_gray(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, in
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError("marker desync")
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes between segments
         marker = data[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
@@ -248,50 +255,87 @@ def decode_jpeg_gray(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, in
 
     reader = _BitReader(data, pos)
     dc_pred = {c["id"]: 0 for c in comps}
+
+    def decode_unit(dc_t: dict, ac_t: dict, q: list[int], cid: int) -> list[float]:
+        coef = [0.0] * 64
+        ssss = reader.decode_huff(dc_t)
+        diff = _extend(reader.receive(ssss), ssss)
+        dc_pred[cid] += diff
+        coef[0] = dc_pred[cid] * q[0]
+        k = 1
+        while k < 64:
+            rs = reader.decode_huff(ac_t)
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise JpegError("AC run past block end")
+            coef[ZIGZAG[k]] = _extend(reader.receive(size), size) * q[k]
+            k += 1
+        return coef
+
     mcu_count = 0
     rst_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_and_expect_rst(rst_n)
-                rst_n = (rst_n + 1) & 7
-                dc_pred = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            for s in scan:
-                comp = by_id[s["id"]]
-                dc_t = huff.get((0, s["dc"]))
-                ac_t = huff.get((1, s["ac"]))
-                q = qt.get(comp["tq"])
-                if dc_t is None or ac_t is None or q is None:
-                    raise JpegError("missing table")
-                for bv in range(comp["v"]):
-                    for bh in range(comp["h"]):
-                        coef = [0.0] * 64
-                        ssss = reader.decode_huff(dc_t)
-                        diff = _extend(reader.receive(ssss), ssss)
-                        dc_pred[comp["id"]] += diff
-                        coef[0] = dc_pred[comp["id"]] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(ac_t)
-                            r, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            coef[ZIGZAG[k]] = _extend(reader.receive(size), size) * q[k]
-                            k += 1
-                        if comp is y_comp:
-                            px = _idct_block(coef)
-                            x0 = (mx * comp["h"] + bh) * 8
-                            y0 = (my * comp["v"] + bv) * 8
-                            for row in range(8):
-                                dst = (y0 + row) * yw + x0
-                                yplane[dst : dst + 8] = bytes(px[row * 8 : row * 8 + 8])
+
+    def maybe_restart() -> None:
+        nonlocal mcu_count, rst_n, dc_pred
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            reader.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
+            dc_pred = {c["id"]: 0 for c in comps}
+        mcu_count += 1
+
+    if len(scan) == 1:
+        # T.81 A.2: a single-component scan is non-interleaved — data
+        # units iterate in plain raster order over the component's own
+        # ceil(cw/8) x ceil(ch/8) grid regardless of its declared
+        # sampling factors (one data unit per "MCU", incl. for restart)
+        s0 = scan[0]
+        comp = by_id[s0["id"]]
+        if comp is not y_comp:
+            raise JpegError("first scan is not the luma component")
+        dc_t, ac_t, q = huff.get((0, s0["dc"])), huff.get((1, s0["ac"])), qt.get(comp["tq"])
+        if dc_t is None or ac_t is None or q is None:
+            raise JpegError("missing table")
+        cw = -(-(w * comp["h"]) // hmax)
+        ch = -(-(h * comp["v"]) // vmax)
+        if cw != w or ch != h:
+            raise JpegError("subsampled luma component")
+        yw = -(-w // 8) * 8
+        yplane = bytearray(yw * (-(-h // 8) * 8))
+        for byi in range(-(-h // 8)):
+            for bxi in range(-(-w // 8)):
+                maybe_restart()
+                px = _idct_block(decode_unit(dc_t, ac_t, q, comp["id"]))
+                x0, y0 = bxi * 8, byi * 8
+                for row in range(8):
+                    dst = (y0 + row) * yw + x0
+                    yplane[dst : dst + 8] = bytes(px[row * 8 : row * 8 + 8])
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for s in scan:
+                    comp = by_id[s["id"]]
+                    dc_t = huff.get((0, s["dc"]))
+                    ac_t = huff.get((1, s["ac"]))
+                    q = qt.get(comp["tq"])
+                    if dc_t is None or ac_t is None or q is None:
+                        raise JpegError("missing table")
+                    for bv in range(comp["v"]):
+                        for bh in range(comp["h"]):
+                            coef = decode_unit(dc_t, ac_t, q, comp["id"])
+                            if comp is y_comp:
+                                px = _idct_block(coef)
+                                x0 = (mx * comp["h"] + bh) * 8
+                                y0 = (my * comp["v"] + bv) * 8
+                                for row in range(8):
+                                    dst = (y0 + row) * yw + x0
+                                    yplane[dst : dst + 8] = bytes(px[row * 8 : row * 8 + 8])
     # crop the padded plane to the true dimensions
     luma = bytearray(w * h)
     for row in range(h):

@@ -244,7 +244,7 @@ from ocr_service_spark.extraction.image_codecs import (  # noqa: E402
     _gif_luma,
     _gif_lzw,
     _tiff_luma,
-    decode_image_luma as _image_luma,
+    decode_image_luma,
 )
 
 
@@ -299,7 +299,7 @@ def _decode(payload: bytes) -> dict:
         if info:
             media_type, (width, height, n_frames) = mtype, info
             break
-    decoded = _image_luma(payload) if media_type.startswith("image/") else None
+    decoded = decode_image_luma(payload) if media_type.startswith("image/") else None
     if decoded is not None:
         w, h, luma = decoded
         feature_hash, feature_vec = _luma_features(w, h, luma)

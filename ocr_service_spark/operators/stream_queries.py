@@ -23,6 +23,8 @@ the driver collects the returned DataFrame lazily).
 
 from __future__ import annotations
 
+import hashlib
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,10 +38,28 @@ from ocr_service_spark.streaming.stream_job import (
 _HTML_FMT = "<!DOCTYPE html>\n<html><head><title>t</title></head><body><p>%s</p></body></html>"
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(tag, sf_dir, pid) scratch root. A stable md5
+    digest (not the process-salted builtin hash) means reruns reclaim
+    their predecessor's output, while the pid suffix keeps two
+    concurrent drivers on the same sf_dir from rmtree-ing each other's
+    live stream sink."""
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/ocr_spark_{tag}_{slug}_{os.getpid()}"
+
+
+def _drain(q) -> None:
+    """availableNow drains must finish; a partial sink read would feed
+    wrong rows to the oracle gate silently."""
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("availableNow stream drain exceeded 600s")
+
+
 def q58_stream_extract_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_service_spark.streaming.stream_job import start_extraction_stream
 
-    base = f"/tmp/ocr_spark_q58_{abs(hash(sf_dir)) % 10**8}"
+    base = _scratch_dir("q58", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     pages_dir, results_dir, ckpt = f"{base}/pages", f"{base}/results", f"{base}/ckpt"
 
@@ -56,7 +76,7 @@ def q58_stream_extract_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages.repartition(24).write.parquet(pages_dir)
 
     q = start_extraction_stream(spark, pages_dir, results_dir, ckpt, available_now=True)
-    q.awaitTermination(600)
+    _drain(q)
 
     results = spark.read.parquet(results_dir)
     doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
@@ -71,7 +91,7 @@ def q58_stream_extract_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q59_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = f"/tmp/ocr_spark_q59_{abs(hash(sf_dir)) % 10**8}"
+    base = _scratch_dir("q59", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     events_dir, out_dir, ckpt = f"{base}/events", f"{base}/sessions", f"{base}/ckpt"
 
@@ -96,7 +116,7 @@ def q59_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain(q)
 
     return (
         spark.read.parquet(out_dir)

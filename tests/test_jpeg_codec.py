@@ -91,3 +91,36 @@ def test_glyph_ocr_reads_jpeg_pages():
     got, conf = GlyphOcrEngine().recognize(encode_jpeg_gray(w, h, luma))
     assert got == text
     assert conf == 100.0
+
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    # between segments and inside the entropy stream before RST/EOI
+    from ocr_service_spark.extraction.jpeg_codec import _BitReader
+
+    px = bytes(((x * 5 + y * 3) % 256) for y in range(16) for x in range(16))
+    data = encode_jpeg_gray(16, 16, px)
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]  # fills after SOI
+    w, h, out = decode_jpeg_gray(padded)
+    assert (w, h) == (16, 16)
+    assert out == decode_jpeg_gray(data)[2]
+
+    r = _BitReader(b"\xff\xff\xff\xd0rest", 0)
+    r.align_and_expect_rst(0)  # fills before RST0 resolve to the marker
+    assert r.marker is None and r.pos == 4
+    r2 = _BitReader(b"\xff\xff\xff\xd9", 0)
+    assert r2._fill() is False and r2.marker == 0xD9
+
+
+def test_single_component_scan_with_sampling_factors_is_raster_order():
+    # T.81 A.2: a non-interleaved (one-component) scan iterates data
+    # units in ceil(w/8) x ceil(h/8) raster order even when the
+    # component declares sampling factors > 1 — the factors only matter
+    # for interleaved scans
+    px = bytes(((x * 7 + y * 13) % 256) for y in range(24) for x in range(24))
+    data = bytearray(encode_jpeg_gray(24, 24, px))
+    sof = bytes(data).index(b"\xff\xc0")
+    assert data[sof + 11] == 0x11  # sampling byte of the only component
+    data[sof + 11] = 0x22
+    w, h, out = decode_jpeg_gray(bytes(data))
+    assert (w, h) == (24, 24)
+    assert out == decode_jpeg_gray(encode_jpeg_gray(24, 24, px))[2]
