@@ -78,6 +78,19 @@ class TesseractEngine:
         return text, float(mean_conf)
 
 
+def engine_name() -> str:
+    """Identity slug of the engine the ladder would pick in this
+    environment ("tesseract" or "glyph"). Lets driver queries emit the
+    engine identity as a column, so a committed expected table is
+    self-explaining if it ever runs under a different engine."""
+    try:
+        import tesserocr  # noqa: F401, PLC0415
+
+        return "tesseract"
+    except Exception:
+        return "glyph"
+
+
 _ENGINE: OcrEngine | None = None
 
 
