@@ -238,6 +238,18 @@ class GlyphOcrEngine:
         ink = [luma[i] < 128 for i in range(width * height)]
         row_has = [any(ink[y * width : (y + 1) * width]) for y in range(height)]
 
+        # dispatch: pages rendered in this engine's own font have line
+        # bands at most GLYPH_H (7) rows tall; anything taller is an
+        # out-of-model scan and goes to the scaled-recognition path
+        # (extraction/scan_ocr.py: Otsu, underline strip, size-class
+        # template matching). No ink at the fixed threshold also defers
+        # to that path, whose Otsu normalization may still find text.
+        bands_probe = _line_bands(row_has)
+        if not bands_probe or any(y1 - y0 > 9 for y0, y1 in bands_probe):
+            from ocr_service_spark.extraction.scan_ocr import recognize_scan
+
+            return recognize_scan(width, height, luma)
+
         out_lines: list[str] = []
         confs: list[float] = []
         for y0, y1 in _line_bands(row_has):
