@@ -10,14 +10,16 @@ Decode reality by format (`_decode`):
 - container metadata (type, dimensions, page/frame counts): REAL
   public-spec parses for PNG/JPEG/GIF/BMP/TIFF/MP4/WAV;
 - pixel planes: REAL for PNG, baseline JPEG, uncompressed BMP, GIF
-  (LZW) and uncompressed TIFF via extraction/image_codecs.py (all
+  (LZW) and TIFF incl. LZW/PackBits via extraction/image_codecs.py (all
   from-scratch, no native libraries) — feature hash is a content hash
   of the decoded luma, features are pixel statistics; WAV feature
   hash is a content hash of the PCM data chunk;
-- progressive JPEG, compressed TIFF and MP4 frames: deterministic
-  payload-hash stand-in, clearly marked — swap in PIL/ffmpeg on a
-  cluster image and nothing else changes: schema, batching,
-  partitioning and tests are the production shapes.
+- animated GIF frames: REAL composited pixels (gif_frames), and WAV
+  spectral features are integer-exact Goertzel bins over decoded PCM;
+- progressive JPEG and MP4 frames: deterministic payload-hash
+  stand-in, clearly marked — swap in PIL/ffmpeg on a cluster image
+  and nothing else changes: schema, batching, partitioning and tests
+  are the production shapes.
 """
 
 from __future__ import annotations
@@ -284,7 +286,7 @@ def _decode(payload: bytes) -> dict:
     - media type / dimensions / frame count: real container parses for
       all six formats (no codec needed);
     - pixel plane: REAL for PNG / baseline JPEG / uncompressed BMP /
-      GIF / uncompressed TIFF (feature hash = content hash of the
+      GIF / TIFF (feature hash = content hash of the
       decoded luma, features = pixel statistics);
     - progressive JPEG, compressed TIFF and MP4 frames: payload-hash
       stand-in,
@@ -330,49 +332,79 @@ _fake_decode = _decode
 
 FRAME_SCHEMA = (
     "url string, frame_no int, frame_ts double, width int, height int, "
-    "frame_hash string"
+    "frame_hash string, pixel_sum bigint"
 )
 
 
 def sample_frames(
     df: DataFrame, payload_col: str = "html", fps: float = 0.5, max_frames: int = 8
 ) -> DataFrame:
-    """Frame sampling for video-like payloads: one output row per
-    sampled frame with typed metadata. The decoder is the deterministic
-    stub (`_fake_decode` note applies — swap in ffmpeg on a real image);
-    the fan-out shape (doc -> frame rows, explode-style, Arrow-batched)
-    is the production plumbing, mirroring the PDF page explode."""
+    """Frame sampling: one output row per sampled frame with typed
+    metadata, explode-style fan-out (mirroring the PDF page explode),
+    Arrow-batched.
+
+    Real pixels wherever a from-scratch decoder exists: animated GIF
+    frames come from the compositing sampler (image_codecs.gif_frames
+    — GCE disposal/transparency honored) and single-frame images (PNG/
+    JPEG/BMP/TIFF) from decode_image_luma; for these, frame_hash is the
+    sha256 of the DECODED canvas luma and pixel_sum its integer pixel
+    total (closed-form checkable for synthetic corpora, q60). MP4
+    remains the marked container-walk stub: frame count/dims are real
+    (tkhd/mvhd), frame_hash hashes container bytes + frame_no, and
+    pixel_sum is NULL until an ffmpeg-class decoder joins the ladder on
+    a real cluster image."""
+    from ocr_service_spark.extraction.image_codecs import gif_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "frame_no", "frame_ts", "width", "height", "frame_hash", "pixel_sum"]
         for batch in batches:
             rows = []
             for url, payload in zip(batch["url"], batch["payload"]):
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                meta = _fake_decode(payload)
-                n = min(meta["n_frames"], max_frames)
-                for frame_no in range(n):
-                    frame_digest = hashlib.sha256(
-                        payload[:64] + frame_no.to_bytes(4, "big")
-                    ).hexdigest()[:16]
+
+                def emit(frame_no: int, width: int, height: int,
+                         digest: str, pixel_sum: int | None) -> None:
                     rows.append(
                         {
                             "url": url,
                             "frame_no": frame_no,
                             "frame_ts": round(frame_no / fps, 3),
-                            "width": meta["width"],
-                            "height": meta["height"],
-                            "frame_hash": frame_digest,
+                            "width": width,
+                            "height": height,
+                            "frame_hash": digest,
+                            "pixel_sum": pixel_sum,
                         }
                     )
-            frame = pd.DataFrame(
-                rows, columns=["url", "frame_no", "frame_ts", "width", "height", "frame_hash"]
-            )
+
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    for frame_no, (fw, fh, luma) in enumerate(
+                        gif_frames(payload, max_frames)
+                    ):
+                        emit(frame_no, fw, fh,
+                             hashlib.sha256(luma).hexdigest()[:16], sum(luma))
+                    continue
+                decoded = decode_image_luma(payload)
+                if decoded is not None:
+                    fw, fh, luma = decoded
+                    emit(0, fw, fh, hashlib.sha256(luma).hexdigest()[:16], sum(luma))
+                    continue
+                meta = _fake_decode(payload)
+                for frame_no in range(min(meta["n_frames"], max_frames)):
+                    emit(
+                        frame_no, meta["width"], meta["height"],
+                        hashlib.sha256(
+                            payload[:64] + frame_no.to_bytes(4, "big")
+                        ).hexdigest()[:16],
+                        None,
+                    )
+            frame = pd.DataFrame(rows, columns=cols)
             if len(frame):
                 frame["frame_no"] = frame["frame_no"].astype("int32")
                 frame["width"] = frame["width"].astype("int32")
                 frame["height"] = frame["height"].astype("int32")
+                frame["pixel_sum"] = frame["pixel_sum"].astype("Int64")
             yield frame
 
     narrowed = df.select("url", F.col(payload_col).alias("payload"))
@@ -425,20 +457,71 @@ def resize_images(
 
 AUDIO_FEATURES_SCHEMA = (
     "url string, media_type string, sample_rate int, channels int, bits int, "
-    "n_samples bigint, duration_s double, feature_hash string"
+    "n_samples bigint, duration_s double, feature_hash string, "
+    "energy bigint, zero_crossings bigint, band_dc bigint, "
+    "band_quarter bigint, band_nyquist bigint"
 )
 
 
+def _pcm_mono(payload: bytes, info: dict, off: int, size: int) -> list[int]:
+    """Interleaved PCM -> per-frame channel-SUM mono series (summing
+    instead of averaging keeps every value an exact integer in any
+    engine). 16-bit signed LE and 8-bit unsigned (centered at -128)."""
+    bits, channels = info["bits"], info["channels"]
+    data = payload[off : off + size]
+    if bits == 16:
+        n_vals = len(data) // 2
+        vals = list(struct.unpack_from(f"<{n_vals}h", data))
+    elif bits == 8:
+        vals = [b - 128 for b in data]
+    else:
+        return []
+    n_frames = len(vals) // channels
+    return [
+        sum(vals[f * channels : (f + 1) * channels]) for f in range(n_frames)
+    ]
+
+
+def _spectral_features(mono: list[int]) -> dict:
+    """Integer-exact spectral features of a PCM frame series: total
+    energy, zero crossings, and the squared magnitudes of the three
+    Goertzel bins whose recurrence coefficients are exact integers —
+    w = 0 (DC), w = pi/2 (quarter band, cos/sin in {1,0,-1}) and
+    w = pi (Nyquist). Fixed-point-free, so a SQL oracle reproduces
+    them bit-exactly (same trick as the k-means query, q55)."""
+    energy = sum(v * v for v in mono)
+    zc = sum(1 for i in range(1, len(mono)) if (mono[i - 1] < 0) != (mono[i] < 0))
+    dc = sum(mono)
+    nyq = sum(v if i % 2 == 0 else -v for i, v in enumerate(mono))
+    q_re = sum(v * (1, 0, -1, 0)[i % 4] for i, v in enumerate(mono))
+    q_im = sum(v * (0, -1, 0, 1)[i % 4] for i, v in enumerate(mono))
+    return {
+        "energy": energy,
+        "zero_crossings": zc,
+        "band_dc": dc * dc,
+        "band_quarter": q_re * q_re + q_im * q_im,
+        "band_nyquist": nyq * nyq,
+    }
+
+
+_NULL_SPECTRAL = {
+    "energy": None, "zero_crossings": None, "band_dc": None,
+    "band_quarter": None, "band_nyquist": None,
+}
+
+
 def extract_audio_features(df: DataFrame, payload_col: str = "html") -> DataFrame:
-    """(url, binary) -> typed audio metadata. Container fields are a
-    REAL RIFF/WAVE parse; non-audio payloads pass through with nulls;
-    the spectral feature is the hash stub (swap for librosa/torchaudio
-    on a cluster image — schema and batching unchanged)."""
+    """(url, binary) -> typed audio metadata + spectral features. The
+    container fields are a REAL RIFF/WAVE parse and the spectral
+    columns are computed from the decoded PCM (integer-exact Goertzel
+    bins, _spectral_features); non-audio payloads pass through with
+    nulls."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "url", "media_type", "sample_rate", "channels", "bits",
             "n_samples", "duration_s", "feature_hash",
+            "energy", "zero_crossings", "band_dc", "band_quarter", "band_nyquist",
         ]
         for batch in batches:
             rows = []
@@ -451,7 +534,8 @@ def extract_audio_features(df: DataFrame, payload_col: str = "html") -> DataFram
                     # content hash of the PCM data (container-independent)
                     off, size = info.pop("_data_span")
                     digest = hashlib.sha256(payload[off : off + size]).hexdigest()[:16]
-                    rows.append({"url": url, "feature_hash": digest, **info})
+                    spectral = _spectral_features(_pcm_mono(payload, info, off, size))
+                    rows.append({"url": url, "feature_hash": digest, **info, **spectral})
                 else:
                     rows.append(
                         {
@@ -463,13 +547,16 @@ def extract_audio_features(df: DataFrame, payload_col: str = "html") -> DataFram
                             "n_samples": None,
                             "duration_s": None,
                             "feature_hash": hashlib.sha256(payload).hexdigest()[:16],
+                            **_NULL_SPECTRAL,
                         }
                     )
             frame = pd.DataFrame(rows, columns=cols)
             if len(frame):
                 for c in ("sample_rate", "channels", "bits"):
                     frame[c] = frame[c].astype("Int32")
-                frame["n_samples"] = frame["n_samples"].astype("Int64")
+                for c in ("n_samples", "energy", "zero_crossings", "band_dc",
+                          "band_quarter", "band_nyquist"):
+                    frame[c] = frame[c].astype("Int64")
             yield frame
 
     narrowed = df.select("url", F.col(payload_col).alias("payload"))

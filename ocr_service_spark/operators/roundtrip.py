@@ -132,12 +132,17 @@ def q48_pii_scrub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q44_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WAV container probe under an oracle: deterministic RIFF/WAVE
-    payloads built from doc_id (sample rate / channels / sample count
-    are closed-form), parsed back by extract_audio_features, compared
-    to the closed form in SQL. duration_s stays out of the compared
-    set: it is a Python-side round() whose half-case behavior is not
-    bit-pinned against DuckDB's (the integer fields derive it anyway)."""
+    """The WAV probe under an oracle: deterministic RIFF/WAVE payloads
+    built from doc_id (sample rate / channels / frame count closed-
+    form; PCM an LCG-ramp waveform s(j) = ((doc_id*31 + 17*j) % 512)
+    - 256 over interleaved value index j), parsed back by
+    extract_audio_features — a REAL byte-level RIFF walk + int16
+    decode — and compared to the closed form in SQL, including the
+    integer-exact spectral columns (energy, zero crossings, Goertzel
+    band magnitudes at w = 0, pi/2, pi; multimodal._spectral_features).
+    duration_s stays out of the compared set: it is a Python-side
+    round() whose half-case behavior is not bit-pinned against
+    DuckDB's (the integer fields derive it anyway)."""
     import struct
 
     import pandas as pd
@@ -154,7 +159,10 @@ def q44_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sr = 8000 + (i % 5) * 1000
                 ch = 1 + i % 2
                 n = 100 + i % 50
-                data = b"\x00" * (n * ch * 2)
+                data = struct.pack(
+                    f"<{n * ch}h",
+                    *(((i * 31 + 17 * j) % 512) - 256 for j in range(n * ch)),
+                )
                 fmt = (
                     b"fmt "
                     + struct.pack("<I", 16)
@@ -176,7 +184,9 @@ def q44_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_audio_features(pages)
     doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
     return feats.select(
-        doc_id.alias("doc_id"), "media_type", "sample_rate", "channels", "bits", "n_samples"
+        doc_id.alias("doc_id"), "media_type", "sample_rate", "channels", "bits",
+        "n_samples", "energy", "zero_crossings", "band_dc", "band_quarter",
+        "band_nyquist",
     )
 
 
@@ -232,13 +242,50 @@ ORACLES: dict[str, str] = {
                                   '{PII_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
         FROM pii
     """,
+    # the spectral CTEs mirror multimodal._spectral_features exactly:
+    # per-frame mono = channel SUM; Goertzel bins at w=0, pi/2, pi have
+    # integer cos/sin, so every aggregate is BIGINT-exact cross-engine
     "q44_audio_roundtrip": """
-        SELECT doc_id, 'audio/wav' AS media_type,
-               CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
-               CAST(1 + doc_id % 2 AS INT) AS channels,
+        WITH d AS (
+            SELECT doc_id,
+                   1 + doc_id % 2 AS ch,
+                   100 + doc_id % 50 AS n
+            FROM documents
+        ),
+        vals AS (
+            SELECT doc_id, ch, n, unnest(range(n * ch)) AS j
+            FROM d
+        ),
+        mono AS (
+            SELECT doc_id, j // ch AS fr,
+                   SUM(((doc_id * 31 + 17 * j) % 512) - 256) AS v
+            FROM vals GROUP BY doc_id, ch, j // ch
+        ),
+        feat AS (
+            SELECT doc_id,
+                   SUM(v * v) AS energy,
+                   SUM(CASE WHEN prev IS NOT NULL
+                            AND (prev < 0) <> (v < 0) THEN 1 ELSE 0 END) AS zc,
+                   SUM(v) AS dc,
+                   SUM(CASE WHEN fr % 2 = 0 THEN v ELSE -v END) AS nyq,
+                   SUM(CASE fr % 4 WHEN 0 THEN v WHEN 2 THEN -v ELSE 0 END) AS q_re,
+                   SUM(CASE fr % 4 WHEN 1 THEN -v WHEN 3 THEN v ELSE 0 END) AS q_im
+            FROM (SELECT doc_id, fr, v,
+                         lag(v) OVER (PARTITION BY doc_id ORDER BY fr) AS prev
+                  FROM mono)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, 'audio/wav' AS media_type,
+               CAST(8000 + (d.doc_id % 5) * 1000 AS INT) AS sample_rate,
+               CAST(d.ch AS INT) AS channels,
                CAST(16 AS INT) AS bits,
-               CAST(100 + doc_id % 50 AS BIGINT) AS n_samples
-        FROM documents
+               CAST(d.n AS BIGINT) AS n_samples,
+               CAST(f.energy AS BIGINT) AS energy,
+               CAST(f.zc AS BIGINT) AS zero_crossings,
+               CAST(f.dc * f.dc AS BIGINT) AS band_dc,
+               CAST(f.q_re * f.q_re + f.q_im * f.q_im AS BIGINT) AS band_quarter,
+               CAST(f.nyq * f.nyq AS BIGINT) AS band_nyquist
+        FROM d JOIN feat f USING (doc_id)
     """,
 }
 

@@ -554,3 +554,98 @@ def test_tiff_pixel_decode_is_real():
         [(256, 3, 1, 2), (257, 3, 1, 2), (259, 3, 1, 5),
          (273, 4, 1, 86), (277, 3, 1, 1), (279, 4, 1, 4)], px)
     assert _tiff_luma(tc) is None
+
+
+def test_gif_frame_sampling_real_pixels(spark):
+    """Animated GIF frames decode to composited canvas pixels: solid
+    frames have closed-form pixel sums; disposal 3 restores the
+    previous canvas; transparency leaves prior pixels visible."""
+    import hashlib
+
+    from ocr_service_spark.extraction.image_codecs import encode_gif_gray, gif_frames
+    from ocr_service_spark.operators.multimodal import sample_frames
+
+    w, h = 10, 6
+    vals = [40, 90, 200]
+    gif = encode_gif_gray(w, h, [bytes([v]) * (w * h) for v in vals])
+    df = spark.createDataFrame([("a.gif", bytearray(gif))], "url string, html binary")
+    rows = sorted(sample_frames(df, fps=0.5, max_frames=8).collect(),
+                  key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in rows] == [0, 1, 2]
+    for r, v in zip(rows, vals):
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pixel_sum"] == w * h * v  # decoded, not container-hashed
+        assert r["frame_hash"] == hashlib.sha256(bytes([v]) * (w * h)).hexdigest()[:16]
+        assert r["frame_ts"] == r["frame_no"] * 2.0
+
+    # transparency: second frame paints only via non-transparent pixels
+    f0 = bytes([10]) * (w * h)
+    f1 = bytes(([7] * w) + [10] * (w * (h - 1)))  # top row 7, rest transparent
+    gif2 = encode_gif_gray(w, h, [f0, f1], transparent=10)
+    decoded = list(gif_frames(gif2, 8))
+    assert len(decoded) == 2
+    # frame0: transparent idx 10 over background -> background luma 0 kept
+    assert set(decoded[0][2]) == {0}
+    assert decoded[1][2][:w] == bytes([7] * w)      # painted top row
+    assert set(decoded[1][2][w:]) == {0}            # untouched elsewhere
+
+    # disposal 2 restores background after the frame
+    gif3 = encode_gif_gray(w, h, [bytes([50]) * (w * h), bytes([60]) * (w * h)],
+                           disposals=[2, 1], transparent=60)
+    d3 = list(gif_frames(gif3, 8))
+    assert set(d3[0][2]) == {50}
+    assert set(d3[1][2]) == {0}  # frame1 fully transparent over restored bg
+
+
+def test_single_frame_images_hash_decoded_pixels(spark):
+    import hashlib
+
+    from ocr_service_spark.extraction.glyph_ocr import render_text_png
+    from ocr_service_spark.extraction.image_codecs import decode_image_luma
+    from ocr_service_spark.operators.multimodal import sample_frames
+
+    png = render_text_png("FRAME")
+    _, _, luma = decode_image_luma(png)
+    df = spark.createDataFrame([("p.png", bytearray(png))], "url string, html binary")
+    (row,) = sample_frames(df).collect()
+    assert row["frame_no"] == 0
+    assert row["frame_hash"] == hashlib.sha256(luma).hexdigest()[:16]
+    assert row["pixel_sum"] == sum(luma)
+
+
+def test_audio_spectral_features_integer_exact(spark):
+    """The Goertzel bins at w=0, pi/2, pi are checked against literal
+    hand-computed values for a tiny PCM series, incl. a stereo channel
+    sum and an 8-bit file."""
+    import struct as st
+
+    from ocr_service_spark.operators.multimodal import (
+        _spectral_features,
+        extract_audio_features,
+    )
+
+    mono = [3, -2, 5, 0, -1]
+    f = _spectral_features(mono)
+    assert f["energy"] == 9 + 4 + 25 + 0 + 1
+    assert f["zero_crossings"] == 3  # 3/-2, -2/5, 0(->+)/-1... signs: + - + + -
+    assert f["band_dc"] == (3 - 2 + 5 + 0 - 1) ** 2
+    assert f["band_nyquist"] == (3 + 2 + 5 + 0 - 1) ** 2
+    assert f["band_quarter"] == (3 - 5 - 1) ** 2 + (2 - 0) ** 2
+
+    def wav(bits, ch, sr, payload):
+        fmt = (b"fmt " + st.pack("<I", 16)
+               + st.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits))
+        return (b"RIFF" + st.pack("<I", 4 + len(fmt) + 8 + len(payload)) + b"WAVE"
+                + fmt + b"data" + st.pack("<I", len(payload)) + payload)
+
+    stereo = wav(16, 2, 8000, st.pack("<6h", 1, 2, -3, 4, 5, -6))  # frames (3,1,-1)
+    eight = wav(8, 1, 8000, bytes([128 + 3, 128 - 2]))  # samples (3,-2)
+    df = spark.createDataFrame(
+        [("s.wav", bytearray(stereo)), ("e.wav", bytearray(eight))],
+        "url string, html binary",
+    )
+    out = {r["url"]: r for r in extract_audio_features(df).collect()}
+    assert out["s.wav"].energy == 9 + 1 + 1
+    assert out["s.wav"].band_dc == (3 + 1 - 1) ** 2
+    assert out["e.wav"].energy == 9 + 4
+    assert out["e.wav"].zero_crossings == 1
