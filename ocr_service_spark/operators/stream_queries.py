@@ -57,6 +57,19 @@ def _drain(q) -> None:
 
 
 def q58_stream_extract_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extraction with a MID-DRAIN KILL and checkpoint
+    restart. Run 1 is throttled (maxFilesPerTrigger) and hard-stopped
+    after its first micro-batch commits — a kill between batches with
+    most of the backlog unread. Run 2 opens a NEW query on the SAME
+    checkpoint while run 1's input files are still present, drains
+    everything, and a third availableNow pass proves the redundant
+    rerun is a no-op. The sink is append-mode parquet, so any
+    reprocessing across the restart would DUPLICATE rows and fail the
+    driver's row-count + hash gate — the oracle (one row per doc) is
+    the exactly-once proof."""
+    import time
+
+    from ocr_service_spark.streaming.stream_job import read_pages_stream
     from ocr_service_spark.streaming.stream_job import start_extraction_stream
 
     base = _scratch_dir("q58", sf_dir)
@@ -75,8 +88,32 @@ def q58_stream_extract_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batches correctly, not just pass one batch through
     pages.repartition(24).write.parquet(pages_dir)
 
-    q = start_extraction_stream(spark, pages_dir, results_dir, ckpt, available_now=True)
-    _drain(q)
+    # run 1: 3 files per micro-batch; kill after the first commit
+    from ocr_service_spark.operators.extract import extract_documents
+
+    q = (
+        extract_documents(read_pages_stream(spark, pages_dir, max_files_per_trigger=3))
+        .writeStream.format("parquet")
+        .option("path", results_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline and q.isActive:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(120)
+
+    # run 2: fresh query, same checkpoint — resumes where the kill left off
+    q2 = start_extraction_stream(spark, pages_dir, results_dir, ckpt, available_now=True)
+    _drain(q2)
+    # run 3: redundant rerun drains nothing (exactly-once across restarts)
+    q3 = start_extraction_stream(spark, pages_dir, results_dir, ckpt, available_now=True)
+    _drain(q3)
 
     results = spark.read.parquet(results_dir)
     doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")

@@ -649,3 +649,57 @@ def test_audio_spectral_features_integer_exact(spark):
     assert out["s.wav"].band_dc == (3 + 1 - 1) ** 2
     assert out["e.wav"].energy == 9 + 4
     assert out["e.wav"].zero_crossings == 1
+
+
+def test_stream_kill_mid_drain_resumes_exactly_once(spark, tmp_path):
+    """A throttled availableNow drain hard-stopped after its first
+    committed micro-batch (a kill with most of the backlog unread),
+    then a NEW query on the SAME checkpoint: run 2 must process only
+    the remainder, the sink must hold every url exactly once, and a
+    third drain must be a no-op."""
+    import time
+
+    from ocr_service_spark.operators.extract import extract_documents
+    from ocr_service_spark.streaming.stream_job import read_pages_stream
+
+    pages_path = str(tmp_path / "pages")
+    results_path = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    n = 200
+    generate_pages(spark, n, seed=7).repartition(20).write.parquet(pages_path)
+
+    q = (
+        extract_documents(read_pages_stream(spark, pages_path, max_files_per_trigger=2))
+        .writeStream.format("parquet")
+        .option("path", results_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline and q.isActive:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(120)
+    run1_rows = sum(p["numInputRows"] for p in q.recentProgress)
+    assert run1_rows > 0  # the kill happened after real work
+
+    q2 = start_extraction_stream(spark, pages_path, results_path, ckpt, available_now=True)
+    assert q2.awaitTermination(300)
+    run2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+
+    out = spark.read.parquet(results_path)
+    assert out.count() == n
+    assert out.select("url").distinct().count() == n  # no duplicates
+    # run 2 processed at most the part run 1 did not commit (overlap of
+    # one in-flight batch is allowed — it was never committed to the sink)
+    assert run2_rows <= n
+    assert run1_rows + run2_rows >= n
+
+    q3 = start_extraction_stream(spark, pages_path, results_path, ckpt, available_now=True)
+    assert q3.awaitTermination(300)
+    assert sum(p["numInputRows"] for p in q3.recentProgress) == 0
+    assert spark.read.parquet(results_path).count() == n
