@@ -145,6 +145,7 @@ def _q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_gif_gray,
             encode_tiff_gray,
         )
+        from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray_progressive
 
         for batch in batches:
             rows = []
@@ -152,7 +153,7 @@ def _q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(doc_id)
                 w, h = 20 + i % 13, 9 + i % 7
                 luma = bytes(((i * 31 + 7 * p) % 256) for p in range(w * h))
-                variant = i % 5
+                variant = i % 6
                 if variant == 0:
                     payload = encode_tiff_gray(w, h, luma, compression=5)
                 elif variant == 1:
@@ -161,6 +162,8 @@ def _q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = encode_tiff_gray(w, h, luma, compression=32773)
                 elif variant == 3:
                     payload = encode_tiff_gray(w, h, luma, alpha=True)
+                elif variant == 4:
+                    payload = encode_jpeg_gray_progressive(w, h, luma)
                 else:
                     payload = encode_gif_gray(
                         w, h, [bytes([(i + 50 * k) % 256]) * (w * h) for k in range(2)]

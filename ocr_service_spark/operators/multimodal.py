@@ -16,10 +16,11 @@ Decode reality by format (`_decode`):
   hash is a content hash of the PCM data chunk;
 - animated GIF frames: REAL composited pixels (gif_frames), and WAV
   spectral features are integer-exact Goertzel bins over decoded PCM;
-- progressive JPEG and MP4 frames: deterministic payload-hash
-  stand-in, clearly marked — swap in PIL/ffmpeg on a cluster image
-  and nothing else changes: schema, batching, partitioning and tests
-  are the production shapes.
+- progressive JPEG: REAL multi-scan coefficient decode
+  (jpeg_codec._decode_progressive);
+- MP4 frames: deterministic payload-hash stand-in, clearly marked —
+  swap in ffmpeg on a cluster image and nothing else changes: schema,
+  batching, partitioning and tests are the production shapes.
 """
 
 from __future__ import annotations

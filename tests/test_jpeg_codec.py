@@ -124,3 +124,103 @@ def test_single_component_scan_with_sampling_factors_is_raster_order():
     w, h, out = decode_jpeg_gray(bytes(data))
     assert (w, h) == (24, 24)
     assert out == decode_jpeg_gray(encode_jpeg_gray(24, 24, px))[2]
+
+
+def test_progressive_decode_matches_baseline_decode():
+    """Progressive (SOF2) decode must reconstruct EXACTLY the same
+    pixels as the baseline decode of the same source — the coefficient
+    accumulation across DC/AC first+refinement scans is lossless."""
+    rng = random.Random(4)
+    from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray_progressive
+
+    for w, h in [(8, 8), (24, 17), (40, 33)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        w2, h2, prog = decode_jpeg_gray(encode_jpeg_gray_progressive(w, h, px))
+        assert (w2, h2) == (w, h)
+        base = decode_jpeg_gray(encode_jpeg_gray(w, h, px))[2]
+        assert prog == base
+    # coarse quantization: sparse coefficients exercise EOB runs, ZRL
+    # and the refinement correction-bit sweeps
+    px = bytes(rng.randrange(256) for _ in range(40 * 33))
+    prog = decode_jpeg_gray(encode_jpeg_gray_progressive(40, 33, px, quant=[16] * 64))[2]
+    base = decode_jpeg_gray(encode_jpeg_gray(40, 33, px, quant=[16] * 64))[2]
+    assert prog == base
+    # flat + gradient images: long EOB runs across blocks
+    for img, w, h in [
+        (bytes([200]) * (32 * 32), 32, 32),
+        (bytes(((x * 3 + y * 2) % 256) for y in range(48) for x in range(48)), 48, 48),
+    ]:
+        assert decode_jpeg_gray(encode_jpeg_gray_progressive(w, h, img))[2] == \
+            decode_jpeg_gray(encode_jpeg_gray(w, h, img))[2]
+
+
+def test_progressive_interleaved_dc_with_chroma_sync():
+    """Hand-built 3-component progressive file with one interleaved DC
+    scan: chroma DC diffs must be entropy-decoded (bitstream sync) and
+    discarded; DC-only blocks reconstruct to flat dc/8 + 128 grays."""
+    import struct as st
+
+    from ocr_service_spark.extraction.jpeg_codec import (
+        _DC_COUNTS,
+        _DC_SYMBOLS,
+        _encode_table,
+        _BitWriter,
+        _size_cat,
+    )
+
+    dc_table = _encode_table(_DC_COUNTS, _DC_SYMBOLS)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+
+    w = h = 16  # 2x2 MCUs at 1x1 sampling for all three components
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(
+        0xC2,
+        bytes([8]) + st.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS)
+    bw = _BitWriter()
+    y_dcs = [-64, 0, 64, 96]  # -> grays 120, 128, 136, 140
+    preds = {1: 0, 2: 0, 3: 0}
+    for mcu in range(4):
+        for cid, dc in ((1, y_dcs[mcu]), (2, 40), (3, -40)):  # chroma non-zero
+            diff = dc - preds[cid]
+            preds[cid] = dc
+            s = _size_cat(diff)
+            code, length = dc_table[s]
+            bw.write(code, length)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00])) + bw.out
+    out += b"\xff\xd9"
+
+    w2, h2, luma = decode_jpeg_gray(bytes(out))
+    assert (w2, h2) == (16, 16)
+    blocks = [luma[0], luma[8], luma[8 * 16], luma[8 * 16 + 8]]
+    assert blocks == [128 + dc // 8 for dc in y_dcs]
+    for y in range(8):  # each block is flat
+        for x in range(8):
+            assert luma[y * 16 + x] == blocks[0]
+
+
+def test_progressive_fuzz_never_hangs_or_crashes_uncontrolled():
+    rng = random.Random(21)
+    from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray_progressive
+
+    px = bytes(rng.randrange(256) for _ in range(24 * 24))
+    seed = encode_jpeg_gray_progressive(24, 24, px)
+    for _ in range(60):
+        mutated = bytearray(seed)
+        for _ in range(rng.randrange(1, 6)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        trunc = bytes(mutated[: rng.randrange(4, len(mutated))])
+        for payload in (bytes(mutated), trunc):
+            try:
+                out = decode_jpeg_gray(payload)
+                assert len(out[2]) == out[0] * out[1]
+            except JpegError:
+                pass  # controlled rejection
