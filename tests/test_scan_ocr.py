@@ -3,16 +3,13 @@ reference's REAL competency fixture.
 
 The reference gates its OCR tier on pat_id_1.png at Levenshtein
 similarity >= 0.60 vs the patient-record text
-(reference test_process.py:23,143-167). Two measured floors are pinned
-here (regression gates, not aspirations):
-
-- vs the document's FULL text (what the page actually says, incl. its
-  header line): >= 0.78 (measured 0.809)
-- vs the reference's DOCS gate text: >= 0.46 (measured 0.491). A
-  byte-PERFECT read of this page scores only 0.6524 on that gate (the
-  gate text omits the header and contains literal space runs), so
-  0.491 is ~75% of the attainable ceiling; tesseract's pass sits near
-  that ceiling.
+(reference test_process.py:23,143-167). **The from-scratch engine
+passes that gate**: measured 0.6280 vs the DOCS gate text (whose
+ceiling — a byte-perfect read — is 0.6524, because the gate text
+omits the page's header line and carries literal space runs), and
+0.9597 vs the document's full text. Floors pinned here sit just
+under the measured values as regression gates; the 0.60 assertion
+is the reference's own bar.
 """
 
 from __future__ import annotations
@@ -66,14 +63,17 @@ def test_real_scan_recognition_floor_full_text(scan_result):
     text, conf = scan_result
     full = re.sub(r"\s+", " ", GOLDEN_TXT.read_text(encoding="utf-8")).strip()
     sim = lev_similarity(text, full)
-    assert sim >= 0.78, f"similarity vs full document text regressed: {sim:.4f}"
+    assert sim >= 0.95, f"similarity vs full document text regressed: {sim:.4f}"
     assert 0.0 < conf < 100.0  # honest sub-certain confidence on a real scan
 
 
-def test_real_scan_recognition_floor_reference_gate(scan_result):
+def test_real_scan_recognition_passes_reference_gate(scan_result):
+    # the reference's own competency bar: TEXT_SIMILARITY_THRESHOLD =
+    # 0.60 (test_process.py:23); 0.62 is the measured-floor pin
     text, _ = scan_result
     sim = lev_similarity(text, DOCS_TEXT)
-    assert sim >= 0.46, f"similarity vs reference DOCS gate regressed: {sim:.4f}"
+    assert sim >= 0.60, f"reference OCR gate FAILED: {sim:.4f} < 0.60"
+    assert sim >= 0.62, f"similarity vs reference DOCS gate regressed: {sim:.4f}"
 
 
 def test_reference_gate_ceiling_documented():
@@ -86,8 +86,18 @@ def test_reference_gate_ceiling_documented():
 
 def test_scan_recognition_reads_key_content(scan_result):
     text, _ = scan_result
-    # load-bearing tokens a downstream NER would need
-    for token in ("telephone number", "Paul", "Davidson", "Pauline", "54"):
+    # load-bearing tokens a downstream NER would need ("100mg" is the
+    # known miss: it reads lOOmg — no anchoring digit in the token for
+    # the digit-coherence pass to latch onto)
+    for token in (
+        "telephone number",
+        "07754828992",
+        "Paul Wayne",
+        "Davidson",
+        "Pauline Smith",
+        "61 Basildon Way",
+        "AL64 9HT",
+    ):
         assert token in text, f"missing {token!r}"
 
 
