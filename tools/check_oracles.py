@@ -31,6 +31,9 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # one JVM runs all ~61 queries back-to-back; the 1g default
+        # heap OOMs around query 40 from accumulated session state
+        .config("spark.driver.memory", "8g")
         .appName("oracle-check")
         .getOrCreate()
     )
