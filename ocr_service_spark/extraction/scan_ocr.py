@@ -97,6 +97,9 @@ _ASC = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789bdfhklt!?$#%&@/()ij") | set(_RAW
 _DIGITS = set("0123456789")
 # letters a template matcher plausibly emits for digit glyphs
 _DIGIT_HINT = set("OoIlJTZSBG#?")
+# measurement-unit suffixes that anchor a digit prefix even when no
+# digit survived the first pass ("lOOmg" -> "100mg")
+_UNIT_SUFFIXES = ("mg", "ml", "kg", "km", "mm", "cm", "kb", "mb", "gb", "g", "m", "s")
 _XHT = set("acemnorsuvwxz+=*")
 _DESC = set("gpqy")
 _MARK = set(".,-':;")
@@ -530,9 +533,29 @@ def recognize_scan(
         def flush_token() -> None:
             if len(token) >= 2:
                 s = "".join(entries[i][0] for i in token)
+                # a trailing measurement unit anchors the prefix even
+                # when every prefix digit was misread as a letter
+                # ("lOOmg"): strip the unit, require the rest to be
+                # all digit-or-lookalike
+                body = token
+                one_char_each = all(len(entries[i][0]) == 1 for i in token)
+                for unit in _UNIT_SUFFIXES:
+                    if (
+                        one_char_each  # index math below is per-glyph
+                        and len(s) > len(unit) + 1
+                        and s.endswith(unit)
+                        and all(
+                            ch.isdigit() or ch in _DIGIT_HINT
+                            for ch in s[: -len(unit)]
+                        )
+                    ):
+                        body = token[: len(token) - len(unit)]
+                        s = s[: -len(unit)]
+                        break
                 nd = sum(ch.isdigit() for ch in s)
-                if nd >= 1 and all(ch.isdigit() or ch in _DIGIT_HINT for ch in s):
-                    for i in token:
+                anchored = nd >= 1 or body is not token  # unit counts as anchor
+                if anchored and all(ch.isdigit() or ch in _DIGIT_HINT for ch in s):
+                    for i in body:
                         txt_i, comp, old = entries[i]
                         if comp is None or len(txt_i) != 1 or txt_i.isdigit():
                             continue

@@ -4,10 +4,10 @@ reference's REAL competency fixture.
 The reference gates its OCR tier on pat_id_1.png at Levenshtein
 similarity >= 0.60 vs the patient-record text
 (reference test_process.py:23,143-167). **The from-scratch engine
-passes that gate**: measured 0.6280 vs the DOCS gate text (whose
+passes that gate**: measured 0.6372 vs the DOCS gate text (whose
 ceiling — a byte-perfect read — is 0.6524, because the gate text
 omits the page's header line and carries literal space runs), and
-0.9597 vs the document's full text. Floors pinned here sit just
+0.9698 vs the document's full text. Floors pinned here sit just
 under the measured values as regression gates; the 0.60 assertion
 is the reference's own bar.
 """
@@ -63,17 +63,17 @@ def test_real_scan_recognition_floor_full_text(scan_result):
     text, conf = scan_result
     full = re.sub(r"\s+", " ", GOLDEN_TXT.read_text(encoding="utf-8")).strip()
     sim = lev_similarity(text, full)
-    assert sim >= 0.95, f"similarity vs full document text regressed: {sim:.4f}"
+    assert sim >= 0.96, f"similarity vs full document text regressed: {sim:.4f}"
     assert 0.0 < conf < 100.0  # honest sub-certain confidence on a real scan
 
 
 def test_real_scan_recognition_passes_reference_gate(scan_result):
     # the reference's own competency bar: TEXT_SIMILARITY_THRESHOLD =
-    # 0.60 (test_process.py:23); 0.62 is the measured-floor pin
+    # 0.60 (test_process.py:23); 0.63 is the measured-floor pin
     text, _ = scan_result
     sim = lev_similarity(text, DOCS_TEXT)
     assert sim >= 0.60, f"reference OCR gate FAILED: {sim:.4f} < 0.60"
-    assert sim >= 0.62, f"similarity vs reference DOCS gate regressed: {sim:.4f}"
+    assert sim >= 0.63, f"similarity vs reference DOCS gate regressed: {sim:.4f}"
 
 
 def test_reference_gate_ceiling_documented():
@@ -86,9 +86,7 @@ def test_reference_gate_ceiling_documented():
 
 def test_scan_recognition_reads_key_content(scan_result):
     text, _ = scan_result
-    # load-bearing tokens a downstream NER would need ("100mg" is the
-    # known miss: it reads lOOmg — no anchoring digit in the token for
-    # the digit-coherence pass to latch onto)
+    # load-bearing tokens a downstream NER would need
     for token in (
         "telephone number",
         "07754828992",
@@ -97,6 +95,7 @@ def test_scan_recognition_reads_key_content(scan_result):
         "Pauline Smith",
         "61 Basildon Way",
         "AL64 9HT",
+        "100mg Paracetamol",
     ):
         assert token in text, f"missing {token!r}"
 
