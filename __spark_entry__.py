@@ -21,8 +21,10 @@ pipeline, q21 of q19, q24 of q25, q20/q46 share the
 TakeOrderedAndProject top-k shape with in-window q25 — q20 the
 brute-force baseline of the same scorer, q46 the binary-metric
 variant — q04/q05/q09 are three of eleven relational-glue queries,
-and q12/q29 share their module and shape with q11/q53 which stay
-inside the window). Because the driver gate never
+q12/q29 share their module and shape with q11/q53 which stay
+inside the window, and q27's deterministic-hash stratified sample is
+the same sampling operator as in-window q26's split). Because the
+driver gate never
 reaches the tail, the tail queries' own oracle SQL is verified by
 ``tools/check_oracles.py`` (all registered queries, dtype-strict, at
 sf0.001 and sf0.01) — that run is a mandatory step of the per-round
@@ -52,6 +54,7 @@ from ocr_service_spark.operators import (  # noqa: E402
     stream_queries,
     temporal,
     text_stats,
+    weburl,
 )
 
 
@@ -354,6 +357,57 @@ def _q56_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q65_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style snapshot surface over the lineage manifest
+    (plans/snapshots.py), at the driver: commit 1 manifests the
+    parts < 32 half, commit 2 the rest; read_as_of(1) must reproduce
+    the old snapshot exactly (via partition pruning, not a copy);
+    rollback(1) drops commit 2's manifest rows; the rerun then
+    recomputes precisely the rolled-back partitions, landing back at
+    the full table with no duplicates. The md5-based part key (h32 %
+    64, like q56) lets the DuckDB oracle recompute every number
+    independently."""
+    _ship_package(spark)
+    import shutil
+    import tempfile
+
+    from ocr_service_spark.functions.hashing import h32
+    from ocr_service_spark.plans.manifest import run_with_checkpoint
+    from ocr_service_spark.plans.snapshots import latest_commit, read_as_of, rollback
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_q65_")
+    results_path = f"{base}/results"
+    manifest_path = f"{base}/manifest"
+    try:
+        pages = _synthetic_pages(spark, sf_dir)
+        part = F.pmod(h32(F.col("url")), F.lit(64))
+        kw = dict(hash_expr=h32(F.col("url")))
+        run_with_checkpoint(
+            spark, pages.filter(part < 32), "q65src", results_path, manifest_path, **kw
+        )
+        commit1_docs = read_as_of(spark, results_path, manifest_path).count()
+        run_with_checkpoint(spark, pages, "q65src", results_path, manifest_path, **kw)
+        latest_docs = read_as_of(spark, results_path, manifest_path).count()
+        asof1_docs = read_as_of(spark, results_path, manifest_path, commit_seq=1).count()
+        rollback_dropped = rollback(spark, manifest_path, 1)
+        after_rollback_docs = read_as_of(spark, results_path, manifest_path).count()
+        run_with_checkpoint(spark, pages, "q65src", results_path, manifest_path, **kw)
+        recommit_docs = read_as_of(spark, results_path, manifest_path).count()
+        commits_final = latest_commit(spark, manifest_path)
+        out = [(
+            commit1_docs, latest_docs, asof1_docs, rollback_dropped,
+            after_rollback_docs, recommit_docs, commits_final,
+        )]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "commit1_docs bigint, latest_docs bigint, asof1_docs bigint, "
+        "rollback_dropped bigint, after_rollback_docs bigint, "
+        "recommit_docs bigint, commits_final bigint",
+    )
+
+
 def _q57_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-maintenance invariants at the driver surface: a fragmented
     results table (two single-file appends: the even- and odd-doc_id
@@ -413,11 +467,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q61_mp4_frame_sampling"] = _q61_mp4_frame_sampling
     out["q56_resume_roundtrip"] = _q56_resume_roundtrip
     out["q57_compaction_roundtrip"] = _q57_compaction_roundtrip
+    out["q65_snapshot_time_travel"] = _q65_snapshot_time_travel
     for name, fn in stream_queries.QUERIES.items():  # q58 q59 (real streams)
         out[name] = _wrap(fn)
-    # -- single-format extraction roundtrips
-    for name, fn in roundtrip.QUERIES.items():  # q30 q44 q48 q31 q32 q33
-        out[name] = _wrap(fn)
+    # -- single-format extraction roundtrips. q32 (xml) joins the
+    # redundantly-covered tail: its C6 path is hash-checked inside
+    # in-window q40 (xml fixture row) and pinned by the byte-parity
+    # goldens, and its pipeline shape is q30/q31/q33's.
+    for name, fn in roundtrip.QUERIES.items():  # q30 q62 q44 q48 q31 q33
+        if name != "q32_extract_xml_roundtrip":
+            out[name] = _wrap(fn)
     # -- analytic suites
     tail = {
         "q15_minhash_signatures", "q16_lsh_buckets",  # sub-stages of q34
@@ -426,19 +485,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_priority_counts", "q05_events_daily", "q09_customer_set_ops",
         # same-module shapes as q11/q53, both of which stay in the window
         "q12_quality_buckets", "q29_top_terms",
+        # same deterministic-hash sampling operator as in-window q26
+        "q27_stratified_sample",
         # same top-k shape as q25 (in-window); q20 is the brute-force
         # baseline of the same scorer, q46 the binary-metric variant
         "q20_cosine_topk", "q46_hamming_topk",
     }
-    for mod in (relational, temporal, text_stats, corpus, dedup, similarity):
+    for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():
             if name not in tail:
                 out[name] = fn
     # -- redundantly-covered tail (see module docstring)
-    for mod in (relational, temporal, text_stats, corpus, dedup, similarity):
+    for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():
             if name in tail:
                 out[name] = fn
+    out["q32_extract_xml_roundtrip"] = _wrap(
+        roundtrip.QUERIES["q32_extract_xml_roundtrip"]
+    )
     return out
 
 
@@ -450,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(corpus.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
+    out.update(weburl.ORACLES)
     out.update(roundtrip.ORACLES)
     out.update(main_content.ORACLES)
     out.update(stream_queries.ORACLES)
@@ -523,6 +588,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN part >= 32 THEN 1 ELSE 0 END) AS BIGINT) AS run2_docs,
                CAST(count(DISTINCT part) AS BIGINT) AS manifest_parts,
                CAST(0 AS BIGINT) AS recomputed_parts
+        FROM pp
+    """
+    out["q65_snapshot_time_travel"] = f"""
+        WITH p AS (SELECT {url_expr} AS url FROM documents),
+        pp AS (SELECT url, {h32_sql('url')} % 64 AS part FROM p)
+        SELECT CAST(sum(CASE WHEN part < 32 THEN 1 ELSE 0 END) AS BIGINT) AS commit1_docs,
+               CAST(count(*) AS BIGINT) AS latest_docs,
+               CAST(sum(CASE WHEN part < 32 THEN 1 ELSE 0 END) AS BIGINT) AS asof1_docs,
+               CAST(count(DISTINCT CASE WHEN part >= 32 THEN part END) AS BIGINT)
+                   AS rollback_dropped,
+               CAST(sum(CASE WHEN part < 32 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS after_rollback_docs,
+               CAST(count(*) AS BIGINT) AS recommit_docs,
+               CAST(2 AS BIGINT) AS commits_final
         FROM pp
     """
     out["q57_compaction_roundtrip"] = """

@@ -56,6 +56,10 @@ HEADLINE_QUERIES = [
     "q36_token_percentiles",
     "q51_boilerplate_segments",
     "q53_tfidf_top_terms",
+    # round 4 additions — charset-ladder extraction + web-URL ops
+    "q62_charset_roundtrip",
+    "q63_url_canonicalize",
+    "q64_host_stats",
 ]
 
 

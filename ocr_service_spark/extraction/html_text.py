@@ -49,9 +49,17 @@ class _TextCollector(HTMLParser):
 
 def html_all_strings(stream: bytes) -> str:
     """``BeautifulSoup(stream, "html.parser").get_text(separator="\\n")``."""
-    # bs4 detects the document encoding; for the byte-parity tier the
-    # corpus is UTF-8 (Common-Crawl-style pages), decoded permissively.
-    text = stream.decode("utf-8", "ignore") if isinstance(stream, (bytes, bytearray)) else stream
+    # bs4 detects the document encoding (UnicodeDammit); the from-scratch
+    # equivalent is charset.decode_markup (BOM -> declared meta/xml-decl
+    # charset -> UTF-8 probe -> cp1252). Valid UTF-8 without a contrary
+    # declaration decodes identically to the old utf-8/"ignore" path, so
+    # the byte-parity goldens are untouched.
+    if isinstance(stream, (bytes, bytearray)):
+        from ocr_service_spark.extraction.charset import decode_markup
+
+        text = decode_markup(bytes(stream))[1]
+    else:
+        text = stream
     parser = _TextCollector()
     try:
         parser.feed(text)

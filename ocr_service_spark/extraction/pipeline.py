@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Any
 
+from ocr_service_spark.extraction.charset import decode_text, sniff_charset
 from ocr_service_spark.extraction.classify import Classification, classify
 from ocr_service_spark.extraction.fallback import (
     extract_office_zip_text_fallback,
@@ -119,6 +120,13 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
         if mode == "NO_OCR":
             output_text = extract_text_fallback(stream, is_html=True)
             meta["pages"] = 1
+            # charset provenance (beyond-reference: Common-Crawl pages
+            # are not all UTF-8). Recorded only when the sniff deviates
+            # from the pinned UTF-8 default, so the byte-parity metadata
+            # goldens for the UTF-8 fixture corpus are untouched.
+            charset = sniff_charset(stream, markup=True)[0]
+            if charset != "utf-8":
+                meta["charset"] = charset
         # OCR mode: LO conversion absent -> no PDF -> T4 fallback below
     elif cls.doc_class == "rtf":
         if mode == "NO_OCR":
@@ -143,9 +151,14 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
             meta["pages"] = 1
             meta["confidence"] = round(conf, 4)
     elif cls.doc_class == "plain":
-        output_text = stream.decode("utf-8", "ignore")
+        # BOM -> UTF-8 probe -> cp1252 ladder; a valid-UTF-8 payload
+        # (the whole pinned fixture corpus) decodes byte-identically to
+        # the reference's plain utf-8/"ignore" passthrough.
+        charset, output_text = decode_text(stream)
         meta["pages"] = 1
         meta["content-type"] = "text/plain"
+        if charset != "utf-8":
+            meta["charset"] = charset
     else:  # unknown -> LO attempt -> no PDF produced
         pdf_stream = b""
 

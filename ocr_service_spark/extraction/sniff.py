@@ -293,7 +293,28 @@ def is_file_content_plain_text(stream: bytes, threshold: float = 0.95) -> bool:
     (utils/utils.py:210-232, sample 4096, CR/LF/TAB allowed)."""
     if not stream:
         return False
-    sample = stream[:4096]
+    from ocr_service_spark.extraction.charset import sniff_bom
+
+    bom = sniff_bom(stream)
+    if bom is not None and bom[0] != "utf-8-sig":
+        # UTF-16/32 plain text (invisible to the byte heuristic):
+        # decode, then apply the same printable-ratio test per char —
+        # identical semantics to the byte test on ASCII content.
+        codec, n = bom
+        try:
+            text = stream[n : 4096 + n].decode(codec)
+        except UnicodeDecodeError:
+            return False
+        if not text:
+            return False
+        printable_chars = sum(1 for c in text if ord(c) < 128 and ord(c) in PRINTABLE)
+        return printable_chars / len(text) >= threshold
+    # a UTF-8 BOM is signalling, not content — don't let its three
+    # non-printable bytes sink a short document's printable ratio
+    body = stream[3:] if bom is not None else stream
+    if not body:
+        return False
+    sample = body[:4096]
     try:
         sample.decode("utf-8")
     except UnicodeDecodeError:
@@ -306,8 +327,17 @@ def is_file_content_plain_text(stream: bytes, threshold: float = 0.95) -> bool:
 
 def is_file_type_html(stream: bytes) -> bool:
     """``<html`` or ``<!doctype html`` in the first 2048 bytes,
-    lowercased (utils/utils.py:234-244)."""
-    head = stream[:2048].decode(errors="ignore").lower()
+    lowercased (utils/utils.py:234-244). Beyond the reference: a
+    UTF-16/32 BOM'd page (real on the web, invisible to a raw byte
+    scan) is decoded first so the same marker test applies."""
+    from ocr_service_spark.extraction.charset import sniff_bom
+
+    bom = sniff_bom(stream)
+    if bom is not None and bom[0] != "utf-8-sig":
+        codec, n = bom
+        head = stream[n : 2048 + n].decode(codec, "ignore").lower()
+    else:
+        head = stream[:2048].decode(errors="ignore").lower()
     return "<html" in head or "<!doctype html" in head
 
 

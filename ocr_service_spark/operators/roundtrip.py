@@ -99,6 +99,72 @@ def q33_payload_ladder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Charset rungs for q62 (doc_id % 6): (python codec, BOM, html head
+# declaration, marker phrase). Each phrase is chosen so the WRONG
+# decode garbles it — the cp1252 rungs use 0x80-0x9F punctuation
+# (euro, em-dash, curly quotes) that latin-1/utf-8 misread, the UTF-16
+# rungs non-Latin scripts; rung 4 declares iso-8859-1 over cp1252
+# bytes, the classic web misdeclaration the WHATWG label mapping
+# exists for.
+CS_RUNGS: tuple[tuple[str, bytes, str, str], ...] = (
+    ("utf-8", b"", "", "café naïve probe"),
+    ("utf-8", b"\xef\xbb\xbf", "", "σπαρκ utf8 bom"),
+    ("cp1252", b"", '<meta charset="windows-1252">',
+     "déjà € “smart” — dash"),
+    ("utf-16-le", b"\xff\xfe", "", "Юникод ✓ utf16le"),
+    ("cp1252", b"",
+     '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">',
+     "naïve € mislabel — ok"),
+    ("utf-16-be", b"\xfe\xff", "", "ΑΒΓ ✓ utf16be"),
+)
+CS_EXPECTED_LABELS = ("utf-8", "utf-8-sig", "cp1252", "utf-16-le", "cp1252", "utf-16-be")
+_CS_HTML_FMT = (
+    "<!DOCTYPE html>\n<html><head>%s<title>t</title></head>"
+    "<body><p>%s</p></body></html>"
+)
+
+
+def q62_charset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing under an oracle: every rung of the WHATWG-style
+    decode ladder (extraction/charset.py) exercised through the REAL
+    extraction job — BOM'd UTF-8/UTF-16LE/BE pages, a declared
+    windows-1252 page, a cp1252 page mislabelled iso-8859-1 (decoded
+    as cp1252 per the WHATWG label rule), and an undeclared UTF-8
+    probe page. The marker phrases only survive when the right codec
+    is picked, so extracted_text + the charset metadata column pin the
+    full ladder. Beyond the reference (which decodes everything as
+    UTF-8 via bs4, converter.py:70-106) — this is the web-corpus
+    reality of a Common-Crawl-style pages table."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i = int(doc_id)
+                codec, bom, decl, phrase = CS_RUNGS[i % 6]
+                page = _CS_HTML_FMT % (decl, f"{phrase} {text}")
+                rows.append(
+                    {"url": f"doc://{i}.html", "html": bom + page.encode(codec)}
+                )
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    results = extract_documents(pages)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return results.select(
+        doc_id.alias("doc_id"),
+        F.coalesce(F.col("metadata")["charset"], F.lit("utf-8")).alias("charset"),
+        "extracted_text",
+        "content_type",
+        "pages",
+        "success",
+        "doc_class",
+    )
+
+
 # simple dialect-portable patterns (identical semantics in Java regex
 # and DuckDB's RE2 for this character-class-only subset)
 PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
@@ -190,7 +256,28 @@ def q44_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q62's CASE arms are generated from the same rung table the Spark
+# side encodes with — one source of truth for phrases and labels
+_CS_CHARSET_CASE = " ".join(
+    f"WHEN {r} THEN '{label}'" for r, label in enumerate(CS_EXPECTED_LABELS)
+)
+_CS_PHRASE_CASE = " ".join(
+    f"WHEN {r} THEN '{CS_RUNGS[r][3]}'" for r in range(len(CS_RUNGS))
+)
+
 ORACLES: dict[str, str] = {
+    # charset ladder: the phrase a rung injects only survives the decode
+    # that rung's sniff selects (see q62 docstring)
+    "q62_charset_roundtrip": f"""
+        SELECT doc_id,
+               CASE CAST(doc_id % 6 AS INT) {_CS_CHARSET_CASE} END AS charset,
+               't' || chr(10)
+                   || CASE CAST(doc_id % 6 AS INT) {_CS_PHRASE_CASE} END
+                   || ' ' || trim(text) AS extracted_text,
+               'text/html' AS content_type, 1 AS pages, TRUE AS success,
+               'html' AS doc_class
+        FROM documents
+    """,
     # html: T1 joins title-text and body-text nodes with "\n"
     "q30_extract_html_roundtrip": """
         SELECT doc_id, 't' || chr(10) || trim(text) AS extracted_text,
@@ -291,6 +378,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
+    "q62_charset_roundtrip": q62_charset_roundtrip,
     "q44_audio_roundtrip": q44_audio_roundtrip,
     "q48_pii_scrub_roundtrip": q48_pii_scrub_roundtrip,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,

@@ -1,0 +1,243 @@
+"""URL canonicalization + host-level rollups for a web-pages corpus.
+
+A Common-Crawl-style pages table keys on ``url`` (BASELINE input
+hint), and every real crawl pipeline needs one canonical form per
+page before dedup/partitioning: scheme/host case, trailing host dots,
+default ports, duplicate path slashes, fragments and tracking
+parameters all produce distinct strings for the same resource. The
+reference service never sees URLs (its API carries filenames only —
+SURVEY.md §3.2), so this is a beyond-reference corpus operator, like
+the dedup/similarity suite.
+
+Design for 100 TB: canonicalization is a pure projection — every
+step is a built-in string/array function (regexp_extract /
+regexp_replace / split / filter / array_sort / array_join), fully
+inside whole-stage codegen, no Python, no shuffle. The host rollup
+(q64) is one hash-shuffle groupBy on the canonical registered domain
+— the partitioning key a politeness-aware crawler would use anyway.
+
+Canonical form (the SURT-adjacent subset expressible identically in
+Spark and DuckDB SQL, which is what makes the oracle exact):
+
+    1. drop the fragment;
+    2. lowercase scheme and host; strip trailing dots from the host;
+    3. drop the default port (http:80 / https:443);
+    4. collapse duplicate slashes in the path; empty path -> "/";
+    5. drop ``utm_*`` tracking parameters, sort the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Dialect-portable regexes (same semantics in Java regex and RE2).
+_RE_FRAGMENT = r"#.*$"
+_RE_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*):"
+_RE_HOSTPORT = r"^[^:]+://([^/?#]*)"
+_RE_PORT = r":([0-9]+)$"
+_RE_PATH = r"^[^:]+://[^/?#]*([^?#]*)"
+_RE_QUERY = r"\?([^#]*)"
+_RE_TRACKING = "^utm_"
+_RE_REG_DOMAIN = r"([^.]+\.[^.]+)$"
+
+
+def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append canonical columns to any DataFrame with a URL column:
+    ``canonical_url``, ``host``, ``registered_domain``, ``path_depth``.
+    Pure projection — safe to apply inside the scan stage of a 100-TB
+    pipeline read."""
+    no_frag = F.regexp_replace(F.col(url_col), _RE_FRAGMENT, "")
+    scheme = F.lower(F.regexp_extract(no_frag, _RE_SCHEME, 1))
+    hostport = F.regexp_extract(no_frag, _RE_HOSTPORT, 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(hostport, _RE_PORT, "")), r"\.+$", ""
+    )
+    port = F.regexp_extract(hostport, _RE_PORT, 1)
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(port)
+    path = F.regexp_replace(F.regexp_extract(no_frag, _RE_PATH, 1), "/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(no_frag, _RE_QUERY, 1), "&"),
+                lambda x: (x != "") & ~x.rlike(_RE_TRACKING),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    depth = F.size(F.filter(F.split(path, "/"), lambda x: x != "")).cast("int")
+    return pages.withColumns(
+        {
+            "canonical_url": canonical,
+            "host": host,
+            "registered_domain": F.regexp_extract(host, _RE_REG_DOMAIN, 1),
+            "path_depth": depth,
+        }
+    )
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL corpus from the documents table: every
+    canonicalization hazard appears in a closed-form pattern the
+    oracle reconstructs (mixed case, trailing host dot, default and
+    explicit ports, duplicate slashes, tracking params, fragments)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.lit("WWW.News"),
+        (d % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    port = (
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/Articles//item-"), d.cast("string"))
+    query = (
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 2 == 0, F.lit("#Section-2")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url"),
+    )
+
+
+def q63_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonicalization — one row per doc, every hazard
+    rung exercised; plain projection end to end."""
+    out = canonicalize_urls(_messy_urls(spark, sf_dir))
+    return out.select(
+        "doc_id", "url", "canonical_url", "host", "registered_domain", "path_depth"
+    )
+
+
+def q64_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup over canonical URLs: docs per host +
+    distinct-scheme count — the politeness/partitioning profile of a
+    crawl. One hash-shuffle groupBy on host; AQE coalesces the
+    post-shuffle partitions at real scale. The distinct-scheme count
+    uses size(collect_set(...)) rather than countDistinct: the scheme
+    domain is bounded (http/https), and the collect_set form keeps the
+    plan at ONE shuffle where countDistinct's expand would add a
+    second (pinned by test_q64_plan_has_single_shuffle)."""
+    canon = canonicalize_urls(_messy_urls(spark, sf_dir))
+    scheme = F.regexp_extract("canonical_url", _RE_SCHEME, 1)
+    return (
+        canon.groupBy("host", "registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.size(F.collect_set(scheme)).cast("bigint").alias("n_schemes"),
+            F.max("path_depth").alias("max_depth"),
+            F.sum(F.when(F.col("canonical_url").contains("?"), 1).otherwise(0)).alias(
+                "n_with_query"
+            ),
+        )
+    )
+
+
+# DuckDB mirror of _messy_urls + the canonical steps. The messy URL is
+# rebuilt closed-form; canonicalization uses the same regex/list ops.
+_MESSY_SQL = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+           || '://WWW.News' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+           || (CASE WHEN doc_id % 5 = 0 THEN '.' ELSE '' END)
+           || (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                    WHEN 2 THEN ':8080' ELSE '' END)
+           || '/Articles//item-' || CAST(doc_id AS VARCHAR)
+           || (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                    WHEN 1 THEN '?b=2&a=1' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END) AS url
+    FROM documents
+"""
+
+_CANON_SQL = f"""
+    WITH m AS ({_MESSY_SQL}),
+    s AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '{_RE_FRAGMENT}', '') AS nf
+        FROM m
+    ),
+    p AS (
+        SELECT doc_id, url, nf,
+               lower(regexp_extract(nf, '{_RE_SCHEME}', 1)) AS scheme,
+               regexp_extract(nf, '{_RE_HOSTPORT}', 1) AS hostport,
+               regexp_extract(nf, '{_RE_PATH}', 1) AS rawpath,
+               regexp_extract(nf, '\\?([^#]*)', 1) AS rawquery
+        FROM s
+    ),
+    c AS (
+        SELECT doc_id, url, scheme,
+               regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                              '\\.+$', '') AS host,
+               CASE WHEN (scheme = 'http'
+                          AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+                      OR (scheme = 'https'
+                          AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443')
+                    THEN ''
+                    ELSE regexp_extract(hostport, ':([0-9]+)$', 1) END AS port,
+               CASE WHEN regexp_replace(rawpath, '/{{2,}}', '/') = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '/{{2,}}', '/') END AS path,
+               coalesce(array_to_string(
+                   list_sort(list_filter(string_split(rawquery, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^utm_'))),
+                   '&'), '') AS query
+        FROM p
+    ),
+    canon AS (
+        SELECT doc_id, url, scheme, host, path,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+               scheme || '://' || host
+               || (CASE WHEN port = '' THEN '' ELSE ':' || port END)
+               || path
+               || (CASE WHEN query = '' THEN '' ELSE '?' || query END)
+                   AS canonical_url,
+               CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+                    AS INT) AS path_depth
+        FROM c
+    )
+"""
+
+ORACLES: dict[str, str] = {
+    "q63_url_canonicalize": _CANON_SQL
+    + """
+    SELECT doc_id, url, canonical_url, host, registered_domain, path_depth
+    FROM canon
+    """,
+    "q64_host_stats": _CANON_SQL
+    + """
+    SELECT host, registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT scheme) AS BIGINT) AS n_schemes,
+           CAST(max(path_depth) AS INT) AS max_depth,
+           CAST(sum(CASE WHEN canonical_url LIKE '%?%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_query
+    FROM canon
+    GROUP BY host, registered_domain
+    """,
+}
+
+QUERIES = {
+    "q63_url_canonicalize": q63_url_canonicalize,
+    "q64_host_stats": q64_host_stats,
+}

@@ -5,7 +5,11 @@ resumes by anti-joining completed partitions (FIXTURES.md A3):
 
     manifest(input_snapshot_id string, part_hash int, doc_count long,
              empty_text_count long, conf_histogram array<long>,
-             completed_ts timestamp)
+             completed_ts timestamp, commit_seq long)
+
+``commit_seq`` groups the rows of one completing run into a snapshot;
+plans/snapshots.py builds the Iceberg-style surface on it (snapshot
+log, as-of reads with partition pruning, rollback).
 
 Design (parquet directories standing in for Iceberg tables — the same
 flow maps 1:1 onto Iceberg snapshots + MERGE when a catalog is
@@ -143,4 +147,12 @@ def run_with_checkpoint(
     done = completed_parts(spark, manifest_path, snapshot_id)
     if done is not None:
         written = written.join(F.broadcast(done), "part_hash", "left_anti")
-    manifest_from_results(written, snapshot_id).write.mode("append").parquet(manifest_path)
+    from ocr_service_spark.plans.snapshots import latest_commit
+
+    commit_seq = latest_commit(spark, manifest_path) + 1
+    (
+        manifest_from_results(written, snapshot_id)
+        .withColumn("commit_seq", F.lit(commit_seq).cast("long"))
+        .write.mode("append")
+        .parquet(manifest_path)
+    )

@@ -1,0 +1,106 @@
+"""Snapshot log over the lineage manifest: time travel + rollback.
+
+The north star frames the results store as an Iceberg table; Iceberg's
+operational surface is snapshots — every commit appends a manifest
+list, readers pin a snapshot, and rollback is a metadata-only pointer
+move. This module provides that surface over the existing
+per-partition lineage manifest (plans/manifest.py), which already IS a
+manifest list: one row per completed partition, appended strictly
+after the partition's data files land.
+
+- a **commit** is one ``run_with_checkpoint`` invocation that
+  completed >=1 new partition; its manifest rows share a
+  ``commit_seq`` (monotone, driver-assigned — single-writer, like an
+  Iceberg catalog's optimistic lock);
+- ``read_as_of(commit_seq)`` reads only partitions manifested at or
+  before that commit. Because results are laid out
+  ``partitionBy(part_hash)``, the part filter is partition pruning —
+  an as-of read scans exactly the files that existed at that commit,
+  never a snapshot copy;
+- ``rollback(commit_seq)`` drops manifest rows newer than the commit
+  (staged rewrite + atomic rename). Data files of rolled-back
+  partitions become unreferenced — exactly Iceberg's rollback
+  semantics (orphans wait for maintenance) — and the resume anti-join
+  keys off the manifest, so the next run RECOMPUTES rolled-back
+  partitions and overwrites their files in place.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def latest_commit(spark: SparkSession, manifest_path: str) -> int:
+    """Highest commit_seq in the manifest (0 when absent/empty)."""
+    try:
+        manifest = spark.read.parquet(manifest_path)
+        row = manifest.agg(F.max("commit_seq").alias("m")).collect()[0]
+        return int(row["m"]) if row["m"] is not None else 0
+    except Exception:
+        return 0
+
+
+def snapshot_log(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """One row per commit: (commit_seq, n_parts, doc_count,
+    completed_ts) — the `.snapshots` metadata-table equivalent."""
+    manifest = spark.read.parquet(manifest_path)
+    return (
+        manifest.groupBy("commit_seq")
+        .agg(
+            F.countDistinct("part_hash").alias("n_parts"),
+            F.sum("doc_count").alias("doc_count"),
+            F.max("completed_ts").alias("completed_ts"),
+        )
+        .orderBy("commit_seq")
+    )
+
+
+def read_as_of(
+    spark: SparkSession,
+    results_path: str,
+    manifest_path: str,
+    commit_seq: int | None = None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """The results table as of a commit (default: latest).
+
+    The part list for the pinned commit is tiny (<= n_parts rows,
+    collected driver-side like an Iceberg manifest-list read) and
+    becomes an IN filter on the partition column — Spark prunes the
+    non-member part directories at planning time, so the scan touches
+    exactly the files the pinned snapshot references.
+    """
+    manifest = spark.read.parquet(manifest_path)
+    if snapshot_id is not None:
+        manifest = manifest.filter(F.col("input_snapshot_id") == snapshot_id)
+    if commit_seq is not None:
+        manifest = manifest.filter(F.col("commit_seq") <= commit_seq)
+    parts = [r["part_hash"] for r in manifest.select("part_hash").distinct().collect()]
+    results = spark.read.parquet(results_path)
+    if not parts:
+        return results.filter(F.lit(False))
+    return results.filter(F.col("part_hash").isin(parts))
+
+
+def rollback(spark: SparkSession, manifest_path: str, commit_seq: int) -> int:
+    """Drop every manifest row newer than ``commit_seq``; returns the
+    number of partition entries removed. Staged rewrite + two renames
+    (same crash-safety pattern as maintenance.compact_parquet): the
+    manifest stays readable until the swap instant, and a crash leaves
+    either the old or the new manifest, never a half-written one."""
+    manifest = spark.read.parquet(manifest_path)
+    keep = manifest.filter(F.col("commit_seq") <= commit_seq)
+    dropped = manifest.count() - keep.count()
+    if dropped == 0:
+        return 0
+    staging = manifest_path.rstrip("/") + "__rollback"
+    backup = manifest_path.rstrip("/") + "__prerollback"
+    keep.coalesce(1).write.mode("overwrite").parquet(staging)
+    os.rename(manifest_path, backup)
+    os.rename(staging, manifest_path)
+    shutil.rmtree(backup)
+    return dropped

@@ -1,0 +1,83 @@
+"""URL canonicalization + host rollups (operators/weburl.py).
+
+Unit-level: the canonical form on hand-built hazard URLs. Plan-level:
+q63 must stay a pure projection (no shuffle — it's meant to run inside
+the scan stage of a 100-TB read) and q64 exactly one hash shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ocr_service_spark.operators.weburl import canonicalize_urls
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(spark, url: str) -> dict:
+    df = canonicalize_urls(spark.createDataFrame([(url,)], "url string"))
+    return df.collect()[0].asDict()
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        # case, default port, fragment, duplicate slashes, tracking params
+        (
+            "HTTP://WWW.Example.COM:80//a//b?utm_source=x&b=2&a=1#frag",
+            "http://www.example.com/a/b?a=1&b=2",
+        ),
+        ("https://Host.Example.org:443/x", "https://host.example.org/x"),
+        # non-default port survives; trailing host dot stripped
+        ("http://news.example.com.:8080/p", "http://news.example.com:8080/p"),
+        # empty path -> "/"; empty query dropped
+        ("https://example.com?utm_medium=a", "https://example.com/"),
+        # param order normalized
+        ("http://e.com/p?z=1&a=2", "http://e.com/p?a=2&z=1"),
+    ],
+)
+def test_canonical_url(spark, url: str, expected: str) -> None:
+    assert _canon(spark, url)["canonical_url"] == expected
+
+
+def test_host_and_domain_and_depth(spark) -> None:
+    row = _canon(spark, "HTTP://WWW.News3.Example.COM.:80//Articles//item-7#x")
+    assert row["host"] == "www.news3.example.com"
+    assert row["registered_domain"] == "example.com"
+    assert row["path_depth"] == 2
+
+
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q63_plan_is_shuffle_free(spark) -> None:
+    from ocr_service_spark.operators.weburl import q63_url_canonicalize
+
+    plan = _formatted_plan(q63_url_canonicalize(spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_q64_plan_has_single_shuffle(spark) -> None:
+    from ocr_service_spark.operators.weburl import q64_host_stats
+
+    df = q64_host_stats(spark, SF)
+    plan = _formatted_plan(df)
+    # one Exchange for the groupBy; partial aggregation must sit below it
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_q63_q64_row_shapes(spark) -> None:
+    from ocr_service_spark.operators.weburl import q63_url_canonicalize, q64_host_stats
+
+    q63 = q63_url_canonicalize(spark, SF)
+    assert q63.count() == 500  # sf0.001 documents
+    assert q63.filter("canonical_url IS NULL OR host = ''").count() == 0
+    hosts = q64_host_stats(spark, SF)
+    assert hosts.count() == 7  # doc_id % 7 hosts
+    assert hosts.filter("registered_domain <> 'example.com'").count() == 0
