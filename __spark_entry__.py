@@ -470,12 +470,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q65_snapshot_time_travel"] = _q65_snapshot_time_travel
     for name, fn in stream_queries.QUERIES.items():  # q58 q59 (real streams)
         out[name] = _wrap(fn)
-    # -- single-format extraction roundtrips. q32 (xml) joins the
-    # redundantly-covered tail: its C6 path is hash-checked inside
-    # in-window q40 (xml fixture row) and pinned by the byte-parity
-    # goldens, and its pipeline shape is q30/q31/q33's.
-    for name, fn in roundtrip.QUERIES.items():  # q30 q62 q44 q48 q31 q33
-        if name != "q32_extract_xml_roundtrip":
+    # -- single-format extraction roundtrips. q31 (rtf) and q32 (xml)
+    # join the redundantly-covered tail: their T2/C6 paths are
+    # hash-checked inside in-window q40 (rtf + xml fixture rows) and
+    # pinned by the byte-parity goldens, and their pipeline shape is
+    # q30/q33/q62/q66's.
+    roundtrip_tail = {"q31_extract_rtf_roundtrip", "q32_extract_xml_roundtrip"}
+    for name, fn in roundtrip.QUERIES.items():  # q30 q62 q66 q44 q48 q33
+        if name not in roundtrip_tail:
             out[name] = _wrap(fn)
     # -- analytic suites
     tail = {
@@ -500,9 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for name, fn in mod.QUERIES.items():
             if name in tail:
                 out[name] = fn
-    out["q32_extract_xml_roundtrip"] = _wrap(
-        roundtrip.QUERIES["q32_extract_xml_roundtrip"]
-    )
+    for name in sorted(roundtrip_tail):
+        out[name] = _wrap(roundtrip.QUERIES[name])
     return out
 
 

@@ -56,10 +56,12 @@ HEADLINE_QUERIES = [
     "q36_token_percentiles",
     "q51_boilerplate_segments",
     "q53_tfidf_top_terms",
-    # round 4 additions — charset-ladder extraction + web-URL ops
+    # round 4 additions — charset/transfer extraction + web-URL/graph ops
     "q62_charset_roundtrip",
+    "q66_gzip_roundtrip",
     "q63_url_canonicalize",
     "q64_host_stats",
+    "q68_link_hosts",
 ]
 
 

@@ -1,0 +1,78 @@
+"""Outlink + robots-directive extraction from HTML payloads.
+
+The web-graph layer of a crawl pipeline: every page contributes its
+``<a href>`` edges (for frontier/PageRank/host-degree work) and its
+``<meta name="robots">`` directive (pages marked ``noindex`` are
+excluded from training corpora). The reference service has no notion
+of links — beyond-reference, like the charset/transfer rungs.
+
+Built on the same stdlib ``html.parser`` tokenizer as T1
+(html_text.py) and the charset ladder (attribute values arrive
+entity-unescaped from the tokenizer; bytes are decoded via
+``decode_markup``). Link hygiene:
+
+- pseudo-scheme hrefs (``javascript:``, ``mailto:``, ``tel:``,
+  ``data:``) and pure-fragment hrefs are dropped;
+- relative hrefs resolve against the page URL with
+  ``urllib.parse.urljoin`` (RFC 3986 dot-segment semantics);
+- document order is preserved and capped (a link farm with 10^5
+  anchors yields MAX_LINKS rows, not an unbounded explode).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+MAX_LINKS = 1000
+
+
+class _LinkCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+        self.robots: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.hrefs.append(value)
+                    break
+        elif tag == "meta":
+            a = dict(attrs)
+            if (a.get("name") or "").lower() == "robots":
+                self.robots.append(a.get("content") or "")
+
+
+def extract_links(payload: bytes | str, base_url: str | None = None) -> tuple[list[str], bool]:
+    """(resolved outlinks in document order, noindex flag)."""
+    if isinstance(payload, (bytes, bytearray)):
+        from ocr_service_spark.extraction.charset import decode_markup
+
+        text = decode_markup(bytes(payload))[1]
+    else:
+        text = payload
+    parser = _LinkCollector()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass
+
+    out: list[str] = []
+    for href in parser.hrefs:
+        h = href.strip()
+        if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
+            continue
+        if base_url:
+            try:
+                h = urljoin(base_url, h)
+            except ValueError:
+                continue
+        out.append(h)
+        if len(out) >= MAX_LINKS:
+            break
+    noindex = any("noindex" in c.lower() for c in parser.robots)
+    return out, noindex

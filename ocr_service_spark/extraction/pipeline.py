@@ -33,6 +33,7 @@ from ocr_service_spark.extraction.fallback import (
 )
 from ocr_service_spark.extraction.finalize import finalize_output_text, success_and_log
 from ocr_service_spark.extraction.pdf_text import pdf_to_text
+from ocr_service_spark.extraction.transfer import decode_transfer_encoding
 from ocr_service_spark.extraction.xml_text import xml_iter_text
 
 # Metadata keys promoted to typed result columns; the rest stay in the
@@ -92,8 +93,16 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
     when a rasterizer is present (reference swallow semantics when not:
     converter.py:213-225 returns empty images on any failure).
     """
+    # transfer-encoding unwrap (beyond-reference web-corpus rung): a
+    # gzip/zlib-wrapped payload is decompressed (budget-capped, see
+    # extraction/transfer.py) and the inner document proceeds through
+    # the normal route; undecodable payloads pass through unchanged.
+    stream, content_encoding = decode_transfer_encoding(stream)
+
     cls = classify(stream, url)
     meta: dict[str, Any] = {"content-type": cls.content_type, "doc_class": cls.doc_class}
+    if content_encoding:
+        meta["content_encoding"] = content_encoding
     output_text = ""
     pdf_stream: bytes = b""
 

@@ -165,6 +165,56 @@ def q62_charset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer-encoding unwrap under an oracle: each document's HTML
+    payload arrives gzip'd (rung 0), zlib'd (rung 1), double-gzip'd
+    (rung 2) or uncompressed (rung 3) — the REAL pipeline must
+    decompress (budget-capped, extraction/transfer.py), classify the
+    inner HTML and extract it identically to the uncompressed path,
+    recording the unwrap chain in metadata. Beyond the reference
+    (whose callers upload decoded files); on a Common-Crawl-style
+    corpus compressed bodies are routine."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    fmt = "<!DOCTYPE html>\n<html><head><title>t</title></head><body><p>%s</p></body></html>"
+
+    def gen(batches):
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i = int(doc_id)
+                page = (fmt % text).encode()
+                rung = i % 4
+                if rung == 0:
+                    payload = _gzip.compress(page, mtime=0)
+                elif rung == 1:
+                    payload = _zlib.compress(page)
+                elif rung == 2:
+                    payload = _gzip.compress(_gzip.compress(page, mtime=0), mtime=0)
+                else:
+                    payload = page
+                rows.append({"url": f"doc://{i}.html", "html": payload})
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    results = extract_documents(pages)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return results.select(
+        doc_id.alias("doc_id"),
+        F.coalesce(F.col("metadata")["content_encoding"], F.lit("none")).alias(
+            "content_encoding"
+        ),
+        "extracted_text",
+        "content_type",
+        "success",
+        "doc_class",
+    )
+
+
 # simple dialect-portable patterns (identical semantics in Java regex
 # and DuckDB's RE2 for this character-class-only subset)
 PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
@@ -285,6 +335,17 @@ ORACLES: dict[str, str] = {
                'html' AS doc_class
         FROM documents
     """,
+    # transfer-encoding: every rung decodes to the same inner HTML
+    "q66_gzip_roundtrip": """
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'gzip'
+                    WHEN 1 THEN 'deflate' WHEN 2 THEN 'gzip,gzip'
+                    ELSE 'none' END AS content_encoding,
+               't' || chr(10) || trim(text) AS extracted_text,
+               'text/html' AS content_type, TRUE AS success,
+               'html' AS doc_class
+        FROM documents
+    """,
     # rtf: body text, trailing \par newline stripped by finalize
     "q31_extract_rtf_roundtrip": """
         SELECT doc_id, trim(text) AS extracted_text,
@@ -379,6 +440,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
     "q62_charset_roundtrip": q62_charset_roundtrip,
+    "q66_gzip_roundtrip": q66_gzip_roundtrip,
     "q44_audio_roundtrip": q44_audio_roundtrip,
     "q48_pii_scrub_roundtrip": q48_pii_scrub_roundtrip,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,

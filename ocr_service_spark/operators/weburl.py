@@ -155,6 +155,110 @@ def q64_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", payload_col: str = "html"
+) -> DataFrame:
+    """HTML payloads -> one row per outlink: (url, seq, outlink,
+    noindex). Arrow-batched mapInPandas over the stdlib link parser
+    (extraction/links.py); relative hrefs resolve against the page
+    URL, link farms are capped at MAX_LINKS per page. A page with no
+    links still yields one seq=-1 row carrying its noindex flag, so
+    the robots signal survives for link-free pages."""
+    import pandas as pd
+
+    def gen(batches):
+        from ocr_service_spark.extraction.links import extract_links
+
+        for batch in batches:
+            rows = []
+            for url, payload in zip(batch[url_col], batch[payload_col]):
+                links, noindex = extract_links(
+                    bytes(payload) if payload is not None else b"", url
+                )
+                if not links:
+                    rows.append(
+                        {"url": url, "seq": -1, "outlink": None, "noindex": noindex}
+                    )
+                for seq, link in enumerate(links):
+                    rows.append(
+                        {"url": url, "seq": seq, "outlink": link, "noindex": noindex}
+                    )
+            yield pd.DataFrame(rows, columns=["url", "seq", "outlink", "noindex"])
+
+    return pages.mapInPandas(
+        gen, schema="url string, seq int, outlink string, noindex boolean"
+    )
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic pages whose outlinks are closed-form: every doc links
+    an absolute cross-host URL and a root-relative path, docs with
+    doc_id%3==0 add a subdirectory-relative link, every doc carries a
+    fragment/javascript/mailto trio that must be dropped, and docs
+    with doc_id%7==0 are marked noindex."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    url = F.format_string(
+        "https://www.src%s.example.com/dir/page%s.html",
+        (F.col("doc_id") % 5).cast("string"),
+        d,
+    )
+    robots = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit('<meta name="robots" content="noindex, nofollow">'),
+    ).otherwise(F.lit(""))
+    third = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.format_string('<a href="sub/p%s">s</a>', d),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><head>"),
+        robots,
+        F.lit("<title>t</title></head><body>"),
+        F.format_string(
+            '<a href="https://news%s.example.com/story/%s">n</a>',
+            (F.col("doc_id") % 7).cast("string"),
+            d,
+        ),
+        F.format_string('<a href="/rel/%s">r</a>', d),
+        third,
+        F.lit('<a href="#frag">f</a><a href="javascript:void(0)">j</a>'),
+        F.lit('<a href="mailto:a@b.example">m</a></body></html>'),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), F.encode(page, "utf-8").alias("html")
+    )
+
+
+def q67_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink extraction: absolute kept as-is, relative
+    resolved against the page URL, pseudo-scheme/fragment links
+    dropped, noindex carried through."""
+    pages = _link_pages(spark, sf_dir)
+    links = extract_outlinks(pages)
+    doc_id = F.regexp_extract("url", r"page(\d+)\.html", 1).cast("bigint")
+    return links.select(doc_id.alias("doc_id"), "seq", "outlink", "noindex")
+
+
+def q68_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host in-degree over the outlink edges — the web-graph profile a
+    frontier scheduler or PageRank seed needs. The noindex filter
+    drops edges from deindexed pages map-side, before any shuffle;
+    n_source_pages is a true countDistinct over unbounded page
+    cardinality, so Catalyst's two-phase distinct expansion (partial
+    agg on (host, url), then on host) is the correct scale shape —
+    unlike q64's bounded scheme set, a collect_set here would grow
+    per-host state without bound."""
+    links = extract_outlinks(_link_pages(spark, sf_dir)).filter(
+        F.col("outlink").isNotNull() & ~F.col("noindex")
+    )
+    host = F.regexp_extract("outlink", _RE_HOSTPORT, 1)
+    return links.groupBy(host.alias("target_host")).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("url").alias("n_source_pages"),
+    )
+
+
 # DuckDB mirror of _messy_urls + the canonical steps. The messy URL is
 # rebuilt closed-form; canonicalization uses the same regex/list ops.
 _MESSY_SQL = """
@@ -237,7 +341,44 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["q67_outlinks"] = """
+    SELECT doc_id, CAST(0 AS INT) AS seq,
+           'https://news' || (doc_id % 7) || '.example.com/story/' || doc_id
+               AS outlink,
+           doc_id % 7 = 0 AS noindex
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT),
+           'https://www.src' || (doc_id % 5) || '.example.com/rel/' || doc_id,
+           doc_id % 7 = 0
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT),
+           'https://www.src' || (doc_id % 5) || '.example.com/dir/sub/p' || doc_id,
+           doc_id % 7 = 0
+    FROM documents WHERE doc_id % 3 = 0
+"""
+
+ORACLES["q68_link_hosts"] = """
+    WITH e AS (
+        SELECT doc_id, 'news' || (doc_id % 7) || '.example.com' AS h
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, 'www.src' || (doc_id % 5) || '.example.com'
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, 'www.src' || (doc_id % 5) || '.example.com'
+        FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0
+    )
+    SELECT h AS target_host,
+           CAST(count(*) AS BIGINT) AS n_inlinks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_source_pages
+    FROM e GROUP BY h
+"""
+
 QUERIES = {
     "q63_url_canonicalize": q63_url_canonicalize,
     "q64_host_stats": q64_host_stats,
+    "q67_outlinks": q67_outlinks,
+    "q68_link_hosts": q68_link_hosts,
 }

@@ -1,0 +1,94 @@
+"""Outlink/robots extraction (extraction/links.py) + the exploded
+operator (operators/weburl.extract_outlinks)."""
+
+from __future__ import annotations
+
+import codecs
+
+from ocr_service_spark.extraction.links import MAX_LINKS, extract_links
+
+BASE = "https://www.example.com/dir/page.html"
+
+
+def _links(html: str, base: str | None = BASE):
+    return extract_links(html.encode(), base)
+
+
+def test_absolute_and_relative_resolution() -> None:
+    links, _ = _links(
+        '<a href="https://other.org/x">a</a>'
+        '<a href="/root/y">b</a>'
+        '<a href="sub/z">c</a>'
+        '<a href="../up">d</a>'
+    )
+    assert links == [
+        "https://other.org/x",
+        "https://www.example.com/root/y",
+        "https://www.example.com/dir/sub/z",
+        "https://www.example.com/up",
+    ]
+
+
+def test_pseudo_schemes_and_fragments_dropped() -> None:
+    links, _ = _links(
+        '<a href="#sec">a</a><a href="javascript:void(0)">b</a>'
+        '<a href="MAILTO:x@y.z">c</a><a href="tel:+1">d</a>'
+        '<a href="data:text/plain,hi">e</a><a href="">f</a><a>g</a>'
+        '<a href="/keep">h</a>'
+    )
+    assert links == ["https://www.example.com/keep"]
+
+
+def test_entity_unescape_and_case_insensitive_tags() -> None:
+    links, _ = _links('<A HREF="/p?a=1&amp;b=2">x</A>')
+    assert links == ["https://www.example.com/p?a=1&b=2"]
+
+
+def test_document_order_preserved() -> None:
+    links, _ = _links("".join(f'<a href="/p{i}">x</a>' for i in range(5)))
+    assert links == [f"https://www.example.com/p{i}" for i in range(5)]
+
+
+def test_link_farm_capped() -> None:
+    html = "".join(f'<a href="/p{i}">x</a>' for i in range(MAX_LINKS + 50))
+    links, _ = _links(html)
+    assert len(links) == MAX_LINKS
+
+
+def test_noindex_variants() -> None:
+    assert _links('<meta name="robots" content="noindex">')[1] is True
+    assert _links('<meta name="ROBOTS" content="NOINDEX, nofollow">')[1] is True
+    assert _links('<meta name="robots" content="index, follow">')[1] is False
+    assert _links("<p>no meta</p>")[1] is False
+    # non-robots meta must not trigger
+    assert _links('<meta name="description" content="noindex zone">')[1] is False
+
+
+def test_charset_aware_decode() -> None:
+    page = '<html><body><a href="/ünïcode">x</a></body></html>'
+    payload = codecs.BOM_UTF16_LE + page.encode("utf-16-le")
+    links, _ = extract_links(payload, BASE)
+    assert links == ["https://www.example.com/ünïcode"]
+
+
+def test_no_base_keeps_raw_href() -> None:
+    links, _ = extract_links(b'<a href="/x">a</a>', None)
+    assert links == ["/x"]
+
+
+def test_operator_emits_placeholder_row_for_linkless_page(spark) -> None:
+    from ocr_service_spark.operators.weburl import extract_outlinks
+
+    pages = spark.createDataFrame(
+        [
+            ("u://1", b'<meta name="robots" content="noindex"><p>none</p>'),
+            ("u://2", b'<a href="https://a.example/x">l</a>'),
+        ],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in extract_outlinks(pages).collect()}
+    assert rows["u://1"]["seq"] == -1
+    assert rows["u://1"]["outlink"] is None
+    assert rows["u://1"]["noindex"] is True
+    assert rows["u://2"]["outlink"] == "https://a.example/x"
+    assert rows["u://2"]["noindex"] is False
