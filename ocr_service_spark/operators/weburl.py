@@ -259,6 +259,65 @@ def q68_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_SCALE = 1_000_000  # fixed-point unit: pr=1.0
+PR_BASE = 150_000  # (1 - 0.85) * SCALE
+PR_ITERS = 2
+
+
+def host_pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-exact PageRank over a (src, dst) host edge list.
+
+    Fixed-point arithmetic (like q55's k-means): ranks are bigints
+    scaled by PR_SCALE, the damping step is ``base + (17 * mass) div
+    20`` with truncating integer division at each stage — every value
+    is exactly reproducible in any SQL engine, no float drift. The
+    iteration is the standard two-shuffle round: contributions =
+    edges ⋈ ranks ⋈ outdeg (hash joins on the host key), then a
+    groupBy(dst) sum; at web scale all three relations hash-partition
+    on the same key, so AQE reuses the partitioning across rounds.
+    Dangling mass (hosts with no outlinks) is dropped, parallel edges
+    each carry a contribution — both conventions mirrored exactly by
+    the oracle. Iterations are unrolled into one lazy plan; a
+    production run at 10^8 hosts would checkpoint per round instead.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("pr", F.lit(PR_SCALE).cast("bigint"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["host"])
+            .join(outdeg, "src")
+            .select(F.col("dst"), F.expr("pr div outdeg").alias("c"))
+        )
+        mass = contrib.groupBy("dst").agg(F.sum("c").alias("mass"))
+        ranks = nodes.join(mass, nodes["host"] == mass["dst"], "left").select(
+            "host",
+            (
+                F.lit(PR_BASE) + F.expr(f"(17 * coalesce(mass, 0L)) div 20")
+            ).cast("bigint").alias("pr"),
+        )
+    return ranks
+
+
+def q69_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthetic link graph (all edges, including
+    self-links from relative hrefs — conventions pinned in
+    host_pagerank's docstring); two unrolled integer-exact iterations
+    the oracle replays verbatim."""
+    links = extract_outlinks(_link_pages(spark, sf_dir)).filter(
+        F.col("outlink").isNotNull()
+    )
+    edges = links.select(
+        F.regexp_extract("url", _RE_HOSTPORT, 1).alias("src"),
+        F.regexp_extract("outlink", _RE_HOSTPORT, 1).alias("dst"),
+    )
+    return host_pagerank(edges).select("host", F.col("pr").alias("pr_scaled"))
+
+
 # DuckDB mirror of _messy_urls + the canonical steps. The messy URL is
 # rebuilt closed-form; canonicalization uses the same regex/list ops.
 _MESSY_SQL = """
@@ -376,9 +435,51 @@ ORACLES["q68_link_hosts"] = """
     FROM e GROUP BY h
 """
 
+ORACLES["q69_host_pagerank"] = f"""
+    WITH e AS (
+        SELECT 'www.src' || (doc_id % 5) || '.example.com' AS src,
+               'news' || (doc_id % 7) || '.example.com' AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'www.src' || (doc_id % 5) || '.example.com',
+               'www.src' || (doc_id % 5) || '.example.com'
+        FROM documents
+        UNION ALL
+        SELECT 'www.src' || (doc_id % 5) || '.example.com',
+               'www.src' || (doc_id % 5) || '.example.com'
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e
+                                         UNION ALL SELECT dst FROM e)),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    pr0 AS (SELECT host, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),
+    m1 AS (
+        SELECT e.dst, sum(pr0.pr // o.outdeg) AS mass
+        FROM e JOIN pr0 ON e.src = pr0.host JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ),
+    pr1 AS (
+        SELECT n.host,
+               CAST({PR_BASE} + (17 * coalesce(m1.mass, 0)) // 20 AS BIGINT) AS pr
+        FROM nodes n LEFT JOIN m1 ON n.host = m1.dst
+    ),
+    m2 AS (
+        SELECT e.dst, sum(pr1.pr // o.outdeg) AS mass
+        FROM e JOIN pr1 ON e.src = pr1.host JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+    ),
+    pr2 AS (
+        SELECT n.host,
+               CAST({PR_BASE} + (17 * coalesce(m2.mass, 0)) // 20 AS BIGINT) AS pr
+        FROM nodes n LEFT JOIN m2 ON n.host = m2.dst
+    )
+    SELECT host, pr AS pr_scaled FROM pr2
+"""
+
 QUERIES = {
     "q63_url_canonicalize": q63_url_canonicalize,
     "q64_host_stats": q64_host_stats,
     "q67_outlinks": q67_outlinks,
     "q68_link_hosts": q68_link_hosts,
+    "q69_host_pagerank": q69_host_pagerank,
 }

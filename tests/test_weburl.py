@@ -72,6 +72,21 @@ def test_q64_plan_has_single_shuffle(spark) -> None:
     assert "HashAggregate" in plan
 
 
+def test_host_pagerank_hand_computed(spark) -> None:
+    """Two-node graph a->b, a->a: hand-unrolled fixed-point values.
+
+    outdeg(a)=2. iter1: mass(a)=mass(b)=1000000//2=500000;
+    pr1 = 150000 + (17*500000)//20 = 575000 for both.
+    iter2: contributions 575000//2 = 287500 each;
+    pr2 = 150000 + (17*287500)//20 = 394375 for both (b is dangling —
+    its mass is dropped, the pinned convention)."""
+    from ocr_service_spark.operators.weburl import host_pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("a", "a")], "src string, dst string")
+    ranks = {r["host"]: r["pr"] for r in host_pagerank(edges).collect()}
+    assert ranks == {"a": 394375, "b": 394375}
+
+
 def test_q63_q64_row_shapes(spark) -> None:
     from ocr_service_spark.operators.weburl import q63_url_canonicalize, q64_host_stats
 
