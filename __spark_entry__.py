@@ -489,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_quality_buckets", "q29_top_terms",
         # same deterministic-hash sampling operator as in-window q26
         "q27_stratified_sample",
+        # canonical-copy filter over q37's components (in-window), and
+        # the same min-doc_id election shape as in-window q70
+        "q38_dedup_canonical",
         # same top-k shape as q25 (in-window); q20 is the brute-force
         # baseline of the same scorer, q46 the binary-metric variant
         "q20_cosine_topk", "q46_hamming_topk",

@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "q63_url_canonicalize",
     "q64_host_stats",
     "q68_link_hosts",
+    "q70_corpus_filter",
 ]
 
 

@@ -225,6 +225,114 @@ def q54_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- composite corpus filter (the pipeline's end decision) --------------------
+MIN_TOKENS = 40  # too-short floor
+# repetition: top-bigram fraction > 0.2  <=>  5 * top_n > n_bigrams
+# alpha: alphabetic-char fraction < 0.5  <=>  2 * alpha < n_chars
+
+
+def q70_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision a pretraining pipeline makes per document,
+    composing the suite's signals into one verdict with a reason code:
+
+        exact_dup > too_short > lang_other > repetitive > low_alpha > ok
+
+    Every predicate is an INTEGER comparison (cross-multiplied
+    thresholds, like q55/q69) so the oracle replays the whole decision
+    tree with zero float drift. Shape at 100 TB: one projection for
+    the per-doc counters, the q39 bigram double-groupBy, and one
+    groupBy(md5) for canonical-copy election — all partial-aggregated
+    hash shuffles keyed by doc/hash, no driver surface."""
+    from ocr_service_spark.operators.text_stats import (
+        LANG_MARKERS,
+        _marker_pattern,
+    )
+
+    src = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    # The natural corpus only trips too_short/lang_other, so closed-form
+    # synthetic rows (mirrored verbatim by the oracle) exercise the
+    # remaining branches: exact copies of docs 0-9 (exact_dup), pages of
+    # one repeated bigram (repetitive), digit-soup pages (low_alpha).
+    d = F.col("doc_id")
+    dups = src.filter(d < 10).select(
+        (d + 1_000_000).alias("doc_id"), "text", "n_chars"
+    )
+    rep_text = F.repeat(F.concat(F.lit("the row"), d.cast("string"), F.lit(" ")), 40)
+    reps = src.filter(d < 10).select(
+        (d + 2_000_000).alias("doc_id"),
+        rep_text.alias("text"),
+        F.length(rep_text).cast("bigint").alias("n_chars"),
+    )
+    low_text = F.concat(
+        F.lit("n"), d.cast("string"), F.lit(" "),
+        F.repeat(F.lit("1 2 3 4 5 6 7 8 9 0 the "), 8),
+    )
+    lows = src.filter(d < 10).select(
+        (d + 3_000_000).alias("doc_id"),
+        low_text.alias("text"),
+        F.length(low_text).cast("bigint").alias("n_chars"),
+    )
+    docs = src.unionByName(dups).unionByName(reps).unionByName(lows)
+    t = F.split(F.trim("text"), TOKEN_RE)
+    hits = {
+        lang: F.regexp_count(F.col("text"), F.lit(_marker_pattern(m)))
+        for lang, m in LANG_MARKERS.items()
+    }
+    top = F.greatest(*hits.values())
+    predicted = F.when(top == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        predicted = predicted.when(hits[lang] == top, F.lit(lang))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(t).alias("tokens"),
+        predicted.alias("predicted_lang"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]")).alias("alpha"),
+    )
+
+    # top-bigram count per doc (q39's two partial-agg groupBys)
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        docs.select("doc_id", F.explode_outer(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bigr = per_gram.groupBy("doc_id").agg(
+        F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias("top_n")
+    )
+
+    # canonical-copy election per exact-hash group
+    canon = base.groupBy("h").agg(F.min("doc_id").alias("canon_id"))
+
+    j = base.join(bigr, "doc_id").join(canon, "h")
+    n_bigrams = F.greatest(F.col("tokens") - 1, F.lit(0))
+    reason = (
+        F.when(F.col("doc_id") != F.col("canon_id"), F.lit("exact_dup"))
+        .when(F.col("tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("predicted_lang") != "en", F.lit("lang_other"))
+        .when(
+            (n_bigrams > 0) & (5 * F.coalesce(F.col("top_n"), F.lit(0)) > n_bigrams),
+            F.lit("repetitive"),
+        )
+        .when(2 * F.col("alpha") < F.col("n_chars"), F.lit("low_alpha"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        "predicted_lang",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "q51_boilerplate_segments": f"""
         WITH tk AS (
@@ -329,7 +437,78 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def _q70_oracle() -> str:
+    from ocr_service_spark.operators.text_stats import LANG_MARKERS, _marker_pattern
+
+    hit_exprs = ", ".join(
+        f"len(regexp_extract_all(text, '{_marker_pattern(m)}')) AS hits_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_MARKERS) + ")"
+    case = f"CASE WHEN {top} = 0 THEN 'und'"
+    for lang in LANG_MARKERS:
+        case += f" WHEN hits_{lang} = {top} THEN '{lang}'"
+    case += " END"
+    return f"""
+        WITH aug AS (
+            SELECT doc_id, text, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text, n_chars
+            FROM documents WHERE doc_id < 10
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   repeat('the row' || doc_id || ' ', 40),
+                   CAST(length(repeat('the row' || doc_id || ' ', 40)) AS BIGINT)
+            FROM documents WHERE doc_id < 10
+            UNION ALL
+            SELECT doc_id + 3000000,
+                   'n' || doc_id || ' ' || repeat('1 2 3 4 5 6 7 8 9 0 the ', 8),
+                   CAST(length('n' || doc_id || ' '
+                        || repeat('1 2 3 4 5 6 7 8 9 0 the ', 8)) AS BIGINT)
+            FROM documents WHERE doc_id < 10
+        ),
+        base AS (
+            SELECT doc_id, n_chars, md5(text) AS h,
+                   len(regexp_split_to_array(trim(text), '{TOKEN_RE}')) AS tokens,
+                   {case} AS predicted_lang,
+                   len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha
+            FROM (SELECT doc_id, n_chars, text, {hit_exprs} FROM aug)
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+                  FROM aug)
+        ),
+        pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        bigr AS (SELECT doc_id, max(cnt) AS top_n FROM pg GROUP BY 1),
+        canon AS (SELECT h, min(doc_id) AS canon_id FROM base GROUP BY 1),
+        j AS (
+            SELECT b.*, coalesce(bg.top_n, 0) AS top_n, c.canon_id,
+                   greatest(b.tokens - 1, 0) AS n_bigrams
+            FROM base b LEFT JOIN bigr bg ON b.doc_id = bg.doc_id
+            JOIN canon c ON b.h = c.h
+        ),
+        v AS (
+            SELECT doc_id, tokens, predicted_lang,
+                   CASE WHEN doc_id <> canon_id THEN 'exact_dup'
+                        WHEN tokens < {MIN_TOKENS} THEN 'too_short'
+                        WHEN predicted_lang <> 'en' THEN 'lang_other'
+                        WHEN n_bigrams > 0 AND 5 * top_n > n_bigrams THEN 'repetitive'
+                        WHEN 2 * alpha < n_chars THEN 'low_alpha'
+                        ELSE 'ok' END AS reason
+            FROM j
+        )
+        SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, predicted_lang,
+               reason, reason = 'ok' AS keep
+        FROM v
+    """
+
+
+ORACLES["q70_corpus_filter"] = _q70_oracle()
+
 QUERIES = {
+    "q70_corpus_filter": q70_corpus_filter,
     "q51_boilerplate_segments": q51_boilerplate_segments,
     "q52_contamination": q52_contamination,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,

@@ -34,10 +34,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Schema-migrating manifest read: manifests written before the
+    snapshot layer lack ``commit_seq``, and a plain parquet read of a
+    mixed directory can silently pick the OLD schema and drop the
+    column — so read with mergeSchema and coalesce the pre-snapshot
+    rows to commit 0 (the "before history began" snapshot, readable
+    by every as-of query)."""
+    manifest = spark.read.option("mergeSchema", "true").parquet(manifest_path)
+    if "commit_seq" not in manifest.columns:
+        return manifest.withColumn("commit_seq", F.lit(0).cast("long"))
+    return manifest.withColumn(
+        "commit_seq", F.coalesce(F.col("commit_seq"), F.lit(0)).cast("long")
+    )
+
+
 def latest_commit(spark: SparkSession, manifest_path: str) -> int:
     """Highest commit_seq in the manifest (0 when absent/empty)."""
     try:
-        manifest = spark.read.parquet(manifest_path)
+        manifest = _read_manifest(spark, manifest_path)
         row = manifest.agg(F.max("commit_seq").alias("m")).collect()[0]
         return int(row["m"]) if row["m"] is not None else 0
     except Exception:
@@ -47,7 +62,7 @@ def latest_commit(spark: SparkSession, manifest_path: str) -> int:
 def snapshot_log(spark: SparkSession, manifest_path: str) -> DataFrame:
     """One row per commit: (commit_seq, n_parts, doc_count,
     completed_ts) — the `.snapshots` metadata-table equivalent."""
-    manifest = spark.read.parquet(manifest_path)
+    manifest = _read_manifest(spark, manifest_path)
     return (
         manifest.groupBy("commit_seq")
         .agg(
@@ -74,7 +89,7 @@ def read_as_of(
     non-member part directories at planning time, so the scan touches
     exactly the files the pinned snapshot references.
     """
-    manifest = spark.read.parquet(manifest_path)
+    manifest = _read_manifest(spark, manifest_path)
     if snapshot_id is not None:
         manifest = manifest.filter(F.col("input_snapshot_id") == snapshot_id)
     if commit_seq is not None:
@@ -92,7 +107,7 @@ def rollback(spark: SparkSession, manifest_path: str, commit_seq: int) -> int:
     (same crash-safety pattern as maintenance.compact_parquet): the
     manifest stays readable until the swap instant, and a crash leaves
     either the old or the new manifest, never a half-written one."""
-    manifest = spark.read.parquet(manifest_path)
+    manifest = _read_manifest(spark, manifest_path)
     keep = manifest.filter(F.col("commit_seq") <= commit_seq)
     dropped = manifest.count() - keep.count()
     if dropped == 0:

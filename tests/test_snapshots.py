@@ -91,6 +91,38 @@ def test_rollback_to_latest_is_noop(spark, paths):
     assert rollback(spark, manifest_path, latest_commit(spark, manifest_path)) == 0
 
 
+def test_pre_snapshot_manifest_migrates(spark, paths):
+    """A manifest written before the snapshot layer (no commit_seq
+    column) must keep resuming AND gain snapshot semantics: its rows
+    read as commit 0, a new run becomes commit 1, and time travel to
+    commit 0 sees exactly the legacy partitions. Guards against the
+    parquet mixed-schema trap where a plain read silently picks the
+    old schema and drops commit_seq."""
+    results_path, manifest_path = paths
+    pages = _pages(spark)
+
+    # legacy run: write its manifest rows, then strip commit_seq
+    run_with_checkpoint(spark, _half(pages), "src", results_path, manifest_path, N_PARTS)
+    import os as _os
+    import shutil as _shutil
+
+    staging = manifest_path + "__legacy"
+    spark.read.parquet(manifest_path).drop("commit_seq").write.parquet(staging)
+    _shutil.rmtree(manifest_path)
+    _os.rename(staging, manifest_path)
+    assert latest_commit(spark, manifest_path) == 0
+    c0 = read_as_of(spark, results_path, manifest_path, commit_seq=0).count()
+    assert 0 < c0 < 120
+
+    # new-layer run appends commit_seq rows -> mixed-schema directory
+    run_with_checkpoint(spark, pages, "src", results_path, manifest_path, N_PARTS)
+    assert latest_commit(spark, manifest_path) == 1
+    assert read_as_of(spark, results_path, manifest_path).count() == 120
+    assert read_as_of(spark, results_path, manifest_path, commit_seq=0).count() == c0
+    log = snapshot_log(spark, manifest_path).collect()
+    assert [r["commit_seq"] for r in log] == [0, 1]
+
+
 def test_as_of_read_prunes_partitions(spark, paths):
     results_path, manifest_path = paths
     pages = _pages(spark)
