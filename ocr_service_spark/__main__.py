@@ -10,6 +10,14 @@ Cluster (the north-rule deployment shape):
 
 The job is resumable: re-running with the same manifest dir skips
 completed partitions via the broadcast anti-join.
+
+Operational subcommands (the snapshot/maintenance surface):
+
+    python -m ocr_service_spark snapshots --manifest <dir>
+    python -m ocr_service_spark rollback  --manifest <dir> --to <seq>
+    python -m ocr_service_spark compact   --path <dir> [--target-mb 256]
+
+Each prints one JSON line, like the run path.
 """
 
 from __future__ import annotations
@@ -17,8 +25,72 @@ from __future__ import annotations
 import argparse
 import json
 
+_SUBCOMMANDS = {"snapshots", "rollback", "compact"}
+
+
+def run_ops(spark, args: argparse.Namespace) -> dict:
+    """Execute one ops subcommand against a caller-owned session.
+
+    Split from ``_ops_main`` so tests can drive the exact CLI code path
+    in-process without the session build/stop around it.
+    """
+    if args.cmd == "snapshots":
+        from ocr_service_spark.plans.snapshots import snapshot_log
+
+        log = [r.asDict() for r in snapshot_log(spark, args.manifest).collect()]
+        for row in log:
+            row["completed_ts"] = str(row["completed_ts"])
+        return {"status": "ok", "snapshots": log}
+    if args.cmd == "rollback":
+        from ocr_service_spark.plans.snapshots import latest_commit, rollback
+
+        dropped = rollback(spark, args.manifest, args.to)
+        return {
+            "status": "ok", "dropped_entries": dropped,
+            "latest_commit": latest_commit(spark, args.manifest),
+        }
+    from ocr_service_spark.plans.maintenance import compact_parquet
+
+    before, after = compact_parquet(spark, args.path, target_mb=args.target_mb)
+    return {"status": "ok", "files_before": before, "files_after": after}
+
+
+def parse_ops_args(argv: list[str]) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(prog="ocr_service_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p_snap = sub.add_parser("snapshots", help="print the commit log")
+    p_snap.add_argument("--manifest", required=True)
+    p_roll = sub.add_parser("rollback", help="drop commits newer than --to")
+    p_roll.add_argument("--manifest", required=True)
+    p_roll.add_argument("--to", type=int, required=True)
+    p_comp = sub.add_parser("compact", help="rewrite a parquet dir to target-size files")
+    p_comp.add_argument("--path", required=True)
+    p_comp.add_argument("--target-mb", type=int, default=256)
+    for p in (p_snap, p_roll, p_comp):
+        p.add_argument("--cpus", type=int, default=None)
+    return parser.parse_args(argv)
+
+
+def _ops_main(argv: list[str]) -> None:
+    args = parse_ops_args(argv)
+
+    from ocr_service_spark.plans.session import build_session
+
+    spark = build_session(app_name=f"ocr-service-spark-{args.cmd}", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        print(json.dumps(run_ops(spark, args)))
+    finally:
+        spark.stop()
+
 
 def main(argv: list[str] | None = None) -> None:
+    import sys as _sys
+
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] in _SUBCOMMANDS:
+        _ops_main(argv)
+        return
     parser = argparse.ArgumentParser(prog="ocr_service_spark")
     parser.add_argument("--pages", required=True, help="input pages table (parquet dir)")
     parser.add_argument("--results", required=True, help="output results table")

@@ -216,7 +216,12 @@ def main() -> None:
         return (f"| {label} | {m['sec']} | {m['docs_per_sec']} | "
                 f"{m['pages_per_sec']} |\n")
 
-    bench_md = REPO / "BENCH.md"
+    # Write to a scratch report, NOT BENCH.md: BENCH.md is the curated
+    # multi-window narrative (seven-window table, variance notes); a raw
+    # single-window rewrite once clobbered it. Fold new windows into
+    # BENCH.md's table by hand from this report.
+    bench_md = REPO / "BENCH_SCALING_LAST_RUN.md"
+    (REPO / "BENCH_SCALING_LAST_RUN.json").write_text(json.dumps(report, indent=1))
     bench_md.write_text(
         "# BENCH — measured throughput & scaling evidence\n\n"
         "Two-cluster-size criterion evidenced per BASELINE.md (no real\n"
