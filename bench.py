@@ -63,6 +63,9 @@ HEADLINE_QUERIES = [
     "q64_host_stats",
     "q68_link_hosts",
     "q70_corpus_filter",
+    "q71_crawl_churn",
+    "q72_robots_policy",
+    "q73_anchor_terms",
 ]
 
 

@@ -29,25 +29,47 @@ MAX_LINKS = 1000
 
 
 class _LinkCollector(HTMLParser):
+    """Collects (href, anchor text) pairs plus robots directives.
+
+    Anchor text is the character data between an ``<a href>`` and its
+    ``</a>`` (nested tags contribute their text; an unclosed ``<a>``
+    ends at the next ``<a>`` — browsers' auto-close behavior)."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.hrefs: list[str] = []
+        self.anchors: list[tuple[str, list[str]]] = []  # (href, text parts)
         self.robots: list[str] = []
+        self._open = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "a":
+            self._open = False
             for name, value in attrs:
                 if name == "href" and value:
-                    self.hrefs.append(value)
+                    self.anchors.append((value, []))
+                    self._open = True
                     break
         elif tag == "meta":
             a = dict(attrs)
             if (a.get("name") or "").lower() == "robots":
                 self.robots.append(a.get("content") or "")
 
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._open = False
 
-def extract_links(payload: bytes | str, base_url: str | None = None) -> tuple[list[str], bool]:
-    """(resolved outlinks in document order, noindex flag)."""
+    def handle_data(self, data: str) -> None:
+        if self._open and data:
+            self.anchors[-1][1].append(data)
+
+
+def extract_anchors(
+    payload: bytes | str, base_url: str | None = None
+) -> tuple[list[tuple[str, str]], bool]:
+    """((resolved outlink, whitespace-normalized anchor text) in
+    document order, noindex flag). Same hygiene as ``extract_links``;
+    anchor text is the text content of the ``<a>`` element with runs
+    of whitespace collapsed to single spaces."""
     if isinstance(payload, (bytes, bytearray)):
         from ocr_service_spark.extraction.charset import decode_markup
 
@@ -61,8 +83,8 @@ def extract_links(payload: bytes | str, base_url: str | None = None) -> tuple[li
     except Exception:
         pass
 
-    out: list[str] = []
-    for href in parser.hrefs:
+    out: list[tuple[str, str]] = []
+    for href, parts in parser.anchors:
         h = href.strip()
         if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
             continue
@@ -71,8 +93,14 @@ def extract_links(payload: bytes | str, base_url: str | None = None) -> tuple[li
                 h = urljoin(base_url, h)
             except ValueError:
                 continue
-        out.append(h)
+        out.append((h, " ".join("".join(parts).split())))
         if len(out) >= MAX_LINKS:
             break
     noindex = any("noindex" in c.lower() for c in parser.robots)
     return out, noindex
+
+
+def extract_links(payload: bytes | str, base_url: str | None = None) -> tuple[list[str], bool]:
+    """(resolved outlinks in document order, noindex flag)."""
+    anchors, noindex = extract_anchors(payload, base_url)
+    return [href for href, _ in anchors], noindex

@@ -318,6 +318,300 @@ def q69_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges).select("host", F.col("pr").alias("pr_scaled"))
 
 
+# -- q71: crawl snapshot churn (delta detection) -----------------------------
+
+
+def snapshot_churn(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-URL churn between two crawl snapshots, each
+    ``(url, host, content_hash)``: one full-outer sort-merge join on
+    url -> status ``added`` / ``deleted`` / ``changed`` / ``unchanged``.
+    At 100 TB both snapshots live bucketed by url, so the join is
+    co-located (no shuffle); here AQE plans the plain shuffle join.
+    Returns (url, host, status)."""
+    o = old.select(
+        F.col("url"), F.col("host").alias("o_host"), F.col("content_hash").alias("o_hash")
+    )
+    n = new.select(
+        F.col("url"), F.col("host").alias("n_host"), F.col("content_hash").alias("n_hash")
+    )
+    joined = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("o_hash").isNull(), F.lit("added"))
+        .when(F.col("n_hash").isNull(), F.lit("deleted"))
+        .when(F.col("o_hash") == F.col("n_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        "url",
+        F.coalesce("n_host", "o_host").alias("host"),
+        status.alias("status"),
+    )
+
+
+def _snapshot(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    """Deterministic crawl snapshot over the documents table. Snapshot
+    "a" lacks doc_id%11==0 (later "added"), "b" lacks doc_id%13==0
+    ("deleted"); docs with doc_id%5==0 change content between the two.
+    content_hash is md5 of a closed-form string, identical in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (d % 10).cast("string"),
+        F.lit(".example.com/item/"), d.cast("string"),
+    )
+    host = F.concat(F.lit("site"), (d % 10).cast("string"), F.lit(".example.com"))
+    if which == "a":
+        docs = docs.filter(d % 11 != 0)
+        ver = F.lit("v1-")
+    else:
+        docs = docs.filter(d % 13 != 0)
+        ver = F.when(d % 5 == 0, F.lit("v2-")).otherwise(F.lit("v1-"))
+    return docs.select(
+        url.alias("url"),
+        host.alias("host"),
+        F.md5(F.encode(F.concat(ver, d.cast("string")), "utf-8")).alias("content_hash"),
+    )
+
+
+def q71_crawl_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level churn profile between two crawl snapshots: how many
+    URLs were added / deleted / changed / unchanged per host — the
+    recrawl-scheduling signal. Join on url, then one groupBy(host)."""
+    churn = snapshot_churn(
+        _snapshot(spark, sf_dir, "a"), _snapshot(spark, sf_dir, "b")
+    )
+    return churn.groupBy("host").agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("status") == "deleted", 1).otherwise(0)).alias("n_deleted"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).alias("n_changed"),
+        F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0)).alias(
+            "n_unchanged"
+        ),
+    )
+
+
+# -- q72: robots.txt fetch policy --------------------------------------------
+
+
+def robots_rules_table(robots: DataFrame, agent: str) -> DataFrame:
+    """(host, robots_txt) -> one row per applicable rule
+    (host, allow, plen, pattern, rx): RFC 9309 group selection runs in
+    Python on the robots side (one row per HOST — tiny next to pages),
+    emitting patterns pre-compiled to portable regexes so precedence
+    resolution stays fully relational downstream."""
+    import pandas as pd
+
+    def gen(batches):
+        from ocr_service_spark.extraction.robots import rules_for_agent
+
+        for batch in batches:
+            rows = []
+            for host, txt in zip(batch["host"], batch["robots_txt"]):
+                for r in rules_for_agent(txt or "", agent):
+                    rows.append(
+                        {
+                            "host": host,
+                            "allow": 1 if r.allow else 0,
+                            "plen": len(r.pattern),
+                            "pattern": r.pattern,
+                            "rx": r.regex,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["host", "allow", "plen", "pattern", "rx"]
+            )
+
+    return robots.mapInPandas(
+        gen, schema="host string, allow int, plen int, pattern string, rx string"
+    )
+
+
+def fetch_policy(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Longest-match robots decision for every page, relationally:
+    left-join pages to the host's rules (hash join on host — AQE
+    broadcasts when the parsed rules side is small; never forced,
+    a 10^8-host robots table must be allowed to shuffle), keep
+    matching rules (RLIKE with the per-rule regex), then ONE
+    max(struct(plen, allow, pattern)) aggregation per page implements
+    RFC 9309 precedence: longest pattern wins, Allow wins ties (the
+    struct compares plen first, then allow). No matching rule ->
+    fetchable. Input pages must carry (doc_id, host, path)."""
+    joined = pages.join(rules, "host", "left")
+    m = F.expr("path rlike rx")
+    winner = F.max(
+        F.when(m, F.struct(F.col("plen"), F.col("allow"), F.col("pattern")))
+    ).alias("w")
+    agg = joined.groupBy("doc_id", "host", "path").agg(winner)
+    return agg.select(
+        "doc_id",
+        "host",
+        "path",
+        (F.col("w").isNull() | (F.col("w.allow") == 1)).alias("fetchable"),
+        F.col("w.pattern").alias("winning_rule"),
+    )
+
+
+_ROBOTS_AGENT = "graftbot"
+
+
+def _robots_corpus(spark: SparkSession, sf_dir: str):
+    """(pages, robots) with closed-form expected decisions. Ten hosts;
+    every host Disallows /private/ but Allows /private/pub/; even
+    hosts add a wildcard 'Disallow: /*.zip$'; hosts %3==0 carry a
+    graftbot-specific group (Disallow /tmp/) that REPLACES the *
+    group for our agent. Paths cycle through six rungs including the
+    prefix-subtlety rung /private/pubx (matches /private/ but NOT
+    /private/pub/)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("crawl"), (d % 10).cast("string"), F.lit(".example.com"))
+    ds = d.cast("string")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/private/doc"), ds))
+        .when(d % 6 == 1, F.concat(F.lit("/private/pub/doc"), ds))
+        .when(d % 6 == 2, F.concat(F.lit("/tmp/doc"), ds))
+        .when(d % 6 == 3, F.concat(F.lit("/files/doc"), ds, F.lit(".zip")))
+        .when(d % 6 == 4, F.concat(F.lit("/ok/doc"), ds))
+        .otherwise(F.concat(F.lit("/private/pubx"), ds))
+    )
+    pages = docs.select("doc_id", host.alias("host"), path.alias("path"))
+
+    h = F.col("h")
+    hosts = (
+        spark.range(10)
+        .select(F.col("id").cast("int").alias("h"))
+        .select(
+            F.concat(F.lit("crawl"), h.cast("string"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"),
+                F.when(h % 2 == 0, F.lit("Disallow: /*.zip$\n")).otherwise(F.lit("")),
+                F.when(
+                    h % 3 == 0,
+                    F.lit("User-agent: graftbot\nDisallow: /tmp/\n"),
+                ).otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    return pages, hosts
+
+
+def q72_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-policy sweep: parse each host's robots.txt for agent
+    "graftbot", decide every page URL. Every RFC 9309 rung appears:
+    group replacement, longest-match precedence, Allow-beats-Disallow
+    ties, wildcard + $-anchored patterns, prefix subtleties."""
+    pages, robots = _robots_corpus(spark, sf_dir)
+    rules = robots_rules_table(robots, _ROBOTS_AGENT)
+    return fetch_policy(pages, rules)
+
+
+# -- q73: anchor-text term index ---------------------------------------------
+
+
+def extract_anchor_edges(
+    pages: DataFrame, url_col: str = "url", payload_col: str = "html"
+) -> DataFrame:
+    """HTML payloads -> (url, seq, outlink, anchor_text) rows via the
+    stdlib anchor collector (extraction/links.py). Arrow-batched; link
+    farms capped at MAX_LINKS like extract_outlinks."""
+    import pandas as pd
+
+    def gen(batches):
+        from ocr_service_spark.extraction.links import extract_anchors
+
+        for batch in batches:
+            rows = []
+            for url, payload in zip(batch[url_col], batch[payload_col]):
+                anchors, _ = extract_anchors(
+                    bytes(payload) if payload is not None else b"", url
+                )
+                for seq, (link, text) in enumerate(anchors):
+                    rows.append(
+                        {"url": url, "seq": seq, "outlink": link, "anchor_text": text}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "seq", "outlink", "anchor_text"]
+            )
+
+    return pages.mapInPandas(
+        gen, schema="url string, seq int, outlink string, anchor_text string"
+    )
+
+
+_ANCHOR_W4 = ("alpha", "beta", "gamma", "delta")
+_ANCHOR_W3 = ("fresh", "super", "mega")
+ANCHOR_TOP_K = 3
+
+
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose anchor texts are closed-form: doc d links a news
+    host with anchor "breaking story <w4[d%4]>" and a shop host with
+    anchor "buy <w3[d%3]> deal"."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    w4 = (
+        F.when(d % 4 == 0, F.lit(_ANCHOR_W4[0]))
+        .when(d % 4 == 1, F.lit(_ANCHOR_W4[1]))
+        .when(d % 4 == 2, F.lit(_ANCHOR_W4[2]))
+        .otherwise(F.lit(_ANCHOR_W4[3]))
+    )
+    w3 = (
+        F.when(d % 3 == 0, F.lit(_ANCHOR_W3[0]))
+        .when(d % 3 == 1, F.lit(_ANCHOR_W3[1]))
+        .otherwise(F.lit(_ANCHOR_W3[2]))
+    )
+    page = F.concat(
+        F.lit("<html><body><a href=\"https://news"),
+        (d % 7).cast("string"),
+        F.lit(".example.com/story/"),
+        ds,
+        F.lit("\">breaking story "),
+        w4,
+        F.lit("</a><a href=\"https://shop"),
+        (d % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        ds,
+        F.lit("\">buy "),
+        w3,
+        F.lit(" deal</a></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://blog"), (d % 4).cast("string"),
+        F.lit(".example.com/post/"), ds,
+    )
+    return docs.select("doc_id", url.alias("url"), F.encode(page, "utf-8").alias("html"))
+
+
+def q73_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text term index: top-K terms pointing AT each host —
+    the classic web-search relevance signal (anchor text describes the
+    target, not the source). The Python stage only parses; term
+    explode (split on space), the (host, term) count, and the per-host
+    top-K rank are all JVM-side, and the rank's window shuffles on the
+    same host key the count aggregation just produced, so AQE reuses
+    the partitioning."""
+    from pyspark.sql import Window
+
+    edges = extract_anchor_edges(_anchor_pages(spark, sf_dir))
+    host = F.regexp_extract("outlink", _RE_HOSTPORT, 1)
+    terms = edges.select(
+        host.alias("target_host"),
+        F.explode(F.split("anchor_text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("target_host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("target_host").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANCHOR_TOP_K)
+        .select("target_host", "term", "n", "rank")
+    )
+
+
 # DuckDB mirror of _messy_urls + the canonical steps. The messy URL is
 # rebuilt closed-form; canonicalization uses the same regex/list ops.
 _MESSY_SQL = """
@@ -476,10 +770,121 @@ ORACLES["q69_host_pagerank"] = f"""
     SELECT host, pr AS pr_scaled FROM pr2
 """
 
+# q71: replay both snapshots + the full-outer join in SQL (the md5
+# content hashes are closed-form strings, identical in both engines).
+ORACLES["q71_crawl_churn"] = """
+    WITH a AS (
+        SELECT 'https://site' || (doc_id % 10) || '.example.com/item/' || doc_id
+                   AS url,
+               'site' || (doc_id % 10) || '.example.com' AS host,
+               md5('v1-' || doc_id) AS h
+        FROM documents WHERE doc_id % 11 <> 0
+    ),
+    b AS (
+        SELECT 'https://site' || (doc_id % 10) || '.example.com/item/' || doc_id
+                   AS url,
+               'site' || (doc_id % 10) || '.example.com' AS host,
+               md5((CASE WHEN doc_id % 5 = 0 THEN 'v2-' ELSE 'v1-' END)
+                   || doc_id) AS h
+        FROM documents WHERE doc_id % 13 <> 0
+    ),
+    j AS (
+        SELECT coalesce(b.host, a.host) AS host,
+               CASE WHEN a.h IS NULL THEN 'added'
+                    WHEN b.h IS NULL THEN 'deleted'
+                    WHEN a.h = b.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.url = b.url
+    )
+    SELECT host,
+           CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(sum(CASE WHEN status = 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+           CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged
+    FROM j GROUP BY host
+"""
+
+# q72: the oracle does NOT parse robots.txt — it recomputes every
+# decision closed-form from the corpus construction (the same style as
+# the messy-URL / link-page oracles), so a parser bug cannot leak into
+# its own check.
+ORACLES["q72_robots_policy"] = """
+    WITH p AS (
+        SELECT doc_id,
+               CAST(doc_id % 6 AS INT) AS m6,
+               CAST(doc_id % 10 AS INT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           'crawl' || h || '.example.com' AS host,
+           CASE m6 WHEN 0 THEN '/private/doc' || doc_id
+                   WHEN 1 THEN '/private/pub/doc' || doc_id
+                   WHEN 2 THEN '/tmp/doc' || doc_id
+                   WHEN 3 THEN '/files/doc' || doc_id || '.zip'
+                   WHEN 4 THEN '/ok/doc' || doc_id
+                   ELSE '/private/pubx' || doc_id END AS path,
+           CASE WHEN h % 3 = 0 THEN m6 <> 2
+                ELSE CASE m6 WHEN 0 THEN FALSE
+                             WHEN 1 THEN TRUE
+                             WHEN 2 THEN TRUE
+                             WHEN 3 THEN h % 2 <> 0
+                             WHEN 4 THEN TRUE
+                             ELSE FALSE END END AS fetchable,
+           CASE WHEN h % 3 = 0
+                THEN CASE WHEN m6 = 2 THEN '/tmp/' ELSE NULL END
+                ELSE CASE m6 WHEN 0 THEN '/private/'
+                             WHEN 1 THEN '/private/pub/'
+                             WHEN 3 THEN CASE WHEN h % 2 = 0
+                                              THEN '/*.zip$' ELSE NULL END
+                             WHEN 5 THEN '/private/'
+                             ELSE NULL END END AS winning_rule
+    FROM p
+"""
+
+# q73: the anchor terms are closed-form per doc; the oracle rebuilds
+# the (host, term) rows and replays the count + top-K rank.
+ORACLES["q73_anchor_terms"] = f"""
+    WITH t AS (
+        SELECT 'news' || (doc_id % 7) || '.example.com' AS host,
+               'breaking' AS term FROM documents
+        UNION ALL
+        SELECT 'news' || (doc_id % 7) || '.example.com', 'story' FROM documents
+        UNION ALL
+        SELECT 'news' || (doc_id % 7) || '.example.com',
+               CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                    WHEN 2 THEN 'gamma' ELSE 'delta' END FROM documents
+        UNION ALL
+        SELECT 'shop' || (doc_id % 5) || '.example.com', 'buy' FROM documents
+        UNION ALL
+        SELECT 'shop' || (doc_id % 5) || '.example.com',
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'fresh' WHEN 1 THEN 'super'
+                    ELSE 'mega' END FROM documents
+        UNION ALL
+        SELECT 'shop' || (doc_id % 5) || '.example.com', 'deal' FROM documents
+    ),
+    c AS (
+        SELECT host AS target_host, term, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY host, term
+    )
+    SELECT target_host, term, n, rank FROM (
+        SELECT target_host, term, n,
+               CAST(row_number() OVER (PARTITION BY target_host
+                                       ORDER BY n DESC, term) AS INT) AS rank
+        FROM c
+    ) WHERE rank <= {ANCHOR_TOP_K}
+"""
+
 QUERIES = {
     "q63_url_canonicalize": q63_url_canonicalize,
     "q64_host_stats": q64_host_stats,
     "q67_outlinks": q67_outlinks,
     "q68_link_hosts": q68_link_hosts,
     "q69_host_pagerank": q69_host_pagerank,
+    "q71_crawl_churn": q71_crawl_churn,
+    "q72_robots_policy": q72_robots_policy,
+    "q73_anchor_terms": q73_anchor_terms,
 }

@@ -92,3 +92,58 @@ def test_operator_emits_placeholder_row_for_linkless_page(spark) -> None:
     assert rows["u://1"]["noindex"] is True
     assert rows["u://2"]["outlink"] == "https://a.example/x"
     assert rows["u://2"]["noindex"] is False
+
+
+# -- anchor text (extract_anchors) -------------------------------------------
+
+
+def test_anchor_text_basic() -> None:
+    from ocr_service_spark.extraction.links import extract_anchors
+
+    anchors, _ = extract_anchors(
+        b'<a href="https://a.example/x">Breaking <b>News</b>  today</a>'
+        b'<a href="/rel">rel\n\tlink</a>',
+        BASE,
+    )
+    assert anchors == [
+        ("https://a.example/x", "Breaking News today"),
+        ("https://www.example.com/rel", "rel link"),
+    ]
+
+
+def test_anchor_unclosed_a_autocloses_at_next_a() -> None:
+    from ocr_service_spark.extraction.links import extract_anchors
+
+    anchors, _ = extract_anchors(
+        b'<a href="https://b.example/y">first<a href="https://c.example/z">second</a>tail',
+        BASE,
+    )
+    assert anchors == [
+        ("https://b.example/y", "first"),
+        ("https://c.example/z", "second"),
+    ]
+
+
+def test_anchor_empty_text_and_entities() -> None:
+    from ocr_service_spark.extraction.links import extract_anchors
+
+    anchors, _ = extract_anchors(
+        b'<a href="https://d.example/">&lt;tag&gt; &amp; more</a>'
+        b'<a href="https://e.example/"></a>',
+        BASE,
+    )
+    assert anchors == [
+        ("https://d.example/", "<tag> & more"),
+        ("https://e.example/", ""),
+    ]
+
+
+def test_extract_links_unchanged_by_anchor_capture() -> None:
+    """extract_links stays the href-only view of extract_anchors."""
+    html = (
+        '<a href="https://other.org/x">a</a><a href="#f">f</a>'
+        '<a href="mailto:a@b">m</a><a href="/root/y">b</a>'
+    )
+    links, noindex = _links(html)
+    assert links == ["https://other.org/x", "https://www.example.com/root/y"]
+    assert noindex is False

@@ -96,3 +96,58 @@ def test_q63_q64_row_shapes(spark) -> None:
     hosts = q64_host_stats(spark, SF)
     assert hosts.count() == 7  # doc_id % 7 hosts
     assert hosts.filter("registered_domain <> 'example.com'").count() == 0
+
+
+# -- crawl-lifecycle suite (q71 churn / q72 robots / q73 anchors) ------------
+
+
+def test_snapshot_churn_statuses(spark) -> None:
+    """Hand-built two-snapshot corpus: every status rung appears."""
+    from ocr_service_spark.operators.weburl import snapshot_churn
+
+    old = spark.createDataFrame(
+        [("u1", "h1", "AAA"), ("u2", "h1", "BBB"), ("u3", "h2", "CCC")],
+        "url string, host string, content_hash string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1", "AAA"), ("u2", "h1", "XXX"), ("u4", "h2", "DDD")],
+        "url string, host string, content_hash string",
+    )
+    got = {r["url"]: r["status"] for r in snapshot_churn(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "deleted", "u4": "added"}
+
+
+def test_q71_plan_joins_then_single_rollup_shuffle(spark) -> None:
+    """Full-outer join on url (two scan-side exchanges at test scale —
+    bucketed tables remove them in production) + ONE host rollup
+    exchange with partial aggregation below it."""
+    from ocr_service_spark.operators.weburl import q71_crawl_churn
+
+    plan = _formatted_plan(q71_crawl_churn(spark, SF))
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan
+    assert "partial_sum" in plan  # map-side combine before the rollup shuffle
+
+
+def test_q72_rules_join_not_forced_broadcast(spark) -> None:
+    """fetch_policy must not hint-force the rules broadcast (a 10^8-host
+    robots table can exceed executor memory) — AQE may still choose
+    broadcast at this size, but the logical plan carries no hint, and
+    no cartesian/nested-loop plan is acceptable."""
+    from ocr_service_spark.operators.weburl import q72_robots_policy
+
+    df = q72_robots_policy(spark, SF)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q73_uses_window_group_limit(spark) -> None:
+    """The per-host top-K rank must plan Spark's WindowGroupLimit
+    pushdown (partial limit before the shuffle), not a full sort of
+    every (host, term) count."""
+    from ocr_service_spark.operators.weburl import q73_anchor_terms
+
+    plan = _formatted_plan(q73_anchor_terms(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
