@@ -528,6 +528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_rollup_order_totals",
         "q45_json_props_stats",
         "q26_train_val_split",
+        # demoted round 4 for q74 (WARC ingest, first driver check):
+        # the exact-hash dedup groupBy is reached in-window by q70's
+        # exact_dup branch (min-doc_id canonical election over content
+        # hashes) and q34's full pipeline; q10 is three-round green
+        "q10_dedup_exact",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

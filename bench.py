@@ -66,6 +66,7 @@ HEADLINE_QUERIES = [
     "q71_crawl_churn",
     "q72_robots_policy",
     "q73_anchor_terms",
+    "q74_warc_ingest",
 ]
 
 

@@ -306,6 +306,94 @@ def q44_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WARC_SHARD_DOCS = 25
+
+
+def _warc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One WARC blob (gzip member per record) per shard of
+    WARC_SHARD_DOCS docs: a warcinfo record then one HTTP response per
+    doc. Every ingest rung appears closed-form: 404s (doc_id%17==0),
+    text/plain bodies (%9==0), HTTP-level Content-Encoding: gzip
+    (%4==0, the reader must inflate). applyInPandas builds each shard
+    in one task — the writer twin of the per-file reader."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .withColumn("shard", F.expr(f"doc_id div {WARC_SHARD_DOCS}"))
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from ocr_service_spark.extraction.warc import build_warc
+
+        shard = int(pdf["shard"].iloc[0])
+        records = [
+            {
+                "warc_type": "warcinfo",
+                "url": "",
+                "ts": "2026-03-01T00:00:00Z",
+                "block": b"software: graft\r\n",
+            }
+        ]
+        for d in sorted(int(x) for x in pdf["doc_id"]):
+            plain = d % 9 == 0
+            body_text = (
+                f"warc doc {d} body"
+                if plain
+                else f"<html><body>warc doc {d} body</body></html>"
+            )
+            body = body_text.encode()
+            headers = {
+                "Content-Type": "text/plain; charset=utf-8"
+                if plain
+                else "text/html; charset=utf-8"
+            }
+            if d % 4 == 0:
+                body = _gzip.compress(body, mtime=0)
+                headers["Content-Encoding"] = "gzip"
+            records.append(
+                {
+                    "warc_type": "response",
+                    "url": f"https://warc{d % 6}.example.com/doc/{d}",
+                    "ts": "2026-03-01T00:00:00Z",
+                    "status": 404 if d % 17 == 0 else 200,
+                    "body": body,
+                    "http_headers": headers,
+                }
+            )
+        return pd.DataFrame([{"shard": shard, "data": build_warc(records)}])
+
+    return docs.groupBy("shard").applyInPandas(build, "shard long, data binary")
+
+
+def q74_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest roundtrip: shards built record-per-gzip-member are
+    read back by sources/warc.read_warc — member splitting, WARC
+    header parse, HTTP response extraction and Content-Encoding
+    inflation all on the real path; the oracle rebuilds every
+    expected record closed-form without touching the parser."""
+    from ocr_service_spark.sources.warc import read_warc
+
+    records = read_warc(_warc_shards(spark, sf_dir), id_cols=("shard",))
+    doc_id = F.nullif(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1), F.lit("")
+    ).cast("bigint")
+    return records.select(
+        "shard",
+        "warc_type",
+        doc_id.alias("doc_id"),
+        F.nullif(F.col("url"), F.lit("")).alias("url"),
+        "status",
+        "content_type",
+        F.when(
+            F.col("payload").isNotNull(), F.decode(F.col("payload"), "UTF-8")
+        ).alias("body_text"),
+    )
+
+
 # q62's CASE arms are generated from the same rung table the Spark
 # side encodes with — one source of truth for phrases and labels
 _CS_CHARSET_CASE = " ".join(
@@ -437,12 +525,34 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["q74_warc_ingest"] = f"""
+    SELECT CAST(doc_id // {WARC_SHARD_DOCS} AS BIGINT) AS shard,
+           'response' AS warc_type,
+           doc_id,
+           'https://warc' || (doc_id % 6) || '.example.com/doc/' || doc_id
+               AS url,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS INT)
+               AS status,
+           CASE WHEN doc_id % 9 = 0 THEN 'text/plain' ELSE 'text/html' END
+               AS content_type,
+           CASE WHEN doc_id % 9 = 0 THEN 'warc doc ' || doc_id || ' body'
+                ELSE '<html><body>warc doc ' || doc_id || ' body</body></html>'
+                END AS body_text
+    FROM documents
+    UNION ALL
+    SELECT DISTINCT CAST(doc_id // {WARC_SHARD_DOCS} AS BIGINT), 'warcinfo',
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM documents
+"""
+
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
     "q62_charset_roundtrip": q62_charset_roundtrip,
     "q66_gzip_roundtrip": q66_gzip_roundtrip,
     "q44_audio_roundtrip": q44_audio_roundtrip,
     "q48_pii_scrub_roundtrip": q48_pii_scrub_roundtrip,
+    "q74_warc_ingest": q74_warc_ingest,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,
     "q32_extract_xml_roundtrip": q32_extract_xml_roundtrip,
     "q33_payload_ladder_roundtrip": q33_payload_ladder_roundtrip,
