@@ -533,6 +533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact_dup branch (min-doc_id canonical election over content
         # hashes) and q34's full pipeline; q10 is three-round green
         "q10_dedup_exact",
+        # demoted round 4 for q75 (redirect-chain resolution, first
+        # driver check): the single-shuffle host rollup stays in-window
+        # via q68 (host in-degree) and q71 (host churn rollup), and the
+        # canonicalization projection it aggregates stays via q63
+        "q64_host_stats",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

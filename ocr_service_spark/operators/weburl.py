@@ -612,6 +612,124 @@ def q73_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q75: redirect-chain resolution ------------------------------------------
+
+REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+REDIRECT_MAX_HOPS = 4  # crawler hop budget; loops/long chains -> unresolved
+
+
+def resolve_redirects(
+    snapshot: DataFrame, max_hops: int = REDIRECT_MAX_HOPS
+) -> DataFrame:
+    """Resolve every redirect source in a crawl snapshot
+    (url, status, location) to its final URL, generically — the walk
+    follows the edge table, never a formula.
+
+    Shape at 100 TB: redirects are a small filtered slice of the scan
+    (one pushed-down status IN (...) predicate), so the ``max_hops``
+    unrolled left equi-joins each shuffle only the redirect sliver on
+    the url key — the same unrolled-fixed-iteration pattern as the
+    PageRank (q69) and k-means (q55) operators, with AQE free to
+    broadcast the edge side when it is small. Real crawlers cap
+    redirect hops at a constant (curl 50, requests 30, Googlebot ~10),
+    so the unrolled-k join chain IS the production plan; for a larger
+    cap, path doubling (frontier joined with itself, log2(cap) joins)
+    halves the depth. Classification is two more url-key left joins:
+    a final URL that is itself still a redirect source after the cap
+    is ``unresolved`` (loop or over-budget chain — real crawlers bucket
+    both as too_many_redirects), a final URL present in the snapshot is
+    ``resolved``, anything else is ``dangling`` (points outside the
+    crawl).
+    """
+    edges = (
+        snapshot.filter(
+            F.col("status").isin(*REDIRECT_STATUSES) & F.col("location").isNotNull()
+        )
+        .select(F.col("url").alias("src"), F.col("location").alias("dst"))
+    )
+    frontier = edges.select(
+        F.col("src").alias("src_url"),
+        F.col("dst").alias("cur"),
+        F.lit(1).alias("hops"),
+    )
+    for _ in range(max_hops - 1):
+        step = edges.select(
+            F.col("src").alias("cur"), F.col("dst").alias("nxt")
+        )
+        frontier = frontier.join(step, "cur", "left").select(
+            "src_url",
+            F.coalesce("nxt", "cur").alias("cur"),
+            (F.col("hops") + F.when(F.col("nxt").isNotNull(), 1).otherwise(0)).alias(
+                "hops"
+            ),
+        )
+    is_src = edges.select(F.col("src").alias("cur")).distinct().withColumn(
+        "is_src", F.lit(1)
+    )
+    in_snap = snapshot.select(F.col("url").alias("cur")).distinct().withColumn(
+        "in_snap", F.lit(1)
+    )
+    out = frontier.join(is_src, "cur", "left").join(in_snap, "cur", "left")
+    resolution = (
+        F.when(F.col("is_src").isNotNull(), F.lit("unresolved"))
+        .when(F.col("in_snap").isNotNull(), F.lit("resolved"))
+        .otherwise(F.lit("dangling"))
+    )
+    return out.select(
+        "src_url",
+        F.col("cur").alias("final_url"),
+        F.col("hops").cast("int").alias("hops"),
+        resolution.alias("resolution"),
+    )
+
+
+def _redirect_url(d: Column) -> Column:
+    return F.concat(
+        F.lit("https://redir"), (d % 6).cast("string"), F.lit(".example.com/r/"),
+        d.cast("string"),
+    )
+
+
+def _redirect_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl snapshot with every redirect hazard in a
+    closed-form rung on doc_id%16: backward chains 3->2->1->terminal-0
+    (hops = rung, no table-boundary hazard since doc_id-rung >= 0),
+    a self-redirect (%16==8 — the http->https misconfig loop), and an
+    off-crawl Location (%16==12). Everything else is a 200."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    r = d % 16
+    status = (
+        F.when(r.isin(1, 3), F.lit(301))
+        .when(r == 2, F.lit(302))
+        .when(r == 8, F.lit(308))
+        .when(r == 12, F.lit(307))
+        .otherwise(F.lit(200))
+    )
+    location = (
+        F.when(r.isin(1, 2, 3), _redirect_url(d - 1))
+        .when(r == 8, _redirect_url(d))
+        .when(
+            r == 12,
+            F.concat(F.lit("https://offsite.example.org/o/"), d.cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        _redirect_url(d).alias("url"),
+        status.cast("int").alias("status"),
+        location.alias("location"),
+    )
+
+
+def q75_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over a crawl snapshot: final URL,
+    hop count and resolution class for every 3xx source. The oracle
+    replays every chain closed-form from the rung table without
+    walking any edges."""
+    return resolve_redirects(_redirect_snapshot(spark, sf_dir))
+
+
 # DuckDB mirror of _messy_urls + the canonical steps. The messy URL is
 # rebuilt closed-form; canonicalization uses the same regex/list ops.
 _MESSY_SQL = """
@@ -878,8 +996,33 @@ ORACLES["q73_anchor_terms"] = f"""
     ) WHERE rank <= {ANCHOR_TOP_K}
 """
 
+# Closed-form replay of _redirect_snapshot's rungs: backward chains
+# end at the %16==0 terminal (final = url(d - rung), hops = rung), the
+# self-redirect walks in place until the hop cap, the offsite Location
+# never matches anything. No recursion — the rung IS the chain length.
+ORACLES["q75_redirect_chains"] = f"""
+    WITH t AS (
+        SELECT doc_id AS d, CAST(doc_id % 16 AS INT) AS r FROM documents
+    )
+    SELECT 'https://redir' || (d % 6) || '.example.com/r/' || d AS src_url,
+           CASE WHEN r IN (1, 2, 3)
+                THEN 'https://redir' || ((d - r) % 6) || '.example.com/r/'
+                     || (d - r)
+                WHEN r = 8
+                THEN 'https://redir' || (d % 6) || '.example.com/r/' || d
+                ELSE 'https://offsite.example.org/o/' || d END AS final_url,
+           CAST(CASE WHEN r IN (1, 2, 3) THEN r
+                     WHEN r = 8 THEN {REDIRECT_MAX_HOPS}
+                     ELSE 1 END AS INT) AS hops,
+           CASE WHEN r IN (1, 2, 3) THEN 'resolved'
+                WHEN r = 8 THEN 'unresolved'
+                ELSE 'dangling' END AS resolution
+    FROM t WHERE r IN (1, 2, 3, 8, 12)
+"""
+
 QUERIES = {
     "q63_url_canonicalize": q63_url_canonicalize,
+    "q75_redirect_chains": q75_redirect_chains,
     "q64_host_stats": q64_host_stats,
     "q67_outlinks": q67_outlinks,
     "q68_link_hosts": q68_link_hosts,

@@ -151,3 +151,72 @@ def test_q73_uses_window_group_limit(spark) -> None:
 
     plan = _formatted_plan(q73_anchor_terms(spark, SF))
     assert "WindowGroupLimit" in plan, plan
+
+
+def _redirect_rows(spark, rows):
+    from ocr_service_spark.operators.weburl import resolve_redirects
+
+    snap = spark.createDataFrame(rows, "url string, status int, location string")
+    return {r["src_url"]: r.asDict() for r in resolve_redirects(snap).collect()}
+
+
+def test_resolve_redirects_hand_built_hazards(spark) -> None:
+    rows = [
+        # 2-hop chain a -> b -> c(200)
+        ("https://h/a", 301, "https://h/b"),
+        ("https://h/b", 302, "https://h/c"),
+        ("https://h/c", 200, None),
+        # 2-cycle loop
+        ("https://h/p", 301, "https://h/q"),
+        ("https://h/q", 301, "https://h/p"),
+        # dangling: Location outside the snapshot
+        ("https://h/d", 307, "https://off/x"),
+        # over-cap chain e0 -> e1 -> ... -> e5(200): 5 hops > cap 4
+        ("https://h/e0", 308, "https://h/e1"),
+        ("https://h/e1", 308, "https://h/e2"),
+        ("https://h/e2", 308, "https://h/e3"),
+        ("https://h/e3", 308, "https://h/e4"),
+        ("https://h/e4", 308, "https://h/e5"),
+        ("https://h/e5", 200, None),
+    ]
+    out = _redirect_rows(spark, rows)
+    assert out["https://h/a"] == {
+        "src_url": "https://h/a", "final_url": "https://h/c",
+        "hops": 2, "resolution": "resolved",
+    }
+    assert out["https://h/b"]["resolution"] == "resolved"
+    assert out["https://h/p"]["resolution"] == "unresolved"
+    assert out["https://h/p"]["hops"] == 4  # hop cap
+    assert out["https://h/d"] == {
+        "src_url": "https://h/d", "final_url": "https://off/x",
+        "hops": 1, "resolution": "dangling",
+    }
+    # the over-cap chain's head stalls one short of its terminal: the
+    # resting URL is itself a redirect source -> unresolved at the cap
+    assert out["https://h/e0"]["resolution"] == "unresolved"
+    assert out["https://h/e0"]["hops"] == 4
+    # but the suffix inside budget resolves fine
+    assert out["https://h/e2"] == {
+        "src_url": "https://h/e2", "final_url": "https://h/e5",
+        "hops": 3, "resolution": "resolved",
+    }
+
+
+def test_resolve_redirects_non_3xx_and_null_location_excluded(spark) -> None:
+    rows = [
+        ("https://h/ok", 200, "https://h/ignored"),  # 200 with stray location
+        ("https://h/gone", 404, None),
+        ("https://h/nl", 301, None),  # malformed 3xx without Location
+        ("https://h/r", 303, "https://h/ok"),
+    ]
+    out = _redirect_rows(spark, rows)
+    assert set(out) == {"https://h/r"}
+    assert out["https://h/r"]["resolution"] == "resolved"
+
+
+def test_q75_plan_no_cartesian_and_pushed_status_filter(spark) -> None:
+    from ocr_service_spark.operators.weburl import q75_redirect_chains
+
+    plan = q75_redirect_chains(spark, SF)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
