@@ -67,6 +67,7 @@ HEADLINE_QUERIES = [
     "q72_robots_policy",
     "q73_anchor_terms",
     "q74_warc_ingest",
+    "q75_redirect_chains",
 ]
 
 
