@@ -394,6 +394,33 @@ def q74_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete crawl-to-text path in one job: WARC shards ->
+    gzip-member split -> WARC/HTTP parse -> Content-Encoding inflate
+    -> fetch-status filter -> the REAL extraction pipeline (classify
+    -> route -> extract -> finalize). This is the Common Crawl
+    production shape end-to-end: only 2xx responses reach extraction
+    (crawlers drop error pages before processing), and nothing
+    shuffles between the per-file WARC parse and the per-doc extract —
+    both run inside the same scan-side mapInPandas stage chain."""
+    from ocr_service_spark.sources.warc import read_warc
+
+    records = read_warc(_warc_shards(spark, sf_dir), id_cols=("shard",))
+    fetched = records.filter(
+        (F.col("warc_type") == "response") & (F.col("status") == 200)
+    )
+    pages = fetched.select("url", F.col("payload").alias("html"))
+    results = extract_documents(pages)
+    doc_id = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+    return results.select(
+        doc_id.alias("doc_id"),
+        "extracted_text",
+        "content_type",
+        "doc_class",
+        "success",
+    )
+
+
 # q62's CASE arms are generated from the same rung table the Spark
 # side encodes with — one source of truth for phrases and labels
 _CS_CHARSET_CASE = " ".join(
@@ -546,8 +573,24 @@ ORACLES["q74_warc_ingest"] = f"""
     FROM documents
 """
 
+# Every 200-status record (404 rung d%17==0 dropped by the fetch
+# filter) extracts to the same closed-form body text whether it
+# travelled the html or text/plain rung — and the HTTP-gzip rung
+# (d%4==0) must land identical, proving the inflate happened.
+ORACLES["q76_warc_extract"] = """
+    SELECT doc_id,
+           'warc doc ' || doc_id || ' body' AS extracted_text,
+           CASE WHEN doc_id % 9 = 0 THEN 'text/plain' ELSE 'text/html' END
+               AS content_type,
+           CASE WHEN doc_id % 9 = 0 THEN 'plain' ELSE 'html' END AS doc_class,
+           TRUE AS success
+    FROM documents
+    WHERE doc_id % 17 <> 0
+"""
+
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
+    "q76_warc_extract": q76_warc_extract,
     "q62_charset_roundtrip": q62_charset_roundtrip,
     "q66_gzip_roundtrip": q66_gzip_roundtrip,
     "q44_audio_roundtrip": q44_audio_roundtrip,

@@ -2,7 +2,8 @@
 splitting, record/HTTP parsing, degradation on truncation and
 garbage, and the Spark mapInPandas source. The reference service has
 no crawl source (SURVEY.md §3.2) — this is the beyond-reference
-Common-Crawl-shaped ingest rung exercised end-to-end by q74."""
+Common-Crawl-shaped ingest rung exercised end-to-end by q74 and
+chained into the real extraction pipeline by q76."""
 
 from __future__ import annotations
 
@@ -172,3 +173,23 @@ def test_spark_source_with_id_cols(spark) -> None:
     assert by_path["shard-0"][1]["payload"] == RESP["body"]
     assert [r["warc_type"] for r in by_path["shard-1"]] == ["response"]
     assert "shard-2" not in by_path  # null blob -> zero records
+
+
+def test_q76_crawl_to_text_single_stage_chain(spark) -> None:
+    """The WARC parse and the extractor must share one scan-side
+    stage chain: the only exchange in the plan is the applyInPandas
+    shard BUILD (test-corpus construction) — with real *.warc.gz files
+    on disk even that disappears. And the gzip Content-Encoding rung
+    (doc_id%4==0) must extract identically to the uncompressed rungs,
+    proving the HTTP-body inflate ran."""
+    from ocr_service_spark.operators.roundtrip import q76_warc_extract
+
+    df = q76_warc_extract(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows, "no rows"
+    assert all(r["extracted_text"] == f"warc doc {d} body" for d, r in rows.items())
+    gz = [d for d in rows if d % 4 == 0]
+    assert gz, "no gzip-rung docs in corpus"
+    assert all(d % 17 != 0 for d in rows)  # 404s never reach extraction
