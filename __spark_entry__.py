@@ -546,6 +546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via q68 (host in-degree) and q71 (host churn rollup), and the
         # canonicalization projection it aggregates stays via q63
         "q64_host_stats",
+        # demoted round 4 for q77 (sitemap coverage, first driver
+        # check): the n-gram lang-ID machinery is reached in-window by
+        # q70's lang_other branch, and the map-only hash-projection
+        # family stays via q11/q17; q13 is three-round driver-green
+        "q13_lang_id",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

@@ -730,6 +730,111 @@ def q75_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(_redirect_snapshot(spark, sf_dir))
 
 
+# -- q77: sitemap coverage ----------------------------------------------------
+
+
+def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
+    """(host, sitemap_xml) -> one row per declared entry
+    (host, kind, loc, lastmod). Parsing runs Python-side on the
+    per-host sitemap table — tiny next to pages, same placement as
+    robots_rules_table; everything downstream is relational."""
+    import pandas as pd
+
+    def gen(batches):
+        from ocr_service_spark.extraction.sitemap import parse_sitemap
+
+        for batch in batches:
+            rows = []
+            for host, xml in zip(batch["host"], batch["sitemap_xml"]):
+                for e in parse_sitemap(xml or ""):
+                    rows.append(
+                        {
+                            "host": host,
+                            "kind": e["kind"],
+                            "loc": e["loc"],
+                            "lastmod": e["lastmod"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["host", "kind", "loc", "lastmod"])
+
+    return sitemaps.mapInPandas(
+        gen, schema="host string, kind string, loc string, lastmod string"
+    )
+
+
+def sitemap_coverage(crawled: DataFrame, entries: DataFrame) -> DataFrame:
+    """Reconcile declared vs fetched: full-outer join on url ->
+    ``both`` / ``sitemap_only`` (the frontier: declared but never
+    fetched) / ``crawled_only`` (orphans: fetched but undeclared).
+    One url-key shuffle; the host column is recomputed from the url
+    (pure projection) so neither side needs to carry it through the
+    join."""
+    declared = entries.filter(F.col("kind") == "url").select(
+        F.col("loc").alias("url"), "lastmod", F.lit(1).alias("in_map")
+    )
+    fetched = crawled.select("url", F.lit(1).alias("in_crawl"))
+    j = declared.join(fetched, "url", "full_outer")
+    status = (
+        F.when(F.col("in_map").isNotNull() & F.col("in_crawl").isNotNull(), "both")
+        .when(F.col("in_map").isNotNull(), F.lit("sitemap_only"))
+        .otherwise(F.lit("crawled_only"))
+    )
+    return j.select(
+        "url",
+        F.regexp_extract("url", _RE_HOSTPORT, 1).alias("host"),
+        status.alias("status"),
+        "lastmod",
+    )
+
+
+def _sitemap_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(crawled, sitemaps): ten hosts; docs d%3==2 are fetched but
+    undeclared (orphans), d%7==0 declared but unfetched (frontier),
+    d%5==0 carry an entity-escaped query string the parser must
+    unescape for the join to line up, and every declared entry has a
+    closed-form lastmod."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://cov"), (d % 10).cast("string"), F.lit(".example.com/p/"),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    host = F.concat(F.lit("cov"), (d % 10).cast("string"), F.lit(".example.com"))
+    lastmod = F.concat(
+        F.lit("2026-02-"), F.lpad((1 + d % 28).cast("string"), 2, "0")
+    )
+    crawled = docs.filter(d % 7 != 0).select(url.alias("url"))
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.replace(url, F.lit("&"), F.lit("&amp;")),
+        F.lit("</loc><lastmod>"), lastmod, F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        docs.filter(d % 3 != 2)
+        .select(host.alias("host"), F.struct(d.alias("d"), entry.alias("e")).alias("s"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.transform(F.array_sort(F.collect_list("s")), lambda x: x["e"]), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return crawled, sitemaps
+
+
+def q77_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl reconciliation: the frontier feed
+    (sitemap_only), orphan detection (crawled_only), and lastmod
+    surfaced for recrawl scheduling. The oracle replays every
+    coverage decision closed-form from the rung table without parsing
+    any XML."""
+    crawled, sitemaps = _sitemap_corpus(spark, sf_dir)
+    return sitemap_coverage(crawled, sitemap_entries(sitemaps))
+
+
 # DuckDB mirror of _messy_urls + the canonical steps. The messy URL is
 # rebuilt closed-form; canonicalization uses the same regex/list ops.
 _MESSY_SQL = """
@@ -1020,9 +1125,27 @@ ORACLES["q75_redirect_chains"] = f"""
     FROM t WHERE r IN (1, 2, 3, 8, 12)
 """
 
+# Closed-form replay of _sitemap_corpus's rungs. The d%5 rung's query
+# string appears entity-escaped only inside the XML — by the time the
+# join runs both sides carry the raw '&', so the oracle never escapes.
+ORACLES["q77_sitemap_coverage"] = """
+    WITH t AS (SELECT doc_id AS d FROM documents)
+    SELECT 'https://cov' || (d % 10) || '.example.com/p/' || d
+           || CASE WHEN d % 5 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
+           'cov' || (d % 10) || '.example.com' AS host,
+           CASE WHEN d % 3 <> 2 AND d % 7 <> 0 THEN 'both'
+                WHEN d % 3 <> 2 THEN 'sitemap_only'
+                ELSE 'crawled_only' END AS status,
+           CASE WHEN d % 3 <> 2
+                THEN '2026-02-' || lpad(CAST(1 + d % 28 AS VARCHAR), 2, '0')
+                ELSE NULL END AS lastmod
+    FROM t WHERE NOT (d % 3 = 2 AND d % 7 = 0)
+"""
+
 QUERIES = {
     "q63_url_canonicalize": q63_url_canonicalize,
     "q75_redirect_chains": q75_redirect_chains,
+    "q77_sitemap_coverage": q77_sitemap_coverage,
     "q64_host_stats": q64_host_stats,
     "q67_outlinks": q67_outlinks,
     "q68_link_hosts": q68_link_hosts,
