@@ -551,6 +551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q70's lang_other branch, and the map-only hash-projection
         # family stays via q11/q17; q13 is three-round driver-green
         "q13_lang_id",
+        # demoted round 4 for q78 (fetch schedule, first driver
+        # check): the Gopher repetition machinery is reached in-window
+        # by q70's repetitive branch (same bigram double-groupBy),
+        # mirroring the q13 rationale; q39 is multi-round driver-green
+        "q39_repetition_stats",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

@@ -835,6 +835,64 @@ def q77_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_coverage(crawled, sitemap_entries(sitemaps))
 
 
+# -- q78: politeness-aware fetch schedule ------------------------------------
+
+
+def fetch_schedule(frontier: DataFrame, host_delays: DataFrame) -> DataFrame:
+    """Turn a frontier (url, host, lastmod) + per-host politeness
+    delays (host, delay_s) into a fetch schedule: fresher pages first
+    within each host (lastmod desc, url tiebreak — a total order, urls
+    are unique), each host's queue spaced by its own delay. The
+    closing rung of the crawl loop: discover (q77) -> allowed (q72) ->
+    schedule (q78).
+
+    One window shuffle on host — the same key every politeness-aware
+    fetcher partitions its work queue by at any scale — plus a join
+    with the per-host delay table (tiny next to the frontier; AQE
+    broadcasts it when it is, shuffles when a 10^8-host table isn't).
+    Crawl-delay is deliberately an input column, not parsed from
+    robots.txt: RFC 9309 dropped the directive, so its source is
+    operator policy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("lastmod").desc_nulls_last(), F.col("url")
+    )
+    return (
+        frontier.join(host_delays, "host", "left")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "url",
+            "host",
+            "rank",
+            ((F.col("rank") - 1) * F.coalesce("delay_s", F.lit(1)))
+            .cast("bigint")
+            .alias("slot_s"),
+        )
+    )
+
+
+def q78_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schedule q77's frontier (declared-but-unfetched URLs) under
+    per-host politeness delays. The oracle recomputes the schedule
+    with its own window function over the same closed-form frontier —
+    cross-engine agreement pins both the frontier derivation and the
+    ordering semantics (desc lastmod with unique-url tiebreak)."""
+    crawled, sitemaps = _sitemap_corpus(spark, sf_dir)
+    coverage = sitemap_coverage(crawled, sitemap_entries(sitemaps))
+    frontier = coverage.filter(F.col("status") == "sitemap_only").select(
+        "url", "host", "lastmod"
+    )
+    h = F.col("id").cast("int")
+    delays = spark.range(10).select(
+        F.concat(F.lit("cov"), h.cast("string"), F.lit(".example.com")).alias("host"),
+        F.when(h % 3 == 0, 10).when(h % 3 == 1, 5).otherwise(1)
+        .cast("bigint")
+        .alias("delay_s"),
+    )
+    return fetch_schedule(frontier, delays)
+
+
 # DuckDB mirror of _messy_urls + the canonical steps. The messy URL is
 # rebuilt closed-form; canonicalization uses the same regex/list ops.
 _MESSY_SQL = """
@@ -1142,10 +1200,38 @@ ORACLES["q77_sitemap_coverage"] = """
     FROM t WHERE NOT (d % 3 = 2 AND d % 7 = 0)
 """
 
+# The frontier is q77's sitemap_only rung (declared d%3<>2, unfetched
+# d%7=0); the oracle rebuilds it and runs its OWN row_number under the
+# same total order.
+ORACLES["q78_fetch_schedule"] = """
+    WITH f AS (
+        SELECT 'https://cov' || (doc_id % 10) || '.example.com/p/' || doc_id
+               || CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
+               'cov' || (doc_id % 10) || '.example.com' AS host,
+               '2026-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                   AS lastmod,
+               CAST(doc_id % 10 AS INT) AS h
+        FROM documents
+        WHERE doc_id % 3 <> 2 AND doc_id % 7 = 0
+    ),
+    r AS (
+        SELECT url, host,
+               CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY lastmod DESC, url
+               ) AS INT) AS rank,
+               CASE WHEN h % 3 = 0 THEN 10 WHEN h % 3 = 1 THEN 5 ELSE 1 END
+                   AS delay_s
+        FROM f
+    )
+    SELECT url, host, rank, CAST((rank - 1) * delay_s AS BIGINT) AS slot_s
+    FROM r
+"""
+
 QUERIES = {
     "q63_url_canonicalize": q63_url_canonicalize,
     "q75_redirect_chains": q75_redirect_chains,
     "q77_sitemap_coverage": q77_sitemap_coverage,
+    "q78_fetch_schedule": q78_fetch_schedule,
     "q64_host_stats": q64_host_stats,
     "q67_outlinks": q67_outlinks,
     "q68_link_hosts": q68_link_hosts,

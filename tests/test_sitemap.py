@@ -84,3 +84,29 @@ def test_coverage_statuses(spark) -> None:
     assert out["https://a.example/frontier"]["status"] == "sitemap_only"
     assert out["https://a.example/orphan"]["status"] == "crawled_only"
     assert all(r["host"] == "a.example" for r in out.values())
+
+
+def test_fetch_schedule_per_host_spacing(spark) -> None:
+    from ocr_service_spark.operators.weburl import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.example/new", "a.example", "2026-03-05"),
+            ("https://a.example/old", "a.example", "2026-01-01"),
+            ("https://a.example/mid", "a.example", "2026-02-01"),
+            ("https://b.example/only", "b.example", None),
+            ("https://c.example/nodelay", "c.example", "2026-01-01"),
+        ],
+        "url string, host string, lastmod string",
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 10), ("b.example", 5)], "host string, delay_s bigint"
+    )
+    out = {r["url"]: r.asDict() for r in fetch_schedule(frontier, delays).collect()}
+    # fresher first within a host, slots spaced by the host delay
+    assert (out["https://a.example/new"]["rank"], out["https://a.example/new"]["slot_s"]) == (1, 0)
+    assert (out["https://a.example/mid"]["rank"], out["https://a.example/mid"]["slot_s"]) == (2, 10)
+    assert (out["https://a.example/old"]["rank"], out["https://a.example/old"]["slot_s"]) == (3, 20)
+    # hosts schedule independently; missing delay defaults to 1s
+    assert out["https://b.example/only"]["slot_s"] == 0
+    assert (out["https://c.example/nodelay"]["rank"], out["https://c.example/nodelay"]["slot_s"]) == (1, 0)
