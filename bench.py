@@ -68,6 +68,9 @@ HEADLINE_QUERIES = [
     "q73_anchor_terms",
     "q74_warc_ingest",
     "q75_redirect_chains",
+    "q76_warc_extract",
+    "q77_sitemap_coverage",
+    "q78_fetch_schedule",
 ]
 
 
