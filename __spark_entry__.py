@@ -556,6 +556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by q70's repetitive branch (same bigram double-groupBy),
         # mirroring the q13 rationale; q39 is multi-round driver-green
         "q39_repetition_stats",
+        # demoted round 4 for q79 (duplicate-span removal, first driver
+        # check): the plain scan+groupBy+agg shape is the most
+        # redundantly covered in the window (q47 salted agg, q07
+        # join+agg, q11 token stats); q01 is three-round driver-green
+        "q01_pricing_summary",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

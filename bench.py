@@ -71,6 +71,7 @@ HEADLINE_QUERIES = [
     "q76_warc_extract",
     "q77_sitemap_coverage",
     "q78_fetch_schedule",
+    "q79_span_dedup",
 ]
 
 

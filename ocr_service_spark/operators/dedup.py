@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ocr_service_spark.functions.hashing import h32, h32_sql
 
@@ -346,6 +347,119 @@ def propagate_min_labels(labels: DataFrame, edges: DataFrame, rounds: int) -> Da
     return labels
 
 
+# -- substring-level duplicate-span removal ---------------------------------------
+# Lee et al. (2022), "Deduplicating Training Data Makes Language Models
+# Better": remove every span of >= SPAN_K tokens that occurs verbatim in
+# more than one document. Production systems approximate the suffix-array
+# formulation with fixed-K shingle fingerprints — exactly this operator's
+# shape: any duplicated span of length L >= SPAN_K is a run of L-SPAN_K+1
+# duplicated K-shingles, so marking every token covered by a duplicated
+# K-shingle removes precisely the >=K-token cross-document spans.
+SPAN_K = 6  # minimum duplicated-span length, in tokens
+SPAN_MIN_DF = 2  # a shingle is duplicated when seen in >= 2 distinct docs
+
+
+def q79_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SPAN removal (substring-level dedup):
+    per doc, drop every token covered by a K-token shingle that occurs
+    in >= SPAN_MIN_DF distinct documents, and emit the cleaned text.
+
+    One pass builds (pos, tok, fp) per token in a single narrow
+    projection — fp is the 128-bit md5 fingerprint of the K-shingle
+    STARTING at pos (null for the last K-1 positions) — so the global
+    duplicate-shingle set is a hash-agg over 16-byte fingerprints, never
+    the shingle strings (at crawl scale the fp shuffle is ~16 B/row vs
+    ~K words/row; this is why production span-dedup ships fingerprints,
+    not suffixes). The dup set joins back on fp — sparse by
+    construction, so AQE broadcasts it and the token stream is shuffled
+    exactly ONCE, by the coverage window on doc_id, whose partitioning
+    the final per-doc re-agg then reuses (no second exchange). Coverage
+    is a rows-frame window max: token at pos is removed iff any
+    duplicated shingle starts in [pos-K+1, pos]. The token stream is
+    recomputed for the join rather than cached — at 100 TB a columnar
+    re-scan beats persisting a token-exploded corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.trim("text"), r"\s+")
+    n = F.size(w)
+    combined = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("tok"),
+            F.when(
+                i <= n - (SPAN_K - 1),
+                F.unhex(F.md5(F.array_join(F.slice(w, i, SPAN_K), " "))),
+            ).alias("fp"),
+        ),
+    )
+    toks = docs.select("doc_id", F.posexplode(combined).alias("pos", "c")).select(
+        "doc_id", "pos", F.col("c.tok").alias("tok"), F.col("c.fp").alias("fp")
+    )
+    dup = (
+        toks.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= SPAN_MIN_DF)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    flagged = toks.join(dup, "fp", "left").select(
+        "doc_id", "pos", "tok", F.coalesce("is_dup", F.lit(0)).alias("dup_start")
+    )
+    cover = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(SPAN_K - 1), 0)
+    covered = flagged.withColumn("covered", F.max("dup_start").over(cover))
+    return covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("covered").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("covered") == 0, F.struct("pos", "tok"))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+_Q79_ORACLE = f"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(range(1, len(w) + 1)) AS pos,
+                   unnest(w) AS tok,
+                   unnest(list_transform(
+                       range(1, len(w) + 1),
+                       i -> CASE WHEN i <= len(w) - {SPAN_K - 1}
+                            THEN array_to_string(
+                                w[CAST(i AS INT):CAST(i AS INT) + {SPAN_K - 1}], ' ')
+                            END)) AS shingle
+            FROM words
+        ),
+        dup AS (
+            SELECT shingle FROM toks WHERE shingle IS NOT NULL
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DF}
+        ),
+        flagged AS (
+            SELECT t.doc_id, t.pos, t.tok,
+                   max(CASE WHEN d.shingle IS NOT NULL THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY t.doc_id ORDER BY t.pos
+                       ROWS BETWEEN {SPAN_K - 1} PRECEDING AND CURRENT ROW) AS covered
+            FROM toks t LEFT JOIN dup d ON t.shingle = d.shingle
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(covered) AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY pos), '')
+                   AS kept_text
+        FROM flagged GROUP BY doc_id
+    """
+
+
 def _minhash_agg_sql() -> str:
     cols = ", ".join(
         f"min({h32_sql('tok', seed)}) AS mh{i}" for i, seed in enumerate(MINHASH_SEEDS)
@@ -433,6 +547,7 @@ ORACLES: dict[str, str] = {
     """,
     "q17_simhash": _simhash_oracle(),
     "q14_jaccard_pairs": _Q14_ORACLE,
+    "q79_span_dedup": _Q79_ORACLE,
     "q34_minhash_neardup_pairs": f"""
         WITH words AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
@@ -522,4 +637,5 @@ QUERIES = {
     "q34_minhash_neardup_pairs": q34_minhash_neardup_pairs,
     "q37_dedup_components": q37_dedup_components,
     "q38_dedup_canonical": q38_dedup_canonical,
+    "q79_span_dedup": q79_span_dedup,
 }

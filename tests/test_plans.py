@@ -306,3 +306,21 @@ def test_quantize_is_pure_projection(spark):
     plan = _formatted_plan(q54_embedding_quantize(spark, SF_DIR))
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_span_dedup_tokens_shuffle_once(spark):
+    """q79's token stream must shuffle exactly ONCE (the doc_id
+    coverage window, whose partitioning the final per-doc agg reuses —
+    no exchange above the Window) and the duplicate-fingerprint set
+    must join back as a broadcast hash join, never a sort-merge over
+    the token stream; the dup-set aggregation itself shuffles 16-byte
+    fingerprints only."""
+    import re
+
+    from ocr_service_spark.operators.dedup import q79_span_dedup
+
+    plan = _formatted_plan(q79_span_dedup(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    doc_exchanges = re.findall(r"hashpartitioning\(doc_id", plan)
+    assert len(doc_exchanges) == 1, plan
