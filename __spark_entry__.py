@@ -561,6 +561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redundantly covered in the window (q47 salted agg, q07
         # join+agg, q11 token stats); q01 is three-round driver-green
         "q01_pricing_summary",
+        # tail by design from birth: q80 (MERGE write path) shares the
+        # full-outer url join + CASE machinery with in-window q71
+        # (churn, same snapshot builders); its oracle stays verified by
+        # tools/check_oracles.py + tests/test_entry_oracle.py
+        "q80_crawl_merge",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

@@ -390,6 +390,88 @@ def q71_crawl_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q80: MERGE a fetch batch into the crawl store (Iceberg MERGE INTO) ------
+
+
+def _fetch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fresh-fetch batch: snapshot "b"'s rows plus a
+    ``gone`` flag (doc_id%17==0 — fetches that came back 404/410 and
+    must DELETE their store row). Mirrors :func:`_snapshot`."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    return docs.filter(d % 13 != 0).select(
+        F.concat(
+            F.lit("https://site"), (d % 10).cast("string"),
+            F.lit(".example.com/item/"), d.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("site"), (d % 10).cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.md5(
+            F.encode(
+                F.concat(
+                    F.when(d % 5 == 0, F.lit("v2-")).otherwise(F.lit("v1-")),
+                    d.cast("string"),
+                ),
+                "utf-8",
+            )
+        ).alias("content_hash"),
+        (d % 17 == 0).cast("int").alias("gone"),
+    )
+
+
+def merge_fetch_batch(store: DataFrame, batch: DataFrame) -> DataFrame:
+    """Iceberg ``MERGE INTO`` semantics over a crawl store, expressed as
+    ONE full-outer url join: matched + gone -> DELETE, matched +
+    changed hash -> UPDATE, matched + same hash -> keep, unmatched
+    batch row -> INSERT (unless gone — a 404 for a url never stored is
+    a no-op), store rows absent from the batch -> keep (a fetch batch
+    is incremental; absence does not mean deletion — that is q71's
+    full-snapshot churn semantics). At 10^12 rows both sides live
+    bucketed by url so the join is co-located, and the physical write
+    is a dynamic-partition overwrite of only the url-buckets the batch
+    touches — the whole-store rewrite this operator exists to avoid.
+    Returns the post-merge table (url, host, content_hash, action),
+    action in keep/update/insert; deleted rows are gone from the
+    output by definition."""
+    s = store.select(
+        "url", F.col("host").alias("s_host"), F.col("content_hash").alias("s_hash")
+    )
+    b = batch.select(
+        "url",
+        F.col("host").alias("b_host"),
+        F.col("content_hash").alias("b_hash"),
+        "gone",
+    )
+    j = s.join(b, "url", "full_outer")
+    action = (
+        F.when(F.col("b_hash").isNull(), F.lit("keep"))  # not re-fetched
+        .when(F.col("gone") == 1, F.lit("delete"))
+        .when(F.col("s_hash").isNull(), F.lit("insert"))
+        .when(F.col("s_hash") == F.col("b_hash"), F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.select(
+            "url",
+            F.coalesce("b_host", "s_host").alias("host"),
+            F.coalesce("b_hash", "s_hash").alias("content_hash"),
+            action.alias("action"),
+        )
+        .filter(F.col("action") != "delete")
+    )
+
+
+def q80_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl store's WRITE path: merge a fresh fetch batch into the
+    standing snapshot (upsert + 404-delete), returning the post-merge
+    table with per-row merge actions — q71's churn detection is the
+    read-path twin over the same snapshot builders."""
+    return merge_fetch_batch(
+        _snapshot(spark, sf_dir, "a"), _fetch_batch(spark, sf_dir)
+    )
+
+
 # -- q72: robots.txt fetch policy --------------------------------------------
 
 
@@ -1093,6 +1175,37 @@ ORACLES["q71_crawl_churn"] = """
 # decision closed-form from the corpus construction (the same style as
 # the messy-URL / link-page oracles), so a parser bug cannot leak into
 # its own check.
+ORACLES["q80_crawl_merge"] = """
+    WITH a AS (
+        SELECT 'https://site' || (doc_id % 10) || '.example.com/item/' || doc_id
+                   AS url,
+               'site' || (doc_id % 10) || '.example.com' AS host,
+               md5('v1-' || doc_id) AS h
+        FROM documents WHERE doc_id % 11 <> 0
+    ),
+    b AS (
+        SELECT 'https://site' || (doc_id % 10) || '.example.com/item/' || doc_id
+                   AS url,
+               'site' || (doc_id % 10) || '.example.com' AS host,
+               md5((CASE WHEN doc_id % 5 = 0 THEN 'v2-' ELSE 'v1-' END)
+                   || doc_id) AS h,
+               CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS gone
+        FROM documents WHERE doc_id % 13 <> 0
+    ),
+    j AS (
+        SELECT coalesce(b.url, a.url) AS url,
+               coalesce(b.host, a.host) AS host,
+               coalesce(b.h, a.h) AS content_hash,
+               CASE WHEN b.h IS NULL THEN 'keep'
+                    WHEN b.gone = 1 THEN 'delete'
+                    WHEN a.h IS NULL THEN 'insert'
+                    WHEN a.h = b.h THEN 'keep'
+                    ELSE 'update' END AS action
+        FROM a FULL OUTER JOIN b ON a.url = b.url
+    )
+    SELECT url, host, content_hash, action FROM j WHERE action <> 'delete'
+"""
+
 ORACLES["q72_robots_policy"] = """
     WITH p AS (
         SELECT doc_id,
@@ -1239,4 +1352,5 @@ QUERIES = {
     "q71_crawl_churn": q71_crawl_churn,
     "q72_robots_policy": q72_robots_policy,
     "q73_anchor_terms": q73_anchor_terms,
+    "q80_crawl_merge": q80_crawl_merge,
 }

@@ -220,3 +220,41 @@ def test_q75_plan_no_cartesian_and_pushed_status_filter(spark) -> None:
     plan = q75_redirect_chains(spark, SF)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_fetch_batch_semantics(spark) -> None:
+    """q80's MERGE branches on a hand-built store/batch: matched+gone
+    deletes, matched changed updates, matched same keeps, unmatched
+    batch row inserts, gone-but-never-stored is a no-op, store rows
+    absent from the batch are kept untouched."""
+    from ocr_service_spark.operators.weburl import merge_fetch_batch
+
+    store = spark.createDataFrame(
+        [
+            ("u/del", "h1", "aaa"),
+            ("u/upd", "h1", "bbb"),
+            ("u/same", "h2", "ccc"),
+            ("u/untouched", "h2", "ddd"),
+        ],
+        "url string, host string, content_hash string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("u/del", "h1", "aaa", 1),
+            ("u/upd", "h1", "bbb2", 0),
+            ("u/same", "h2", "ccc", 0),
+            ("u/new", "h3", "eee", 0),
+            ("u/ghost404", "h3", "fff", 1),  # 404 for a url never stored
+        ],
+        "url string, host string, content_hash string, gone int",
+    )
+    out = {
+        r.url: (r.host, r.content_hash, r.action)
+        for r in merge_fetch_batch(store, batch).collect()
+    }
+    assert out == {
+        "u/upd": ("h1", "bbb2", "update"),
+        "u/same": ("h2", "ccc", "keep"),
+        "u/untouched": ("h2", "ddd", "keep"),
+        "u/new": ("h3", "eee", "insert"),
+    }
