@@ -566,6 +566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (churn, same snapshot builders); its oracle stays verified by
         # tools/check_oracles.py + tests/test_entry_oracle.py
         "q80_crawl_merge",
+        # tail by design from birth: q81 (LM familiarity) shares q53's
+        # term-count join machinery and q36's exact-percentile agg,
+        # both in-window; verified by the same local gates as q80
+        "q81_lm_familiarity",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

@@ -308,6 +308,71 @@ def q26_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q81: LM-familiarity quality scoring (CCNet-style perplexity proxy) ------
+# Wenzek et al. (2020), "CCNet: Extracting High Quality Monolingual
+# Datasets from Web Crawl Data": score each document with a language
+# model trained on the corpus and bucket into head/middle/tail by
+# perplexity percentile. This is the integer-exact analogue: the "LM"
+# is the corpus word-bigram count table, a document's familiarity is
+# the total corpus frequency mass of its bigram occurrences, and the
+# buckets cut at exact terciles of the per-doc average (percentile_disc
+# — cross-engine exact like q36, no float log-prob whose summation
+# order could flip an ulp).
+LM_BUCKET_PCTS = (0.33, 0.67)
+
+
+def q81_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM-familiarity score + head/middle/tail bucket.
+
+    Shape at 100 TB: the bigram "model" is a vocabulary-bounded count
+    agg (map-side partial collapse); scoring joins doc bigrams to the
+    model on the bigram key with NO broadcast hint — a web-scale bigram
+    table is billions of rows, AQE broadcasts only if the measured
+    model is actually small, otherwise both sides are already
+    hash-partitioned on the key from their aggs. The tercile cutoffs
+    are ONE exact-percentile row cross-joined back (the 1-row broadcast
+    nested loop is the intended plan, like q20's query vector); CCNet
+    itself derives the cutoffs from a held-out sample rather than the
+    full corpus — same 1-row broadcast, cheaper agg.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.trim("text"), TOKEN_RE)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    score = (
+        bg.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("familiarity"),
+        )
+        .withColumn("avg_count", F.expr("familiarity div n_bigrams"))
+    )
+    cuts = score.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY avg_count) AS BIGINT)"
+            ).alias(f"p{int(p * 100)}")
+            for p in LM_BUCKET_PCTS
+        ]
+    )
+    bucket = (
+        F.when(F.col("avg_count") <= F.col("p33"), F.lit("tail"))
+        .when(F.col("avg_count") <= F.col("p67"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return score.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_bigrams", "familiarity", "avg_count", bucket.alias("bucket")
+    )
+
+
 def _lang_id_oracle() -> str:
     hit_exprs = ", ".join(
         f"len(regexp_extract_all(text, '{_marker_pattern(m)}')) AS hits_{lang}"
@@ -444,6 +509,36 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["q81_lm_familiarity"] = """
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(w)),
+                   i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS bigram
+        FROM words
+    ),
+    model AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+    score AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(c) AS BIGINT) AS familiarity,
+               CAST(sum(c) // count(*) AS BIGINT) AS avg_count
+        FROM bg JOIN model USING (bigram) GROUP BY 1
+    ),
+    cuts AS (
+        SELECT CAST(quantile_disc(avg_count, 0.33) AS BIGINT) AS p33,
+               CAST(quantile_disc(avg_count, 0.67) AS BIGINT) AS p67
+        FROM score
+    )
+    SELECT doc_id, n_bigrams, familiarity, avg_count,
+           CASE WHEN avg_count <= p33 THEN 'tail'
+                WHEN avg_count <= p67 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM score, cuts
+"""
+
 QUERIES = {
     "q11_token_stats": q11_token_stats,
     "q12_quality_buckets": q12_quality_buckets,
@@ -455,4 +550,5 @@ QUERIES = {
     "q29_top_terms": q29_top_terms,
     "q36_token_percentiles": q36_token_percentiles,
     "q39_repetition_stats": q39_repetition_stats,
+    "q81_lm_familiarity": q81_lm_familiarity,
 }

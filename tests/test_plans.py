@@ -266,7 +266,9 @@ def test_plan_hygiene_all_driver_queries(spark):
 
     # 1-row query-vector broadcasts: the nested loop IS the intended
     # plan (one probe row against every partition, no shuffle)
-    nlj_allowed = {"q20_cosine_topk", "q46_hamming_topk"}
+    nlj_allowed = {"q20_cosine_topk", "q46_hamming_topk",
+                   # 1-row tercile-cutoff broadcast (CCNet bucketing)
+                   "q81_lm_familiarity"}
     for name, fn in em.queries().items():
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
