@@ -16,6 +16,7 @@ Operational subcommands (the snapshot/maintenance surface):
     python -m ocr_service_spark snapshots --manifest <dir>
     python -m ocr_service_spark rollback  --manifest <dir> --to <seq>
     python -m ocr_service_spark compact   --path <dir> [--target-mb 256]
+    python -m ocr_service_spark merge     --store <dir> --batch <dir> --out <dir>
 
 Each prints one JSON line, like the run path.
 """
@@ -25,7 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 
-_SUBCOMMANDS = {"snapshots", "rollback", "compact"}
+_SUBCOMMANDS = {"snapshots", "rollback", "compact", "merge"}
 
 
 def run_ops(spark, args: argparse.Namespace) -> dict:
@@ -49,6 +50,31 @@ def run_ops(spark, args: argparse.Namespace) -> dict:
             "status": "ok", "dropped_entries": dropped,
             "latest_commit": latest_commit(spark, args.manifest),
         }
+    if args.cmd == "merge":
+        from pyspark.sql import functions as F
+
+        from ocr_service_spark.operators.weburl import merge_fetch_batch
+
+        store = spark.read.parquet(args.store)
+        batch = spark.read.parquet(args.batch)
+        merge_fetch_batch(store, batch).write.mode("overwrite").parquet(args.out)
+        # count from the written table so the merge computes once; at
+        # production scale the write targets the store's url-buckets
+        # via dynamic-partition overwrite instead of a fresh dir
+        counts = {
+            r["action"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("action")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return {
+            "status": "ok",
+            "out": args.out,
+            "n_keep": counts.get("keep", 0),
+            "n_update": counts.get("update", 0),
+            "n_insert": counts.get("insert", 0),
+        }
     from ocr_service_spark.plans.maintenance import compact_parquet
 
     before, after = compact_parquet(spark, args.path, target_mb=args.target_mb)
@@ -66,7 +92,13 @@ def parse_ops_args(argv: list[str]) -> argparse.Namespace:
     p_comp = sub.add_parser("compact", help="rewrite a parquet dir to target-size files")
     p_comp.add_argument("--path", required=True)
     p_comp.add_argument("--target-mb", type=int, default=256)
-    for p in (p_snap, p_roll, p_comp):
+    p_merge = sub.add_parser(
+        "merge", help="MERGE a fetch batch (url, host, content_hash, gone) into a store"
+    )
+    p_merge.add_argument("--store", required=True)
+    p_merge.add_argument("--batch", required=True)
+    p_merge.add_argument("--out", required=True)
+    for p in (p_snap, p_roll, p_comp, p_merge):
         p.add_argument("--cpus", type=int, default=None)
     return parser.parse_args(argv)
 

@@ -75,6 +75,27 @@ def test_run_path_flags_unchanged_by_subcommand_dispatch():
     names: --pages etc. still parse when argv[0] is an option."""
     from ocr_service_spark.__main__ import _SUBCOMMANDS
 
-    assert _SUBCOMMANDS == {"snapshots", "rollback", "compact"}
+    assert _SUBCOMMANDS == {"snapshots", "rollback", "compact", "merge"}
     with pytest.raises(SystemExit):
         parse_ops_args(["not-a-command"])
+
+
+def test_merge_subcommand_upserts_batch(spark, tmp_path):
+    store_dir, batch_dir, out_dir = (
+        str(tmp_path / "store"), str(tmp_path / "batch"), str(tmp_path / "out")
+    )
+    spark.createDataFrame(
+        [("u/a", "h", "v1"), ("u/b", "h", "v1"), ("u/gone", "h", "v1")],
+        "url string, host string, content_hash string",
+    ).write.parquet(store_dir)
+    spark.createDataFrame(
+        [("u/b", "h", "v2", 0), ("u/gone", "h", "v1", 1), ("u/new", "h", "v1", 0)],
+        "url string, host string, content_hash string, gone int",
+    ).write.parquet(batch_dir)
+    args = parse_ops_args(["merge", "--store", store_dir, "--batch", batch_dir,
+                           "--out", out_dir])
+    out = run_ops(spark, args)
+    assert out == {"status": "ok", "out": out_dir,
+                   "n_keep": 1, "n_update": 1, "n_insert": 1}
+    merged = {r.url: r.content_hash for r in spark.read.parquet(out_dir).collect()}
+    assert merged == {"u/a": "v1", "u/b": "v2", "u/new": "v1"}
