@@ -570,6 +570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # term-count join machinery and q36's exact-percentile agg,
         # both in-window; verified by the same local gates as q80
         "q81_lm_familiarity",
+        # tail by design from birth: q82 (sequence packing) is the
+        # partitioned running-sum window, in-window via q22/q49; same
+        # local gates as q80/q81
+        "q82_sequence_packing",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

@@ -333,6 +333,56 @@ def q70_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q82: training-sequence packing (concatenate-and-chunk) -------------------
+# GPT-style pretraining data layout: documents are concatenated in a
+# deterministic order and chunked into fixed-size token sequences; each
+# doc's placement is (start sequence, offset, sequences spanned). The
+# global concatenation is sharded so the running sum parallelizes: S
+# independent per-shard cumsums (one window shuffle), not one global
+# ordered partition — at 10^12 docs S is sized to cluster width and
+# shard membership is a stable hash, so incremental appends extend each
+# shard's tail without repacking history.
+PACK_SHARDS = 8
+PACK_SEQ_TOKENS = 256
+PACK_SALT = "pack"
+
+
+def q82_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its place in the packed training layout:
+    shard (stable hash), start_seq / seq_offset (where its first token
+    lands in the shard's fixed-size sequence stream) and n_seqs (how
+    many sequences it straddles). Integer-exact throughout: one
+    running-sum window per shard, integral div/mod against the
+    sequence budget — no floats, no collect."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = docs.select(
+        "doc_id",
+        F.pmod(h32(F.col("doc_id").cast("string"), PACK_SALT), F.lit(PACK_SHARDS))
+        .cast("bigint")
+        .alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = PACK_SEQ_TOKENS
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) div {b}").alias("start_seq"),
+            F.expr(f"(cum - n_tokens) % {b}").alias("seq_offset"),
+            F.expr(
+                f"((cum - 1) div {b}) - ((cum - n_tokens) div {b}) + 1"
+            ).alias("n_seqs"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "q51_boilerplate_segments": f"""
         WITH tk AS (
@@ -507,10 +557,34 @@ def _q70_oracle() -> str:
 
 ORACLES["q70_corpus_filter"] = _q70_oracle()
 
+ORACLES["q82_sequence_packing"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST({h32_sql("CAST(doc_id AS VARCHAR)", PACK_SALT)}
+                    % {PACK_SHARDS} AS BIGINT) AS shard,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum - n_tokens) // {PACK_SEQ_TOKENS} AS BIGINT) AS start_seq,
+           CAST((cum - n_tokens) % {PACK_SEQ_TOKENS} AS BIGINT) AS seq_offset,
+           CAST((cum - 1) // {PACK_SEQ_TOKENS}
+                - (cum - n_tokens) // {PACK_SEQ_TOKENS} + 1 AS BIGINT) AS n_seqs
+    FROM c
+"""
+
 QUERIES = {
     "q70_corpus_filter": q70_corpus_filter,
     "q51_boilerplate_segments": q51_boilerplate_segments,
     "q52_contamination": q52_contamination,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,
     "q54_embedding_quantize": q54_embedding_quantize,
+    "q82_sequence_packing": q82_sequence_packing,
 }
