@@ -574,6 +574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned running-sum window, in-window via q22/q49; same
         # local gates as q80/q81
         "q82_sequence_packing",
+        # tail by design from birth: q83 (BPE-ish token counts) is a
+        # shuffle-free map-only projection, the family of in-window
+        # q11/q13; same local gates as q80-q82
+        "q83_bpe_token_counts",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

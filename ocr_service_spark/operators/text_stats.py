@@ -308,6 +308,30 @@ def q26_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q83: BPE-ish pre-tokenizer token counts ---------------------------------
+# GPT-2's pre-tokenizer split, minus the lookahead (RE2/DuckDB has no
+# lookahead; the lookahead only affects trailing-space attachment, not
+# counts on \s+-normalized text): contractions, space-prefixed letter
+# runs, digit runs, punctuation runs, whitespace runs. Trainer cost is
+# priced in BPE-ish tokens, not whitespace words — this is the column a
+# data contract quotes. Counts verified identical between Java regex
+# (Spark) and RE2 (DuckDB) on Unicode letters/digits/symbols.
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q83_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under both tokenization regimes:
+    whitespace words (corpus stats) and the BPE-ish pre-tokenizer
+    (trainer cost). Pure whole-stage-codegen projection — no shuffle,
+    no UDF; at 100 TB this is a map-only column append."""
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.split(F.trim("text"), TOKEN_RE)).cast("bigint")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))).cast("bigint")
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
 # -- q81: LM-familiarity quality scoring (CCNet-style perplexity proxy) ------
 # Wenzek et al. (2020), "CCNet: Extracting High Quality Monolingual
 # Datasets from Web Crawl Data": score each document with a language
@@ -539,6 +563,15 @@ ORACLES["q81_lm_familiarity"] = """
     FROM score, cuts
 """
 
+ORACLES["q83_bpe_token_counts"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+               '{BPE_PAT.replace("'", "''")}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+"""
+
 QUERIES = {
     "q11_token_stats": q11_token_stats,
     "q12_quality_buckets": q12_quality_buckets,
@@ -551,4 +584,5 @@ QUERIES = {
     "q36_token_percentiles": q36_token_percentiles,
     "q39_repetition_stats": q39_repetition_stats,
     "q81_lm_familiarity": q81_lm_familiarity,
+    "q83_bpe_token_counts": q83_bpe_token_counts,
 }

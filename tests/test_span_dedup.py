@@ -58,3 +58,39 @@ def test_within_doc_repeat_is_not_removed(spark, tmp_path):
     out = {r.doc_id: (r.n_removed, r.kept_text) for r in q79_span_dedup(spark, sf_dir).collect()}
     assert out[0] == (0, text)
     assert out[1] == (0, "w1 w2 w3 w4 w5 w6 w7")
+
+
+def test_bpe_pretokenizer_counts_agree_with_duckdb(spark, tmp_path):
+    """q83's BPE-ish pattern must count identically under Java regex
+    (Spark) and RE2 (DuckDB) — pinned on adversarial text the ASCII
+    corpus never exercises: Unicode letters/digits, contractions,
+    punctuation runs, mixed whitespace."""
+    import duckdb
+
+    from ocr_service_spark.operators.text_stats import q83_bpe_token_counts
+
+    rows = [
+        (0, "Hello world, it's 42 degrees -- isn't it? café№9"),
+        (1, "tabs\tand\nnewlines  double  spaces"),
+        (2, "we'll you've they'd I'm CAN'T 3.14159 x2"),
+        (3, "日本語۱۲۳ mixed nbsp"),
+        (4, ""),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.ws_tokens, r.bpe_tokens)
+        for r in q83_bpe_token_counts(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    import ocr_service_spark.operators.text_stats as ts
+
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        ts.ORACLES["q83_bpe_token_counts"]).fetchall()}
+    assert got == want
+    assert got[0][1] == 15  # the hand-verified sample
