@@ -578,6 +578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle-free map-only projection, the family of in-window
         # q11/q13; same local gates as q80-q82
         "q83_bpe_token_counts",
+        # tail by design from birth: q84 (host quota sampling) is the
+        # WindowGroupLimit rank-filter shape of in-window q73 over
+        # q71's snapshot builders; same local gates as q80-q83
+        "q84_host_quota",
     }
     for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
         for name, fn in mod.QUERIES.items():

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocr_service_spark.functions.hashing import h32, h32_sql
+
 # Dialect-portable regexes (same semantics in Java regex and RE2).
 _RE_FRAGMENT = r"#.*$"
 _RE_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*):"
@@ -387,6 +389,36 @@ def q71_crawl_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0)).alias(
             "n_unchanged"
         ),
+    )
+
+
+# -- q84: per-host quota sampling (FineWeb-style host balancing) -------------
+HOST_QUOTA = 25  # max docs kept per host; a knob, not a structure
+QUOTA_SALT = "quota"
+
+
+def q84_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-balanced corpus sampling: cap every host at HOST_QUOTA
+    documents, keeping the quota by smallest deterministic url hash —
+    the FineWeb-style defense against a handful of mega-hosts
+    dominating the training mix. Membership is a pure function of
+    (url, salt), so re-crawls and re-shards keep the same sample.
+
+    Shape at 100 TB: one row_number window per host with the
+    rank <= K filter adjacent, so Spark plans WindowGroupLimit — each
+    map task pre-limits its partition to K rows BEFORE the host
+    shuffle, which bounds the hot-host partition at K x n_map_tasks
+    instead of the host's full page count (the same pushdown q73's
+    anchor index relies on; pinned by a plan test)."""
+    from pyspark.sql import Window
+
+    snap = _snapshot(spark, sf_dir, "b")
+    key = h32(F.col("url"), QUOTA_SALT)
+    w = Window.partitionBy("host").orderBy(key.asc(), F.col("url").asc())
+    return (
+        snap.select("url", "host", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= HOST_QUOTA)
+        .select("url", "host", F.col("rk").cast("bigint").alias("sample_rank"))
     )
 
 
@@ -1175,6 +1207,23 @@ ORACLES["q71_crawl_churn"] = """
 # decision closed-form from the corpus construction (the same style as
 # the messy-URL / link-page oracles), so a parser bug cannot leak into
 # its own check.
+ORACLES["q84_host_quota"] = f"""
+    WITH b AS (
+        SELECT 'https://site' || (doc_id % 10) || '.example.com/item/' || doc_id
+                   AS url,
+               'site' || (doc_id % 10) || '.example.com' AS host
+        FROM documents WHERE doc_id % 13 <> 0
+    ),
+    r AS (
+        SELECT url, host,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY {h32_sql("url", QUOTA_SALT)}, url) AS rk
+        FROM b
+    )
+    SELECT url, host, CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= {HOST_QUOTA}
+"""
+
 ORACLES["q80_crawl_merge"] = """
     WITH a AS (
         SELECT 'https://site' || (doc_id % 10) || '.example.com/item/' || doc_id
@@ -1353,4 +1402,5 @@ QUERIES = {
     "q72_robots_policy": q72_robots_policy,
     "q73_anchor_terms": q73_anchor_terms,
     "q80_crawl_merge": q80_crawl_merge,
+    "q84_host_quota": q84_host_quota,
 }

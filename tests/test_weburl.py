@@ -258,3 +258,19 @@ def test_merge_fetch_batch_semantics(spark) -> None:
         "u/untouched": ("h2", "ddd", "keep"),
         "u/new": ("h3", "eee", "insert"),
     }
+
+
+def test_q84_host_quota_uses_window_group_limit(spark) -> None:
+    """q84's rank<=K filter must push into WindowGroupLimit so hot
+    hosts pre-limit map-side before the host shuffle; kept rows never
+    exceed the quota per host."""
+    from collections import Counter
+
+    from ocr_service_spark.operators.weburl import HOST_QUOTA, q84_host_quota
+
+    df = q84_host_quota(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    hosts = Counter(r.host for r in df.collect())
+    assert hosts and max(hosts.values()) <= HOST_QUOTA
+    assert all(1 <= r.sample_rank <= HOST_QUOTA for r in df.collect())
