@@ -45,6 +45,22 @@ nested-loop join) and ends in TakeOrderedAndProject.
   against centroid literals, the mean update a distributed two-phase
   agg collecting only K x DIM rows; bit-exact vs the CTE-unrolled
   DuckDB oracle.
+
+- ``q85_semdedup`` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+  semantic dedup for pretraining corpora: cluster the embeddings,
+  then prune near-duplicates WITHIN each cluster only — the
+  clustering bounds candidate generation exactly the way LSH bands
+  bound q19's. Cells come from the deterministic IVF assign (a pure
+  map-side projection); the within-cell pair scorer is an equi join
+  on ``cell``, never an all-pairs self-join. A vector is dropped iff
+  a lower-vec_id vector in its cell has (rounded) cosine >= the
+  threshold; the keeper is the smallest such vec_id, so the decision
+  is closed-form and the DuckDB oracle replays it exactly. At 100 TB
+  the cluster count scales with n (SemDeDup uses ~100k clusters for
+  LAION-scale corpora) keeping per-cell populations bounded, and the
+  assigned table is persisted instead of recomputed per join side —
+  the plan shape (assign -> equi-join on cell -> per-vector min-agg)
+  is unchanged.
 """
 
 from __future__ import annotations
@@ -370,6 +386,50 @@ def q46_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("hamming").asc(), F.col("vec_id")).limit(TOPK)
     w = Window.orderBy(F.col("hamming").asc(), F.col("vec_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# -- q85: SemDeDup (within-cluster semantic dedup) -------------------------------
+SEMDEDUP_MIN_COS = 0.35  # corpus has no true dups; keeps output non-trivial
+
+
+def q85_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop every vector that has a lower-vec_id neighbour
+    with cosine >= SEMDEDUP_MIN_COS inside its IVF cell; report the
+    dropped vector, its cell, the keeper (smallest qualifying vec_id)
+    and the cosine to that keeper. Pairs are generated by an equi
+    join on ``cell`` (bounded groups — the SemDeDup trick), the
+    filter applies to the ROUNDED cosine so both engines cut on
+    identical values, and the keeper election is one min-struct agg."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    assigned = _with_cell(emb).select("vec_id", "vec", "cell")
+    normed = assigned.withColumn(
+        "norm", F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    )
+    a = normed.select(
+        "cell", F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"), F.col("norm").alias("na"),
+    )
+    b = normed.select(
+        "cell", F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"), F.col("norm").alias("nb"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dup = pairs.select(
+        "cell", "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= SEMDEDUP_MIN_COS)
+    return (
+        dup.groupBy("vec_b", "cell")
+        .agg(F.min(F.struct("vec_a", "cosine")).alias("k"))
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            "cell",
+            F.col("k.vec_a").alias("keeper"),
+            F.col("k.cosine").alias("keeper_cosine"),
+        )
+    )
 
 
 def embedding_neardup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,6 +786,22 @@ ORACLES: dict[str, str] = {
 
 ORACLES["q55_kmeans_clusters"] = _km_oracle()
 
+ORACLES["q85_semdedup"] = f"""
+    WITH {_IVF_ASSIGNED_CTE},
+    pairs AS (
+        SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_COS_SQL}, 6) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round({_COS_SQL}, 6) >= {SEMDEDUP_MIN_COS}
+    )
+    SELECT vec_b AS vec_id, cell, vec_a AS keeper, cosine AS keeper_cosine
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_b ORDER BY vec_a) AS rn
+          FROM pairs)
+    WHERE rn = 1
+"""
+
 QUERIES = {
     "q19_embedding_neardup_pairs": q19_embedding_neardup_pairs,
     "q20_cosine_topk": q20_cosine_topk,
@@ -734,4 +810,5 @@ QUERIES = {
     "q25_ivf_topk": q25_ivf_topk,
     "q46_hamming_topk": q46_hamming_topk,
     "q55_kmeans_clusters": q55_kmeans_clusters,
+    "q85_semdedup": q85_semdedup,
 }

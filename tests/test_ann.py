@@ -112,3 +112,79 @@ def test_kmeans_iteration_does_not_increase_inertia(spark):
     n_vectors = codes.count()
     dim = len(cent0[0])
     assert i1 <= i0 + n_vectors * dim
+
+
+def test_semdedup_matches_bruteforce_within_cells(spark):
+    """q85 semantics against an independent reimplementation: assign
+    cells with the same deterministic centroids, score every
+    within-cell pair exactly (numpy), and replay the drop rule —
+    dropped iff some lower-vec_id cellmate has rounded cosine >=
+    SEMDEDUP_MIN_COS, keeper = the smallest such id. The keep set and
+    every keeper election must match."""
+    import numpy as np
+
+    from ocr_service_spark.operators.similarity import (
+        EMB_DIM,
+        IVF_CELLS,
+        SEMDEDUP_MIN_COS,
+        _centroid_norm,
+        _centroid_weight,
+        q85_semdedup,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    cents = np.array(
+        [
+            [_centroid_weight(c, i) for i in range(EMB_DIM)]
+            for c in range(IVF_CELLS)
+        ]
+    )
+    norms = np.array([_centroid_norm(c) for c in range(IVF_CELLS)])
+
+    cells: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        scores = cents @ v / norms
+        cells.setdefault(int(np.argmax(scores)) + 1, []).append(vid)
+
+    expected: dict[int, tuple[int, float]] = {}
+    for cell, ids in cells.items():
+        for b in ids:
+            best = None
+            for a in ids:
+                if a >= b:
+                    continue
+                cos = float(
+                    vecs[a] @ vecs[b]
+                    / (np.sqrt(vecs[a] @ vecs[a]) * np.sqrt(vecs[b] @ vecs[b]))
+                )
+                if round(cos, 6) >= SEMDEDUP_MIN_COS:
+                    if best is None or a < best[0]:
+                        best = (a, cell)
+            if best is not None:
+                expected[b] = best
+
+    got = {
+        r.vec_id: (r.keeper, r.cell)
+        for r in q85_semdedup(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "corpus must produce a non-trivial drop set"
+
+
+def test_semdedup_plan_is_equi_join_on_cell(spark):
+    """The within-cell pair generator must plan an equi join (shuffle
+    or broadcast hash on cell) — never a cartesian/nested-loop pass
+    over all vector pairs."""
+    from ocr_service_spark.operators.similarity import q85_semdedup
+
+    df = q85_semdedup(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
