@@ -582,6 +582,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WindowGroupLimit rank-filter shape of in-window q73 over
         # q71's snapshot builders; same local gates as q80-q83
         "q84_host_quota",
+        # demoted round 4 for q86 (BPE merge learning, first driver
+        # check): q47's explicit two-phase salted aggregation shape is
+        # reached in-window by q41's salted page-bucket extraction path
+        # (explode -> per-bucket work -> ordered re-agg) and the plain
+        # hot-key groupBy by a dozen in-window aggs; q47 is three-round
+        # driver hash-green and stays under tools/check_oracles.py +
+        # test_entry_oracle like the rest of the tail
+        "q47_salted_hot_key_agg",
         # demoted round 4 for q85 (SemDeDup, first driver check): q54
         # is a shuffle-free pure projection (int8 quantize), the most
         # redundantly covered shape in the window (q17 simhash, q46

@@ -397,6 +397,155 @@ def q81_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q86: distributed BPE merge learning (Sennrich et al. 2016) --------------
+# BPE tokenizer TRAINING, not application: learn the first merge from
+# weighted adjacent-symbol-pair counts, apply it greedily, recount.
+# The industrial-scale trick (HF tokenizers, SentencePiece): count each
+# distinct WORD once, then iterate over the word-frequency table — at
+# 100 TB the vocab table (tens of millions of rows) is disproportionately
+# smaller than the corpus, so every merge iteration is one vocab-sized
+# groupBy plus a 1-row driver argmax, never a corpus re-scan. Greedy
+# left-to-right application is closed-form per position (the x==y case
+# is run-offset parity over maximal runs), so the DuckDB oracle learns
+# and applies the merge itself — both engines derive the merge
+# independently from the data, nothing is smuggled via literals except
+# the Spark side's own collected argmax.
+BPE_MERGE_TOPK = 12  # deep enough that merged-symbol pairs (e.g. 'm'+'er') rank
+BPE_MAX_WORD = 24  # Gopher-style max word length; bounds the parity fold
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, len, wcnt) for lowercase alpha words — the vocab table a
+    BPE trainer iterates over. At 100 TB this is persisted once."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+"), F.lit(0))
+        ).alias("word")
+    )
+    return (
+        w.filter(F.length("word").between(2, BPE_MAX_WORD))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .withColumn("len", F.length("word"))
+    )
+
+
+def _pair_counts(toks: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over (t: array<string>, wcnt)."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda k: F.struct(
+            F.element_at("t", k).alias("sym_a"),
+            F.element_at("t", k + 1).alias("sym_b"),
+        ),
+    )
+    return (
+        toks.filter(F.size("t") >= 2)  # sequence(1,0) would DESCEND
+        .select(F.explode(pairs).alias("p"), "wcnt")
+        .groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+
+
+def _bpe_apply(words: DataFrame, x: str, y: str) -> DataFrame:
+    """Greedy left-to-right application of merge (x, y) over
+    (word, len, wcnt) rows -> (t: array<string>, wcnt). Position i is a
+    merge-second iff char[i]==y and char[i-1]==x; the x==y case is
+    resolved by run-offset parity (within a maximal run of x's, offsets
+    1,3,5,... merge into their predecessor — exactly what a sequential
+    greedy scan produces). Pure column logic, no UDF."""
+    word = F.col("word")
+    if x != y:
+        mask = lambda i: (  # noqa: E731
+            (i > 1)
+            & (word.substr(i, F.lit(1)) == y)
+            & (word.substr(i - 1, F.lit(1)) == x)
+        )
+    else:
+        # run-offset parity: i - (last non-x position <= i) even
+        mask = lambda i: (  # noqa: E731
+            (word.substr(i, F.lit(1)) == x)
+            & (
+                (
+                    i
+                    - F.coalesce(
+                        F.array_max(
+                            F.transform(
+                                F.sequence(F.lit(1), i),
+                                lambda j: F.when(
+                                    word.substr(j, F.lit(1)) != x, j
+                                ).otherwise(F.lit(0)),
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                )
+                % 2
+                == 0
+            )
+        )
+    marked = words.withColumn(
+        "m", F.transform(F.sequence(F.lit(1), F.col("len")), mask)
+    )
+    return marked.select(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.col("len")),
+                lambda i: ~F.element_at("m", i),
+            ),
+            lambda i: F.when(
+                (i < F.col("len")) & F.element_at("m", i + 1),
+                word.substr(i, F.lit(2)),
+            ).otherwise(word.substr(i, F.lit(1))),
+        ).alias("t"),
+        "wcnt",
+    )
+
+
+def q86_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge learned and applied, distributed: top pair-count
+    table before (step 1) and after (step 2) applying merge #1.
+
+    Step 1 counts adjacent character pairs weighted by word frequency;
+    merge #1 = argmax (cnt desc, pair asc) — collected to the driver
+    exactly like q55's centroids (1 row). Application is greedy
+    left-to-right: position i becomes a merge-second iff char[i]==y and
+    char[i-1]==x, with x==y resolved by run-offset parity (offsets
+    1,3,5... within a maximal run merge into their predecessor). Step 2
+    recounts pairs over the merged token streams — merged symbols like
+    'er' now appear as pair members, proving the apply happened."""
+    from pyspark.sql import Window
+
+    words = _bpe_words(spark, sf_dir)
+    word = F.col("word")
+    chars1 = words.select(
+        F.transform(
+            F.sequence(F.lit(1), F.col("len")),
+            lambda i: word.substr(i, F.lit(1)),
+        ).alias("t"),
+        "wcnt",
+    )
+    p1 = _pair_counts(chars1)
+    top = p1.orderBy(F.col("cnt").desc(), "sym_a", "sym_b").limit(1).collect()[0]
+    p2 = _pair_counts(_bpe_apply(words, top["sym_a"], top["sym_b"]))
+
+    def _top(pc: DataFrame, step: int) -> DataFrame:
+        top_rows = pc.orderBy(F.col("cnt").desc(), "sym_a", "sym_b").limit(
+            BPE_MERGE_TOPK
+        )
+        w = Window.orderBy(F.col("cnt").desc(), "sym_a", "sym_b")
+        return top_rows.select(
+            F.lit(step).cast("bigint").alias("step"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "sym_a",
+            "sym_b",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+
+    return _top(p1, 1).unionAll(_top(p2, 2))
+
+
 def _lang_id_oracle() -> str:
     hit_exprs = ", ".join(
         f"len(regexp_extract_all(text, '{_marker_pattern(m)}')) AS hits_{lang}"
@@ -572,6 +721,66 @@ ORACLES["q83_bpe_token_counts"] = f"""
     FROM documents
 """
 
+# The oracle LEARNS merge #1 itself (m1 CTE) and re-applies it with the
+# same closed-form greedy rule — fully independent of the Spark side's
+# driver-collected argmax.
+ORACLES["q86_bpe_merges"] = f"""
+    WITH words AS (
+        SELECT w AS word, length(w) AS len, count(*) AS wcnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+              FROM documents)
+        WHERE length(w) BETWEEN 2 AND {BPE_MAX_WORD}
+        GROUP BY w
+    ),
+    p1 AS (
+        SELECT substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b,
+               sum(wcnt) AS cnt
+        FROM words, unnest(range(1, len)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    m1 AS (SELECT sym_a AS x, sym_b AS y FROM p1
+           ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
+    marked AS (
+        SELECT word, len, wcnt,
+               list_transform(range(1, len + 1), i ->
+                   CASE WHEN x <> y THEN
+                       i > 1 AND substr(word, i, 1) = y
+                             AND substr(word, i - 1, 1) = x
+                   ELSE
+                       substr(word, i, 1) = x
+                       AND ((i - coalesce(list_max(list_transform(
+                             range(1, i + 1),
+                             j -> CASE WHEN substr(word, j, 1) <> x
+                                       THEN j ELSE 0 END)), 0)) % 2 = 0)
+                   END) AS m
+        FROM words, m1
+    ),
+    toks AS (
+        SELECT word, wcnt,
+               list_transform(
+                   list_filter(range(1, len + 1), i -> NOT m[i]),
+                   i -> CASE WHEN i < len AND m[i + 1]
+                             THEN substr(word, i, 2)
+                             ELSE substr(word, i, 1) END) AS t
+        FROM marked
+    ),
+    p2 AS (
+        SELECT t[k] AS sym_a, t[k+1] AS sym_b, sum(wcnt) AS cnt
+        FROM toks, unnest(range(1, len(t))) AS u(k)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(1 AS BIGINT) AS step,
+           row_number() OVER (ORDER BY cnt DESC, sym_a, sym_b) AS rank,
+           sym_a, sym_b, CAST(cnt AS BIGINT) AS cnt
+    FROM p1 QUALIFY rank <= {BPE_MERGE_TOPK}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           row_number() OVER (ORDER BY cnt DESC, sym_a, sym_b),
+           sym_a, sym_b, CAST(cnt AS BIGINT)
+    FROM p2 QUALIFY row_number() OVER (ORDER BY cnt DESC, sym_a, sym_b)
+                    <= {BPE_MERGE_TOPK}
+"""
+
 QUERIES = {
     "q11_token_stats": q11_token_stats,
     "q12_quality_buckets": q12_quality_buckets,
@@ -585,4 +794,5 @@ QUERIES = {
     "q39_repetition_stats": q39_repetition_stats,
     "q81_lm_familiarity": q81_lm_familiarity,
     "q83_bpe_token_counts": q83_bpe_token_counts,
+    "q86_bpe_merges": q86_bpe_merges,
 }
