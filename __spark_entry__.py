@@ -582,6 +582,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WindowGroupLimit rank-filter shape of in-window q73 over
         # q71's snapshot builders; same local gates as q80-q83
         "q84_host_quota",
+        # demoted round 4 for q87 (CDX index ingest, first driver
+        # check): q49's ordered partitioned-window machinery stays
+        # in-window via q22 (as-of via union+running window) and q59's
+        # sessionizer (whose oracle IS gap-sessionize window SQL); q49
+        # is three-round driver hash-green, same local gates as the
+        # rest of the tail
+        "q49_event_funnel",
         # demoted round 4 for q86 (BPE merge learning, first driver
         # check): q47's explicit two-phase salted aggregation shape is
         # reached in-window by q41's salted page-bucket extraction path

@@ -421,6 +421,96 @@ def q76_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q87: CDX index ingest (fetch-list construction from the URL index) ------
+def _cdx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ fixture lines derived closed-form from documents: one
+    late capture per doc, an extra EARLY capture for doc_id%5==0
+    (latest-wins rung), shared digests for doc_id%7==0 (digest-dedup
+    rung), 404s (%17), redirects (%13), text/plain (%9), plus a
+    malformed junk line per doc_id%19==0 that the parser must drop.
+    Line assembly is a pure projection — the writer twin of
+    sources/cdx.parse_cdx."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = F.col("doc_id")
+    urlkey = F.format_string("com,example,cdx%d)/doc/%d", d % 6, d)
+    url = F.format_string("https://cdx%d.example.com/doc/%d", d % 6, d)
+    mime = F.when(d % 9 == 0, "text/plain").otherwise("text/html")
+    status = (
+        F.when(d % 17 == 0, "404").when(d % 13 == 0, "301").otherwise("200")
+    )
+    digest = F.when(d % 7 == 0, F.format_string("dup%d", d % 3)).otherwise(
+        F.md5(F.col("text"))
+    )
+    ts_late = F.format_string("20260302%06d", d % 240000)
+    ts_early = F.format_string("20260101%06d", d % 240000)
+    captures = F.when(d % 5 == 0, F.array(ts_early, ts_late)).otherwise(
+        F.array(ts_late)
+    )
+    line = F.format_string(
+        '%s %s {"url": "%s", "mime": "%s", "status": "%s", "digest": "%s",'
+        ' "length": "%d", "offset": "%d", "filename": "crawl-%05d.warc.gz"}',
+        urlkey,
+        F.col("ts"),
+        url,
+        mime,
+        status,
+        digest,
+        F.lit(500) + d % 100,
+        d * 1000,
+        d % 4,
+    )
+    good = docs.select(d.alias("doc_id"), "text", F.explode(captures).alias("ts")).select(
+        line.alias("line")
+    )
+    junk = docs.filter(d % 19 == 0).select(
+        F.format_string("stray-noise-%d not a cdx line", d).alias("line")
+    )
+    return good.unionAll(junk)
+
+
+def q87_cdx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-list construction from the Common-Crawl URL index: parse
+    CDXJ lines (sources/cdx.py — anchored-regex split + from_json,
+    codegen-only), keep 200-status text/html captures, elect the
+    LATEST capture per urlkey (one max-struct agg), then dedup by
+    content digest electing the smallest urlkey as canonical — the
+    index-side dedup a real pipeline runs BEFORE touching WARC bytes.
+    Both aggs are plain hash shuffles on bounded keys; nothing here
+    scales with payload size, only with index rows."""
+    from ocr_service_spark.sources.cdx import parse_cdx
+
+    recs = parse_cdx(_cdx_lines(spark, sf_dir))
+    ok = recs.filter((F.col("status") == 200) & (F.col("mime") == "text/html"))
+    latest = (
+        ok.groupBy("urlkey")
+        .agg(
+            F.max(F.struct(F.col("cdx_ts"), F.col("digest"))).alias("m"),
+            F.count(F.lit(1)).alias("n_captures"),
+        )
+        .select(
+            "urlkey",
+            F.col("m.cdx_ts").alias("latest_ts"),
+            F.col("m.digest").alias("digest"),
+            "n_captures",
+        )
+    )
+    canon = latest.groupBy("digest").agg(
+        F.min("urlkey").alias("canonical_urlkey"),
+        F.count(F.lit(1)).alias("n_urls_with_digest"),
+    )
+    return latest.join(canon, "digest").select(
+        "urlkey",
+        "latest_ts",
+        "digest",
+        "n_captures",
+        "canonical_urlkey",
+        "n_urls_with_digest",
+        (F.col("urlkey") == F.col("canonical_urlkey")).alias("is_canonical"),
+    )
+
+
 # q62's CASE arms are generated from the same rung table the Spark
 # side encodes with — one source of truth for phrases and labels
 _CS_CHARSET_CASE = " ".join(
@@ -588,6 +678,46 @@ ORACLES["q76_warc_extract"] = """
     WHERE doc_id % 17 <> 0
 """
 
+# Every derivation in _cdx_lines is closed-form from documents, so the
+# oracle rebuilds the fetch list without touching the parser: the junk
+# lines simply never appear (the parser must drop them), the early
+# capture loses the max(ts) election, non-(200, text/html) rows fall to
+# the filter, and digest groups elect min(urlkey).
+ORACLES["q87_cdx_ingest"] = """
+    WITH caps AS (
+        SELECT printf('com,example,cdx%d)/doc/%d', doc_id % 6, doc_id)
+                   AS urlkey,
+               CASE WHEN doc_id % 9 = 0 THEN 'text/plain'
+                    ELSE 'text/html' END AS mime,
+               CASE WHEN doc_id % 17 = 0 THEN 404
+                    WHEN doc_id % 13 = 0 THEN 301 ELSE 200 END AS status,
+               CASE WHEN doc_id % 7 = 0 THEN printf('dup%d', doc_id % 3)
+                    ELSE md5(text) END AS digest,
+               unnest(CASE WHEN doc_id % 5 = 0
+                      THEN [printf('20260101%06d', doc_id % 240000),
+                            printf('20260302%06d', doc_id % 240000)]
+                      ELSE [printf('20260302%06d', doc_id % 240000)]
+                      END) AS ts
+        FROM documents
+    ),
+    ok AS (SELECT * FROM caps WHERE status = 200 AND mime = 'text/html'),
+    latest AS (
+        SELECT urlkey, max(ts) AS latest_ts, any_value(digest) AS digest,
+               count(*) AS n_captures
+        FROM ok GROUP BY urlkey
+    ),
+    canon AS (
+        SELECT digest, min(urlkey) AS canonical_urlkey,
+               count(*) AS n_urls_with_digest
+        FROM latest GROUP BY digest
+    )
+    SELECT l.urlkey, l.latest_ts, l.digest, l.n_captures,
+           c.canonical_urlkey,
+           CAST(c.n_urls_with_digest AS BIGINT) AS n_urls_with_digest,
+           l.urlkey = c.canonical_urlkey AS is_canonical
+    FROM latest l JOIN canon c USING (digest)
+"""
+
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
     "q76_warc_extract": q76_warc_extract,
@@ -596,6 +726,7 @@ QUERIES = {
     "q44_audio_roundtrip": q44_audio_roundtrip,
     "q48_pii_scrub_roundtrip": q48_pii_scrub_roundtrip,
     "q74_warc_ingest": q74_warc_ingest,
+    "q87_cdx_ingest": q87_cdx_ingest,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,
     "q32_extract_xml_roundtrip": q32_extract_xml_roundtrip,
     "q33_payload_ladder_roundtrip": q33_payload_ladder_roundtrip,
