@@ -485,10 +485,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the T1 html extraction path stays hash-checked in-window via
     # q40's html fixture rows, q62/q66's inner-HTML rungs, and q76's
     # own html rung; q30 is three-round driver-green
+    # q48 demoted round 4 for q88 (mojibake repair, first driver
+    # check): q48's regex-scrub map-only projection family stays
+    # in-window via q63 (canonicalize, the same regexp codegen
+    # machinery) and the mapInPandas pipeline shape via every
+    # extraction roundtrip; q48 is three-round driver hash-green and
+    # keeps its tools/check_oracles.py + test_entry_oracle gates
     roundtrip_tail = {
         "q30_extract_html_roundtrip",
         "q31_extract_rtf_roundtrip",
         "q32_extract_xml_roundtrip",
+        "q48_pii_scrub_roundtrip",
     }
     for name, fn in roundtrip.QUERIES.items():  # q30 q62 q66 q44 q48 q33
         if name not in roundtrip_tail:

@@ -170,3 +170,42 @@ def decode_text(payload: bytes) -> tuple[str, str]:
     """Plain-text payload -> (charset_label, text): BOM, then UTF-8
     probe, then cp1252 — no declaration scan."""
     return decode_payload(payload, markup=False)
+
+
+# -- mojibake (UTF-8-as-cp1252 double encoding) repair ------------------------
+# The classic web-corpus defect: UTF-8 bytes decoded as windows-1252
+# somewhere upstream turn "café" into "cafÃ©"; done twice it becomes
+# "cafÃƒÂ©". The ftfy-style repair inverts the mistake: re-encode as
+# cp1252 and strictly re-decode as UTF-8, accepting the step ONLY when
+# the round trip is byte-valid UTF-8 and changes the text — legitimate
+# cp1252-looking text (a lone "é") fails the strict UTF-8 decode and
+# passes through untouched. Iterating bounds-many times unwinds
+# double mojibake. Pure str -> str; runs inside the same Arrow-batched
+# pandas UDFs as the decode ladder.
+MOJIBAKE_MAX_ITERS = 2
+
+
+def mojibake(text: str, times: int = 1) -> str:
+    """Deliberately corrupt: decode the UTF-8 bytes as cp1252 (writer
+    twin for tests/fixtures; raises if a byte has no cp1252 mapping,
+    so fixtures stay in the repairable subset)."""
+    for _ in range(times):
+        text = text.encode("utf-8").decode("cp1252")
+    return text
+
+
+def repair_mojibake(text: str, max_iters: int = MOJIBAKE_MAX_ITERS) -> tuple[str, int]:
+    """(repaired_text, n_iterations). Each iteration requires: every
+    char encodable in cp1252, the bytes strictly valid UTF-8, and a
+    result different from the input."""
+    n = 0
+    for _ in range(max_iters):
+        try:
+            fixed = text.encode("cp1252").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            break
+        if fixed == text:
+            break
+        text = fixed
+        n += 1
+    return text, n

@@ -421,6 +421,52 @@ def q76_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q88: mojibake (UTF-8-as-cp1252 double encoding) repair -------------------
+# Rung table: doc_id%4 -> (phrase, mojibake depth). Phrases stay inside
+# the cp1252-repairable subset (no UTF-8 byte 0x81/8D/8F/90/9D). Rung 3
+# is clean ASCII — the repair must be a provable no-op.
+MOJI_RUNGS: tuple[tuple[str, int], ...] = (
+    ("café résumé", 1),
+    ("über naïve", 2),  # double mojibake: needs both iterations
+    ("‘quoted’ €9", 1),
+)
+
+
+def q88_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair through the real charset utility
+    (extraction/charset.repair_mojibake): each doc gets a phrase
+    corrupted by 1 or 2 rounds of UTF-8-bytes-read-as-cp1252 appended
+    (rung 3: nothing), and the repair must return exactly the clean
+    phrase with the rung's iteration count — strict-UTF-8 gating means
+    legitimate text is never touched. Arrow-batched mapInPandas,
+    shuffle-free: at 100 TB this is a scan-side column repair."""
+    from ocr_service_spark.extraction.charset import mojibake, repair_mojibake
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id) % 4
+                if i == 3:
+                    corrupted = text
+                else:
+                    phrase, depth = MOJI_RUNGS[i]
+                    corrupted = text + " " + mojibake(phrase, depth)
+                fixed, n = repair_mojibake(corrupted)
+                out.append((int(doc_id), fixed, n))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "repaired_text", "n_repairs"]
+            )
+
+    return docs.mapInPandas(
+        gen, "doc_id bigint, repaired_text string, n_repairs bigint"
+    )
+
+
 # -- q87: CDX index ingest (fetch-list construction from the URL index) ------
 def _cdx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDXJ fixture lines derived closed-form from documents: one
@@ -718,6 +764,24 @@ ORACLES["q87_cdx_ingest"] = """
     FROM latest l JOIN canon c USING (digest)
 """
 
+# q88: the oracle never constructs mojibake — the expected output is
+# the CLEAN phrase (rung table shared with the Spark side), so a
+# repair that fails or overshoots diverges immediately
+_MOJI_PHRASE_CASE = " ".join(
+    f"WHEN {i} THEN text || ' {p}'" for i, (p, _d) in enumerate(MOJI_RUNGS)
+)
+_MOJI_DEPTH_CASE = " ".join(
+    f"WHEN {i} THEN {d}" for i, (_p, d) in enumerate(MOJI_RUNGS)
+)
+ORACLES["q88_mojibake_repair"] = f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT) {_MOJI_PHRASE_CASE}
+                ELSE text END AS repaired_text,
+           CAST(CASE CAST(doc_id % 4 AS INT) {_MOJI_DEPTH_CASE}
+                ELSE 0 END AS BIGINT) AS n_repairs
+    FROM documents
+"""
+
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
     "q76_warc_extract": q76_warc_extract,
@@ -727,6 +791,7 @@ QUERIES = {
     "q48_pii_scrub_roundtrip": q48_pii_scrub_roundtrip,
     "q74_warc_ingest": q74_warc_ingest,
     "q87_cdx_ingest": q87_cdx_ingest,
+    "q88_mojibake_repair": q88_mojibake_repair,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,
     "q32_extract_xml_roundtrip": q32_extract_xml_roundtrip,
     "q33_payload_ladder_roundtrip": q33_payload_ladder_roundtrip,

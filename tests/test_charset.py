@@ -195,3 +195,26 @@ def test_utf8_html_has_no_charset_metadata() -> None:
     row = extract_document(_html("plain utf8 body").encode(), "doc://5.html")
     assert "charset" not in row["metadata"]
     assert row["extracted_text"] == "t\nplain utf8 body"
+
+
+def test_mojibake_repair_levels_and_noops():
+    from ocr_service_spark.extraction.charset import mojibake, repair_mojibake
+
+    for s in ("café résumé", "über naïve", "‘quoted’ €9"):
+        assert repair_mojibake(mojibake(s)) == (s, 1)
+        assert repair_mojibake(mojibake(s, 2)) == (s, 2)
+    # legitimate text is never touched: plain ASCII, lone accents, and
+    # chars outside cp1252 (which fail the encode gate)
+    for s in ("plain ascii", "é alone", "naïve café", "日本語 text", ""):
+        assert repair_mojibake(s) == (s, 0)
+
+
+def test_mojibake_writer_rejects_unrepairable():
+    import pytest as _pytest
+
+    from ocr_service_spark.extraction.charset import mojibake
+
+    # U+201D's UTF-8 encoding contains 0x9D, unmapped in cp1252 — the
+    # writer must refuse rather than emit an unrepairable fixture
+    with _pytest.raises(UnicodeDecodeError):
+        mojibake("curly ”")
