@@ -589,6 +589,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WindowGroupLimit rank-filter shape of in-window q73 over
         # q71's snapshot builders; same local gates as q80-q83
         "q84_host_quota",
+        # demoted round 4 for q89 (Bloom seen-set, first driver
+        # check): q67's extract_outlinks machinery is consumed
+        # in-window by q68 (host in-degree runs the same extractor
+        # end-to-end) and q69 (PageRank over the same edge list); q67
+        # is driver hash-green since birth, same local gates as the
+        # rest of the tail
+        "q67_outlinks",
         # demoted round 4 for q87 (CDX index ingest, first driver
         # check): q49's ordered partitioned-window machinery stays
         # in-window via q22 (as-of via union+running window) and q59's

@@ -72,6 +72,11 @@ HEADLINE_QUERIES = [
     "q77_sitemap_coverage",
     "q78_fetch_schedule",
     "q79_span_dedup",
+    # round 4 late additions — corpus-construction + index ops
+    "q85_semdedup",
+    "q86_bpe_merges",
+    "q87_cdx_ingest",
+    "q88_mojibake_repair",
 ]
 
 

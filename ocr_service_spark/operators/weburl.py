@@ -1389,7 +1389,136 @@ ORACLES["q78_fetch_schedule"] = """
     FROM r
 """
 
+# -- q89: Bloom-filter URL seen-set ------------------------------------------
+# The crawler's frontier dedup structure: "have we fetched this url?"
+# answered from a fixed-size bitmap instead of a 10^12-row join. Build
+# = one explode (K positions per url) + one bit_or agg into
+# BLOOM_WORDS 32-bit words; probe = equi join of probe positions
+# against the (tiny, explicitly-broadcast) word table + a per-url
+# min() AND-fold. False positives are part of the CONTRACT: with md5
+# positions both engines reproduce the exact same bitmap, so the
+# oracle replays every hit, miss and false positive bit-for-bit.
+# Sizing here is fixed for oracle determinism (2048 bits ~= 52% fill
+# at the driver's 500-url corpus -> a real ~14% fp rung); production
+# sizing is bits ~= n*k/ln2 and the plan does not change — the word
+# table stays thousands of rows per billion urls.
+BLOOM_WORDS = 64  # 32-bit words -> 2048 bits
+BLOOM_K = 3
+_BLOOM_BITS = BLOOM_WORDS * 32
+
+
+def _bloom_positions(url: Column, j: int) -> Column:
+    return h32(url, f"bloom{j}") % _BLOOM_BITS
+
+
+def q89_bloom_seen_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the seen-set Bloom filter over every document url, then
+    probe it with one SEEN url and one NOVEL url per doc. Output per
+    probe: truly_seen (ground truth), bloom_hit (all K bits set),
+    false_positive. Novel hits are the measured fp rate; misses of a
+    seen url are impossible (the oracle proves zero)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = F.col("doc_id")
+    seen_url = F.format_string("https://seen%d.example.com/page/%d", d % 11, d)
+    novel_url = F.format_string("https://new%d.example.com/x/%d", d % 11, d)
+
+    def positions(df: DataFrame) -> DataFrame:
+        p = F.explode(
+            F.array(*[_bloom_positions(F.col("url"), j) for j in range(BLOOM_K)])
+        ).alias("p")
+        return df.select(*df.columns, p).select(
+            *df.columns,
+            F.expr("CAST(p div 32 AS BIGINT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("b"),
+        )
+
+    words = (
+        positions(docs.select(seen_url.alias("url")))
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    probes = docs.select(
+        F.explode(
+            F.array(
+                F.struct(seen_url.alias("url"), F.lit(True).alias("truly_seen")),
+                F.struct(novel_url.alias("url"), F.lit(False).alias("truly_seen")),
+            )
+        ).alias("pr")
+    ).select(F.col("pr.url").alias("url"), F.col("pr.truly_seen").alias("truly_seen"))
+    # the bitmap is a fixed-size structure (<= BLOOM_WORDS rows): the
+    # explicit broadcast IS the production shape — a bloom filter
+    # exists to ship to every task
+    checked = (
+        positions(probes)
+        .join(F.broadcast(words), "w", "left")
+        .withColumn(
+            "bit_set",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("b"))) != 0,
+        )
+        .groupBy("url", "truly_seen")
+        .agg(F.min("bit_set").alias("bloom_hit"))
+    )
+    return checked.select(
+        "url",
+        "truly_seen",
+        "bloom_hit",
+        (F.col("bloom_hit") & ~F.col("truly_seen")).alias("false_positive"),
+    )
+
+
+_BLOOM_POS_ARMS = "\n            UNION ALL ".join(
+    f"SELECT url, truly_seen, {h32_sql('url', f'bloom{j}')} % {_BLOOM_BITS} AS p"
+    " FROM probes"
+    for j in range(BLOOM_K)
+)
+_BLOOM_SEEN_ARMS = "\n            UNION ALL ".join(
+    f"SELECT {h32_sql('url', f'bloom{j}')} % {_BLOOM_BITS} AS p FROM seen"
+    for j in range(BLOOM_K)
+)
+
+ORACLES["q89_bloom_seen_set"] = f"""
+    WITH seen AS (
+        SELECT printf('https://seen%d.example.com/page/%d',
+                      doc_id % 11, doc_id) AS url
+        FROM documents
+    ),
+    words AS (
+        SELECT p // 32 AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+        FROM ({_BLOOM_SEEN_ARMS})
+        GROUP BY 1
+    ),
+    probes AS (
+        SELECT printf('https://seen%d.example.com/page/%d',
+                      doc_id % 11, doc_id) AS url,
+               TRUE AS truly_seen
+        FROM documents
+        UNION ALL
+        SELECT printf('https://new%d.example.com/x/%d',
+                      doc_id % 11, doc_id),
+               FALSE
+        FROM documents
+    ),
+    pos AS (
+        SELECT url, truly_seen, p // 32 AS w,
+               CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS b
+        FROM ({_BLOOM_POS_ARMS})
+    ),
+    checked AS (
+        SELECT url, truly_seen,
+               min((coalesce(word, 0) & b) <> 0) AS bloom_hit
+        FROM pos LEFT JOIN words USING (w)
+        GROUP BY url, truly_seen
+    )
+    SELECT url, truly_seen, bloom_hit,
+           bloom_hit AND NOT truly_seen AS false_positive
+    FROM checked
+"""
+
 QUERIES = {
+    "q89_bloom_seen_set": q89_bloom_seen_set,
     "q63_url_canonicalize": q63_url_canonicalize,
     "q75_redirect_chains": q75_redirect_chains,
     "q77_sitemap_coverage": q77_sitemap_coverage,

@@ -274,3 +274,27 @@ def test_q84_host_quota_uses_window_group_limit(spark) -> None:
     hosts = Counter(r.host for r in df.collect())
     assert hosts and max(hosts.values()) <= HOST_QUOTA
     assert all(1 <= r.sample_rank <= HOST_QUOTA for r in df.collect())
+
+
+def test_bloom_seen_set_contract(spark):
+    """q89: zero false negatives ever; the fp rate lands in the band
+    the sizing math predicts (fill ~52% at 500 urls x 3 hashes in
+    2048 bits -> fp ~ 0.52^3 ~ 14%); the probe join broadcasts the
+    word table."""
+    from ocr_service_spark.operators.weburl import q89_bloom_seen_set
+
+    df = q89_bloom_seen_set(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    seen = [r for r in rows if r.truly_seen]
+    novel = [r for r in rows if not r.truly_seen]
+    assert all(r.bloom_hit for r in seen), "bloom filters cannot miss"
+    assert not any(r.false_positive for r in seen)
+    fp = sum(r.bloom_hit for r in novel) / len(novel)
+    assert 0.03 < fp < 0.35, fp
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
