@@ -158,6 +158,100 @@ def q34_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q90: incremental near-dup vs the historical signature index -----------------
+INC_BATCH_OFFSET = 1_000_000  # batch ids live above every historical doc_id
+
+
+def _batch_docs(docs: DataFrame) -> DataFrame:
+    """The incoming fetch batch, derived closed-form: doc_id%4==0 docs
+    arrive as NEAR-DUPS of history (first word dropped — shingle
+    overlap stays high), doc_id%4==1 docs arrive genuinely new (word
+    order reversed — every 3-shingle changes)."""
+    d = F.col("doc_id")
+    w = F.split(F.trim("text"), r"\s+")
+    return docs.filter(d % 4 < 2).select(
+        (d + INC_BATCH_OFFSET).alias("doc_id"),
+        F.when(
+            d % 4 == 0, F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1))
+        )
+        .otherwise(F.concat_ws(" ", F.reverse(w)))
+        .alias("text"),
+    )
+
+
+def _shingle_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mhN): q34's shingle-MinHash signature."""
+    return _shingles(docs).groupBy("doc_id").agg(
+        *[
+            F.min(h32(F.col("tok"), seed)).alias(f"mh{i}")
+            for i, seed in enumerate(MINHASH_SEEDS)
+        ]
+    )
+
+
+def q90_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production crawl shape: every new fetch
+    batch dedups against ALL previous crawls via the maintained
+    signature index, never by re-scanning history's text. Batch docs
+    get shingle-MinHash signatures; candidates come from an EQUI JOIN
+    of batch band keys against the historical band index (bounded
+    posting lists, same guarantee as q34's within-bucket explode);
+    only candidates reach the exact-Jaccard verify, and each batch doc
+    reports dup/new with its best match (max jaccard, tie -> smallest
+    historical doc_id). At 10^12 docs the band index is the stored
+    artifact (url-bucketed, appended per batch) and the verify side
+    stores shingle sketches — the text table is never reopened."""
+    docs = _docs(spark, sf_dir)
+    batch = _batch_docs(docs)
+    hist_bands = _band_stack(_shingle_sigs(docs)).select(
+        F.col("doc_id").alias("hist_id"), "band_key"
+    )
+    batch_bands = _band_stack(_shingle_sigs(batch)).select(
+        F.col("doc_id").alias("batch_id"), "band_key"
+    )
+    cand = (
+        batch_bands.join(hist_bands, "band_key")
+        .select("batch_id", "hist_id")
+        .distinct()
+    )
+    bt = batch.select(F.col("doc_id").alias("batch_id"), _shingle_array().alias("tb"))
+    ht = docs.select(F.col("doc_id").alias("hist_id"), _shingle_array().alias("th"))
+    jac = F.size(F.array_intersect("tb", "th")).cast("double") / F.size(
+        F.array_union("tb", "th")
+    )
+    verified = (
+        cand.join(bt, "batch_id")
+        .join(ht, "hist_id")
+        .select("batch_id", "hist_id", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
+    )
+    best = (
+        verified.groupBy("batch_id")
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard"), (-F.col("hist_id")).alias("nh"))
+            ).alias("m")
+        )
+        .select(
+            "batch_id",
+            (-F.col("m.nh")).cast("bigint").alias("match_doc_id"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_id"))
+        .join(best, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.when(F.col("match_doc_id").isNotNull(), "dup")
+            .otherwise("new")
+            .alias("status"),
+            "match_doc_id",
+            "jaccard",
+        )
+    )
+
+
 # -- SimHash -----------------------------------------------------------------------
 SIMHASH_BITS = 16
 
@@ -472,13 +566,13 @@ def _minhash_agg_sql() -> str:
     """
 
 
-def _lsh_band_arms_sql() -> str:
+def _lsh_band_arms_sql(src: str = "sigs") -> str:
     arms = []
     for b in range(LSH_MH_BANDS):
         concat = " || '_' || ".join(
             f"mh{b * LSH_MH_ROWS + j}" for j in range(LSH_MH_ROWS)
         )
-        arms.append(f"SELECT doc_id, 'b{b}_' || {concat} AS band_key FROM sigs")
+        arms.append(f"SELECT doc_id, 'b{b}_' || {concat} AS band_key FROM {src}")
     return "\n            UNION ALL ".join(arms)
 
 
@@ -532,6 +626,66 @@ _Q14_ORACLE = f"""
     """
 
 
+def _q90_oracle() -> str:
+    """Mirrors q90 closed-form: the batch derivation, shingle-MinHash
+    signatures, band-equi-join candidates, exact-Jaccard verify, and
+    best-match election all recomputed independently in DuckDB."""
+    sig_cols = ", ".join(
+        f"min({h32_sql('tok', seed)}) AS mh{i}" for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    shingle = (
+        "list_distinct(list_transform(range(1, len(w) - 1), "
+        "i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]"
+        " || ' ' || w[CAST(i AS INT) + 2]))"
+    )
+    return f"""
+        WITH hw AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+        ),
+        bw AS (
+            SELECT doc_id + {INC_BATCH_OFFSET} AS doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN w[2:] ELSE list_reverse(w) END AS w
+            FROM hw WHERE doc_id % 4 < 2
+        ),
+        ht AS (SELECT doc_id, {shingle} AS toks FROM hw),
+        bt AS (SELECT doc_id, {shingle} AS toks FROM bw),
+        hsigs AS (
+            SELECT doc_id, {sig_cols}
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM ht) GROUP BY doc_id
+        ),
+        bsigs AS (
+            SELECT doc_id, {sig_cols}
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM bt) GROUP BY doc_id
+        ),
+        hbands AS ({_lsh_band_arms_sql('hsigs')}),
+        bbands AS ({_lsh_band_arms_sql('bsigs')}),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+            FROM bbands b JOIN hbands h ON b.band_key = h.band_key
+        ),
+        ver AS (
+            SELECT batch_id, hist_id,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+            FROM cand
+            JOIN bt a ON a.doc_id = batch_id
+            JOIN ht b ON b.doc_id = hist_id
+        ),
+        best AS (
+            SELECT batch_id, hist_id AS match_doc_id, jaccard,
+                   row_number() OVER (
+                       PARTITION BY batch_id ORDER BY jaccard DESC, hist_id
+                   ) AS rn
+            FROM ver WHERE jaccard >= {MINHASH_VERIFY_MIN}
+        )
+        SELECT bw.doc_id AS batch_id,
+               CASE WHEN b.match_doc_id IS NOT NULL THEN 'dup' ELSE 'new' END AS status,
+               CAST(b.match_doc_id AS BIGINT) AS match_doc_id,
+               b.jaccard AS jaccard
+        FROM bw LEFT JOIN best b ON b.batch_id = bw.doc_id AND b.rn = 1
+    """
+
+
 ORACLES: dict[str, str] = {
     "q10_dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
@@ -548,6 +702,7 @@ ORACLES: dict[str, str] = {
     "q17_simhash": _simhash_oracle(),
     "q14_jaccard_pairs": _Q14_ORACLE,
     "q79_span_dedup": _Q79_ORACLE,
+    "q90_incremental_neardup": _q90_oracle(),
     "q34_minhash_neardup_pairs": f"""
         WITH words AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
@@ -638,4 +793,5 @@ QUERIES = {
     "q37_dedup_components": q37_dedup_components,
     "q38_dedup_canonical": q38_dedup_canonical,
     "q79_span_dedup": q79_span_dedup,
+    "q90_incremental_neardup": q90_incremental_neardup,
 }

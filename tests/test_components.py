@@ -62,3 +62,26 @@ def test_minhash_lsh_recall_vs_exact_pairs(spark):
     assert exact, "corpus must contain near-dup pairs for this test to bind"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.9, (len(exact), len(lsh), recall)
+
+
+def test_incremental_neardup_classifies_batch(spark):
+    """q90: near-dup batch docs (doc_id%4==0, first word dropped) must
+    come back 'dup' matched to their own source; reversed-word docs
+    (%4==1) must come back 'new' — no candidate survives the verify."""
+    from ocr_service_spark.operators.dedup import (
+        INC_BATCH_OFFSET,
+        q90_incremental_neardup,
+    )
+
+    rows = q90_incremental_neardup(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "batch must be non-empty"
+    by_src = {r.batch_id - INC_BATCH_OFFSET: r for r in rows}
+    assert set(by_src) == {r.batch_id - INC_BATCH_OFFSET for r in rows}
+    for src, r in by_src.items():
+        if src % 4 == 0:
+            assert r.status == "dup", (src, r)
+            assert r.match_doc_id == src, (src, r)
+            assert r.jaccard >= 0.5
+        else:
+            assert r.status == "new", (src, r)
+            assert r.match_doc_id is None and r.jaccard is None
