@@ -611,6 +611,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver hash-green and stays under tools/check_oracles.py +
         # test_entry_oracle like the rest of the tail
         "q47_salted_hot_key_agg",
+        # demoted round 4 for q91 (PQ encode, first driver check):
+        # q14's shingle inverted-index candidate bound is exercised
+        # in-window by q34 (the full near-dup pipeline at the same
+        # verify floor) and q90 (the incremental variant against the
+        # band index); q14 is three-round driver hash-green and stays
+        # under tools/check_oracles.py + test_entry_oracle
+        "q14_jaccard_pairs",
+        # demoted round 4 for q92 (PQ-ADC top-k search, first driver
+        # check): q11's whitespace token stats is the window's most
+        # redundant map-only scan+agg (q13/q18/q83 family in the tail
+        # all pin the same machinery, and in-window q36 aggregates
+        # q11's exact token counts into percentiles); q11 is
+        # three-round driver hash-green, same local gates as the tail
+        "q11_token_stats",
+        # demoted round 4 for q90 (incremental near-dup vs the
+        # historical signature index, first driver check): q17's h32
+        # hash machinery runs in-window inside q34/q90's MinHash
+        # signatures, and its map-only projection + plain groupBy shape
+        # is the window's most redundant (q11/q63); q17 is three-round
+        # driver hash-green and stays under tools/check_oracles.py +
+        # test_entry_oracle like the rest of the tail
+        "q17_simhash",
         # demoted round 4 for q85 (SemDeDup, first driver check): q54
         # is a shuffle-free pure projection (int8 quantize), the most
         # redundantly covered shape in the window (q17 simhash, q46

@@ -452,7 +452,8 @@ def _tiff_luma(payload: bytes) -> tuple[int, int, bytes] | None:
 
 def decode_image_luma(payload: bytes) -> tuple[int, int, bytes] | None:
     """(width, height, row-major luma) for any from-scratch-decodable
-    image format; None otherwise (e.g. progressive JPEG, LZW TIFF)."""
+    image format (PNG, baseline + progressive JPEG, BMP, GIF,
+    none/LZW/PackBits TIFF); None otherwise (e.g. JPEG-in-TIFF)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             from ocr_service_spark.extraction.png_codec import decode_png_gray

@@ -549,6 +549,118 @@ def q55_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q91/q92: product quantization (Jegou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search") -----------------------------------
+# 64-dim vectors split into PQ_M contiguous subspaces; each subspace is
+# quantized independently against a PQ_K-entry codebook, so a vector
+# stores as PQ_M 4-bit codes (32 bits total — a 16x compression of the
+# int-code table). Search is ADC: the query precomputes one PQ_M x PQ_K
+# distance table, and every database distance is PQ_M table lookups +
+# adds, never a float op. This is the billion-vector scale path (FAISS
+# IVF-PQ's compute core); codebooks are trained offline and tiny, so
+# they ship as task literals exactly like q55's centroids.
+PQ_M = 8  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_K = 16  # codebook entries per subspace (4-bit codes)
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    """codebooks[m][k] = subvector m of training vector k, in integer
+    code space — init = the PQ_K smallest vec_ids (the q55 convention:
+    deterministic, oracle-replayable; production would Lloyd-train each
+    subspace offline, which changes the literals, not the plan)."""
+    rows = (
+        _km_codes(spark, sf_dir)
+        .filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [
+        [[int(v) for v in r["c"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]] for r in rows]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_assign(codes: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """(vec_id, code0..code{M-1}, d0..d{M-1}): per-subspace nearest
+    codebook entry (integer L2, tie -> smallest code) and its distance.
+    A pure projection against codebook literals — no join, no shuffle."""
+    out = [F.col("vec_id")]
+    for m in range(PQ_M):
+        sub = F.slice("c", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        structs = []
+        for k, cent in enumerate(books[m]):
+            lit = F.array(*[F.lit(int(v)) for v in cent])
+            d = F.aggregate(
+                F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
+        best = F.array_min(F.array(*structs))
+        out.append(best["k"].alias(f"code{m}"))
+        out.append(best["d"].alias(f"d{m}"))
+    return codes.select(*out)
+
+
+def q91_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: every vector compresses to a packed 32-bit code
+    (PQ_M 4-bit subspace codes) plus its integer reconstruction error
+    (sum of chosen subspace distances). Entirely integer arithmetic in
+    a single shuffle-free codegen projection, so the oracle replays
+    every code and error bit-for-bit; at 100 TB this is the projection
+    that writes the compressed vector table the ADC scan (q92) reads."""
+    assigned = _pq_assign(_km_codes(spark, sf_dir), _pq_codebooks(spark, sf_dir))
+    packed = None
+    recon = None
+    for m in range(PQ_M):
+        term = F.col(f"code{m}").cast("bigint") * F.lit(PQ_K**m).cast("bigint")
+        packed = term if packed is None else packed + term
+        err = F.col(f"d{m}")
+        recon = err if recon is None else recon + err
+    return assigned.select(
+        "vec_id",
+        packed.alias("pq_code"),
+        recon.cast("bigint").alias("recon_sqdist"),
+    )
+
+
+def q92_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC search: the query precomputes the PQ_M x PQ_K distance
+    table driver-side (128 ints, shipped as one constant-folded
+    literal); each database vector's approximate distance is PQ_M
+    lookups + adds over its stored codes, then TakeOrderedAndProject
+    keeps the top-k (asc, tie -> vec_id). Integer-exact end to end."""
+    books = _pq_codebooks(spark, sf_dir)
+    codes = _km_codes(spark, sf_dir)
+    qrow = codes.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["c"]
+    lut = [
+        [
+            sum(
+                (int(qrow[m * PQ_SUBDIM + j]) - cent[j]) ** 2
+                for j in range(PQ_SUBDIM)
+            )
+            for cent in books[m]
+        ]
+        for m in range(PQ_M)
+    ]
+    # one constant-folded bigint literal (the _matrix_expr trick, int-typed)
+    lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<array<bigint>>")
+    assigned = _pq_assign(codes.filter(F.col("vec_id") != QUERY_VEC_ID), books)
+    dist = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.element_at(lut_lit, m + 1), F.col(f"code{m}").cast("int") + 1
+        )
+        dist = term if dist is None else dist + term
+    scored = assigned.select(
+        "vec_id", dist.cast("bigint").alias("adc_sqdist")
+    )
+    top = scored.orderBy(F.col("adc_sqdist").asc(), F.col("vec_id")).limit(TOPK)
+    w = Window.orderBy(F.col("adc_sqdist").asc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 def _km_oracle() -> str:
     dim = EMB_DIM
 
@@ -802,6 +914,59 @@ ORACLES["q85_semdedup"] = f"""
     WHERE rn = 1
 """
 
+def _pq_oracle_ctes() -> str:
+    """Shared PQ CTEs: integer codes, the PQ_K-vector codebook, every
+    (vector, subspace, codebook-entry) integer distance, and the
+    rn=1 nearest assignment — all replayed closed-form."""
+    d_terms = " + ".join(
+        f"(v.c[mt.m*{PQ_SUBDIM}+{j}] - tr.t[mt.m*{PQ_SUBDIM}+{j}])"
+        f" * (v.c[mt.m*{PQ_SUBDIM}+{j}] - tr.t[mt.m*{PQ_SUBDIM}+{j}])"
+        for j in range(1, PQ_SUBDIM + 1)
+    )
+    return f"""
+    codes AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS c
+        FROM embeddings
+    ),
+    train AS (SELECT vec_id AS k, c AS t FROM codes WHERE vec_id < {PQ_K}),
+    dists AS (
+        SELECT v.vec_id, mt.m, tr.k, ({d_terms}) AS d
+        FROM codes v
+        CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) mt
+        CROSS JOIN train tr
+    ),
+    assign AS (
+        SELECT vec_id, m, k AS code, d,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM dists
+    )"""
+
+
+ORACLES["q91_pq_codes"] = f"""
+    WITH {_pq_oracle_ctes()}
+    SELECT vec_id,
+           CAST(sum(code * (CAST(1 AS BIGINT) << (4 * CAST(m AS INT)))) AS BIGINT)
+               AS pq_code,
+           CAST(sum(d) AS BIGINT) AS recon_sqdist
+    FROM assign WHERE rn = 1 GROUP BY vec_id
+"""
+
+ORACLES["q92_pq_adc_topk"] = f"""
+    WITH {_pq_oracle_ctes()},
+    lut AS (SELECT m, k, d FROM dists WHERE vec_id = {QUERY_VEC_ID}),
+    adc AS (
+        SELECT a.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_sqdist
+        FROM assign a JOIN lut l ON l.m = a.m AND l.k = a.code
+        WHERE a.rn = 1 AND a.vec_id != {QUERY_VEC_ID}
+        GROUP BY a.vec_id
+    )
+    SELECT vec_id, adc_sqdist,
+           row_number() OVER (ORDER BY adc_sqdist, vec_id) AS rank
+    FROM adc QUALIFY rank <= {TOPK}
+"""
+
 QUERIES = {
     "q19_embedding_neardup_pairs": q19_embedding_neardup_pairs,
     "q20_cosine_topk": q20_cosine_topk,
@@ -811,4 +976,6 @@ QUERIES = {
     "q46_hamming_topk": q46_hamming_topk,
     "q55_kmeans_clusters": q55_kmeans_clusters,
     "q85_semdedup": q85_semdedup,
+    "q91_pq_codes": q91_pq_codes,
+    "q92_pq_adc_topk": q92_pq_adc_topk,
 }

@@ -188,3 +188,51 @@ def test_semdedup_plan_is_equi_join_on_cell(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_pq_codes_pack_and_reconstruction(spark):
+    """q91 invariants: packed code stays within PQ_M*4 bits, every
+    vector gets a code, and each training vector (vec_id < PQ_K)
+    reconstructs its OWN subvectors exactly in every subspace where it
+    is the unique nearest entry — in particular its reconstruction
+    error can never exceed any other codebook assignment's."""
+    from ocr_service_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        q91_pq_codes,
+    )
+
+    rows = {r.vec_id: r for r in q91_pq_codes(spark, SF_DIR).collect()}
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(rows) == n
+    assert all(0 <= r.pq_code < PQ_K**PQ_M for r in rows.values())
+    assert all(r.recon_sqdist >= 0 for r in rows.values())
+    # a training vector IS a codebook entry in every subspace: its
+    # nearest entry has distance 0, so its reconstruction is exact
+    for vid in range(PQ_K):
+        assert rows[vid].recon_sqdist == 0, (vid, rows[vid])
+
+
+def test_pq_adc_approximates_exact_int_distances(spark):
+    """q92 sanity: ADC top-k must overlap the EXACT integer-L2 top-k
+    (computed brute-force on the same int codes) — PQ is lossy, but on
+    64 dims with 16 entries/subspace the overlap should be substantial."""
+    from ocr_service_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOPK,
+        _km_codes,
+        q92_pq_adc_topk,
+    )
+
+    adc = [r.vec_id for r in q92_pq_adc_topk(spark, SF_DIR).collect()]
+    assert len(adc) == TOPK
+    codes = {r.vec_id: list(r.c) for r in _km_codes(spark, SF_DIR).collect()}
+    q = codes[QUERY_VEC_ID]
+    exact = sorted(
+        (sum((a - b) ** 2 for a, b in zip(v, q)), vid)
+        for vid, v in codes.items()
+        if vid != QUERY_VEC_ID
+    )[:TOPK]
+    exact_ids = {vid for _, vid in exact}
+    overlap = len(exact_ids & set(adc)) / TOPK
+    assert overlap >= 0.3, (sorted(adc), sorted(exact_ids))
