@@ -611,6 +611,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver hash-green and stays under tools/check_oracles.py +
         # test_entry_oracle like the rest of the tail
         "q47_salted_hot_key_agg",
+        # demoted round 4 for q93 (DSIR importance-resampling data
+        # selection, first driver check): q23's range->equi band-key
+        # join is the same candidate-bounding machinery as in-window
+        # q34/q90's LSH bands and q19's posting lists, and its ordered
+        # per-user window verify stays in-window via q22/q49; q23 is
+        # three-round driver hash-green and keeps the
+        # tools/check_oracles.py + test_entry_oracle gates
+        "q23_conversion_pairs",
         # demoted round 4 for q91 (PQ encode, first driver check):
         # q14's shingle inverted-index candidate bound is exercised
         # in-window by q34 (the full near-dup pipeline at the same

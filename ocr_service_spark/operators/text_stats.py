@@ -564,6 +564,82 @@ def _lang_id_oracle() -> str:
     """
 
 
+# -- q93: DSIR importance-resampling data selection (Xie et al. 2023) --------
+# "Data Selection for Language Models via Importance Resampling":
+# estimate target-domain and raw-corpus distributions over HASHED
+# n-gram features, weight every raw document by its importance ratio
+# under the two models, and keep the most target-like docs. This is
+# the integer-exact analogue: unigram features hash into DSIR_BUCKETS
+# via h32, both models are Laplace-smoothed bucket frequencies, and
+# the per-bucket ratio p_target/p_raw is a FIXED-POINT integer
+#   score[b] = floor((cnt_t[b]+1)*(R+B)*SCALE / ((cnt_r[b]+1)*(T+B)))
+# so the document weight (sum of its tokens' scores) is bit-stable
+# across engines — no float log-prob whose summation order could flip
+# an ulp. (Production at 100 TB uses log-space doubles; the fixed
+# point here trades range for oracle exactness, same plan shape.)
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1000
+DSIR_TARGET_LANG = "en"  # the target domain: English docs
+DSIR_KEEP_QUANTILE = 0.75  # keep the top-quartile importance weights
+
+
+def q93_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight + keep decision.
+
+    Shape at 100 TB: ONE token explode feeds a bucket-count agg
+    (map-side partial collapse into <= DSIR_BUCKETS rows, the hashed
+    feature trick that makes DSIR tractable — the model is fixed-size
+    no matter the corpus); totals fold driver-free from the bucket
+    table itself via a 1-row cross join; the score table (<= B rows)
+    broadcast-joins back onto the token stream; one groupBy(doc_id)
+    re-agg. Two scans, two shuffles, nothing driver-side. The keep
+    rule is DSIR's top-quantile selection via ONE exact-percentile
+    cutoff row cross-joined back (the q81 pattern) — no global rank
+    shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), TOKEN_RE)).alias("tok"),
+    ).withColumn("bucket", F.pmod(h32(F.col("tok"), "dsir|"), F.lit(DSIR_BUCKETS)))
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("cnt_t"),
+        F.count(F.lit(1)).alias("cnt_r"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_t").alias("tt"), F.sum("cnt_r").alias("rt")
+    )
+    scores = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"(cnt_t + 1) * (rt + {DSIR_BUCKETS}) * {DSIR_SCALE}"
+            f" div ((cnt_r + 1) * (tt + {DSIR_BUCKETS}))"
+        ).alias("s"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(scores), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("s").alias("importance"))
+        .withColumn("avg_score", F.expr("importance div n_tokens"))
+    )
+    # DSIR keeps the top-weight quantile; the cutoff is ONE exact-
+    # percentile row cross-joined back (the q81 pattern — integer
+    # percentile_disc, no float rank, no global sort shuffle)
+    cuts = per_doc.agg(
+        F.expr(
+            f"CAST(percentile_disc({DSIR_KEEP_QUANTILE}) WITHIN GROUP"
+            " (ORDER BY avg_score) AS BIGINT)"
+        ).alias("cutoff")
+    )
+    return per_doc.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        F.col("importance").cast("bigint").alias("importance"),
+        F.col("avg_score").cast("bigint").alias("avg_score"),
+        (F.col("avg_score") >= F.col("cutoff")).alias("keep"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "q11_token_stats": f"""
         SELECT lang, count(*) AS n_docs,
@@ -781,6 +857,42 @@ ORACLES["q86_bpe_merges"] = f"""
                     <= {BPE_MERGE_TOPK}
 """
 
+_DSIR_TOK = f"unnest(regexp_split_to_array(trim(text), '{TOKEN_RE}'))"
+ORACLES["q93_dsir_selection"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               {h32_sql(_DSIR_TOK, "dsir|")} % {DSIR_BUCKETS} AS bucket
+        FROM documents
+    ),
+    counts AS (
+        SELECT bucket,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS cnt_t,
+               count(*) AS cnt_r
+        FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt_t) AS tt, sum(cnt_r) AS rt FROM counts),
+    scores AS (
+        SELECT bucket,
+               (cnt_t + 1) * (rt + {DSIR_BUCKETS}) * {DSIR_SCALE}
+                   // ((cnt_r + 1) * (tt + {DSIR_BUCKETS})) AS s
+        FROM counts, tot
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(s) AS importance,
+               sum(s) // count(*) AS avg_score
+        FROM toks JOIN scores USING (bucket) GROUP BY 1
+    ),
+    cut AS (
+        SELECT CAST(percentile_disc({DSIR_KEEP_QUANTILE}) WITHIN GROUP
+                    (ORDER BY avg_score) AS BIGINT) AS cutoff
+        FROM per_doc
+    )
+    SELECT doc_id, n_tokens, CAST(importance AS BIGINT) AS importance,
+           CAST(avg_score AS BIGINT) AS avg_score,
+           avg_score >= cutoff AS keep
+    FROM per_doc, cut
+"""
+
 QUERIES = {
     "q11_token_stats": q11_token_stats,
     "q12_quality_buckets": q12_quality_buckets,
@@ -795,4 +907,5 @@ QUERIES = {
     "q81_lm_familiarity": q81_lm_familiarity,
     "q83_bpe_token_counts": q83_bpe_token_counts,
     "q86_bpe_merges": q86_bpe_merges,
+    "q93_dsir_selection": q93_dsir_selection,
 }

@@ -268,7 +268,10 @@ def test_plan_hygiene_all_driver_queries(spark):
     # plan (one probe row against every partition, no shuffle)
     nlj_allowed = {"q20_cosine_topk", "q46_hamming_topk",
                    # 1-row tercile-cutoff broadcast (CCNet bucketing)
-                   "q81_lm_familiarity"}
+                   "q81_lm_familiarity",
+                   # 1-row totals + 1-row quantile-cutoff broadcasts
+                   # (DSIR model normalization + top-quantile keep)
+                   "q93_dsir_selection"}
     for name, fn in em.queries().items():
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
