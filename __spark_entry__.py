@@ -304,6 +304,57 @@ def _q61_mp4_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q94_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup on REAL codec round trips: 30 groups x 3
+    variants (exact base / one-pixel perturbation / different gradient
+    structure), encoded losslessly through the from-scratch PNG,
+    raw-TIFF and GIF encoders, decoded back by the codec ladder,
+    dHashed and banded-Hamming joined (operators/multimodal.py). The
+    luma planes are closed-form in img_id, so the oracle replays
+    decode -> grid means -> dHash -> band join -> popcount entirely in
+    SQL — a hash match proves the codecs round-trip bit-exactly AND
+    the dedup math, with no committed expected table."""
+    _ship_package(spark)
+    import pandas as pd
+
+    from ocr_service_spark.operators.multimodal import image_phash, phash_neardup_pairs
+
+    ids = spark.range(0, 90).select(F.col("id").alias("img_id"))
+
+    def gen(batches):
+        from ocr_service_spark.extraction.image_codecs import (
+            encode_gif_gray,
+            encode_tiff_gray,
+        )
+        from ocr_service_spark.extraction.png_codec import encode_png_gray
+
+        for batch in batches:
+            rows = []
+            for img_id in batch["img_id"]:
+                i = int(img_id)
+                g, v = divmod(i, 3)
+                w, h = 18 + g % 5, 10 + g % 3
+                if v == 2:
+                    luma = bytes((g * 53 + 29 * p * p) % 256 for p in range(w * h))
+                else:
+                    plane = [(g * 37 + 11 * p) % 256 for p in range(w * h)]
+                    if v == 1:
+                        q = g % (w * h)
+                        plane[q] = (plane[q] + 128) % 256
+                    luma = bytes(plane)
+                if g % 3 == 0:
+                    payload = encode_png_gray(w, h, luma)
+                elif g % 3 == 1:
+                    payload = encode_tiff_gray(w, h, luma)
+                else:
+                    payload = encode_gif_gray(w, h, [luma])
+                rows.append({"img_id": i, "html": payload})
+            yield pd.DataFrame(rows, columns=["img_id", "html"])
+
+    pages = ids.mapInPandas(gen, schema="img_id bigint, html binary")
+    return phash_neardup_pairs(image_phash(pages))
+
+
 def _q56_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume through the manifest, at the driver surface
     (north rule: per-partition lineage). Run 1 is 'killed' at a part
@@ -471,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q43_ocr_mode_stats"] = _q43_ocr_mode_stats
     out["q60_frame_sampling"] = _q60_frame_sampling
     out["q61_mp4_frame_sampling"] = _q61_mp4_frame_sampling
+    out["q94_image_phash_dedup"] = _q94_image_phash_dedup
     out["q56_resume_roundtrip"] = _q56_resume_roundtrip
     out["q57_compaction_roundtrip"] = _q57_compaction_roundtrip
     out["q65_snapshot_time_travel"] = _q65_snapshot_time_travel
@@ -611,6 +663,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver hash-green and stays under tools/check_oracles.py +
         # test_entry_oracle like the rest of the tail
         "q47_salted_hot_key_agg",
+        # demoted round 4 for q94 (image perceptual-hash near-dup
+        # dedup, first driver check): q28's HLL register table is the
+        # same md5-derived bit-position machinery as in-window q89's
+        # Bloom word table (fixed-width bit_or agg), and its integer
+        # exactness is pinned cross-engine by its own oracle under
+        # tools/check_oracles.py + test_entry_oracle; q28 is
+        # three-round driver hash-green
+        "q28_hll_distinct_tokens",
         # demoted round 4 for q93 (DSIR importance-resampling data
         # selection, first driver check): q23's range->equi band-key
         # join is the same candidate-bounding machinery as in-window
@@ -728,6 +788,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(16 AS INT) AS height,
                CAST(256 * ((doc_id * 41 + 17 * k) % 256) AS BIGINT) AS pixel_sum
         FROM d, LATERAL unnest(range(nf)) AS t(k)
+    """
+    # q94: closed-form luma planes — the oracle replays the codec
+    # round trip, grid means, dHash words, band join and popcount
+    # verify entirely in SQL (no committed table, no codec)
+    out["q94_image_phash_dedup"] = """
+        WITH dims AS (
+            SELECT i, i // 3 AS g, i % 3 AS v,
+                   18 + (i // 3) % 5 AS w, 10 + (i // 3) % 3 AS h
+            FROM (SELECT unnest(range(90)) AS i)
+        ),
+        px AS (
+            SELECT i,
+                   ((p // w) * 8) // h AS r,
+                   ((p % w) * 9) // w AS c,
+                   CASE WHEN v = 2 THEN (g*53 + 29*p*p) % 256
+                        WHEN v = 1 AND p = g % (w*h)
+                            THEN ((g*37 + 11*p) % 256 + 128) % 256
+                        ELSE (g*37 + 11*p) % 256 END AS val
+            FROM dims, LATERAL unnest(range(w * h)) AS t(p)
+        ),
+        cells AS (
+            SELECT i, r, c, sum(val) // count(*) AS m
+            FROM px GROUP BY 1, 2, 3
+        ),
+        bits AS (
+            SELECT a.i, a.r * 8 + a.c AS k,
+                   CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+            FROM cells a JOIN cells b ON b.i = a.i AND b.r = a.r AND b.c = a.c + 1
+        ),
+        words AS (
+            SELECT i,
+                   sum(CASE WHEN k < 32 THEN bit << (31 - k) ELSE 0 END) AS w0,
+                   sum(CASE WHEN k >= 32 THEN bit << (63 - k) ELSE 0 END) AS w1
+            FROM bits GROUP BY 1
+        ),
+        bands AS (
+            SELECT i, 0 AS band, w0 >> 16 AS val FROM words
+            UNION ALL SELECT i, 1, w0 & 65535 FROM words
+            UNION ALL SELECT i, 2, w1 >> 16 FROM words
+            UNION ALL SELECT i, 3, w1 & 65535 FROM words
+        ),
+        cand AS (
+            SELECT DISTINCT a.i AS id_a, b.i AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.i < b.i
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(x.w0, y.w0))
+                    + bit_count(xor(x.w1, y.w1)) AS BIGINT) AS hamming
+        FROM cand JOIN words x ON x.i = id_a JOIN words y ON y.i = id_b
+        WHERE bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1)) <= 8
     """
     from ocr_service_spark.functions.hashing import h32_sql
 

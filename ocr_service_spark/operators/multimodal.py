@@ -484,6 +484,129 @@ def resize_images(
     return narrowed.mapInPandas(run, schema="url string, resized binary, width int, height int")
 
 
+# -- image perceptual-hash dedup (dHash + banded Hamming join) ----------------
+# The image twin of text near-dup dedup: a 64-bit difference hash
+# (gradient sign over an 8x9 block-mean grid — the classic dHash, same
+# family as pHash/aHash) makes near-identical images collide within a
+# small Hamming radius; candidates come from 16-bit band equi joins
+# (pigeonhole: hamming <= PHASH_BANDS-1 guarantees a shared band), and
+# only candidates pay the exact popcount verify. Everything after the
+# decode is integer arithmetic, so a closed-form corpus makes the
+# whole pipeline (including the codec round trip) SQL-replayable.
+PHASH_GRID_ROWS = 8
+PHASH_GRID_COLS = 9  # 9 column means -> 8 horizontal comparisons per row
+PHASH_BANDS = 4  # 16-bit bands over the 64-bit hash
+PHASH_MAX_HAM = 8
+
+
+def dhash_words(width: int, height: int, luma: bytes) -> tuple[int, int]:
+    """64-bit dHash as two 32-bit words (bigint-safe, the q46 packing).
+
+    Grid cell (r, c) holds the floor-mean of pixels with
+    (y*ROWS) div height == r and (x*COLS) div width == c — the cell
+    mapping is this exact integer formula (not per-cell ranges) so the
+    SQL oracle assigns pixels identically. Bit k = r*8+c is set iff
+    mean[r][c] > mean[r][c+1]; word 0 carries bits 0..31 MSB-first."""
+    rows, cols = PHASH_GRID_ROWS, PHASH_GRID_COLS
+    sums = [[0] * cols for _ in range(rows)]
+    cnts = [[0] * cols for _ in range(rows)]
+    for p, v in enumerate(luma):
+        y, x = divmod(p, width)
+        r = (y * rows) // height
+        c = (x * cols) // width
+        sums[r][c] += v
+        cnts[r][c] += 1
+    mean = [[sums[r][c] // cnts[r][c] for c in range(cols)] for r in range(rows)]
+    w0 = w1 = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            k = r * (cols - 1) + c
+            bit = 1 if mean[r][c] > mean[r][c + 1] else 0
+            if k < 32:
+                w0 |= bit << (31 - k)
+            else:
+                w1 |= bit << (31 - (k - 32))
+    return w0, w1
+
+
+def image_phash(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """(img_id, w0, w1): dHash over the REAL decoded luma plane for
+    every decodable image; undecodable payloads drop (filter on decode
+    success, the resize_images convention)."""
+    from ocr_service_spark.extraction.image_codecs import decode_image_luma
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for img_id, payload in zip(batch["img_id"], batch["payload"]):
+                decoded = None if payload is None else decode_image_luma(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, luma = decoded
+                if w < PHASH_GRID_COLS or h < PHASH_GRID_ROWS:
+                    continue
+                w0, w1 = dhash_words(w, h, luma)
+                rows.append({"img_id": int(img_id), "w0": w0, "w1": w1})
+            yield pd.DataFrame(rows, columns=["img_id", "w0", "w1"])
+
+    narrowed = df.select("img_id", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema="img_id bigint, w0 bigint, w1 bigint")
+
+
+def phash_neardup_pairs(hashed: DataFrame) -> DataFrame:
+    """(id_a, id_b, hamming <= PHASH_MAX_HAM): banded-LSH candidates
+    (posting-list pair explode per 16-bit band bucket — the q19 shape,
+    never a self-join), then the exact two-word popcount verify. At
+    10^12 images the posting lists are the stored index; a bucket with
+    B images yields B^2/2 candidate rows, bounded the same way q14
+    caps document frequency."""
+    bands = F.array(
+        F.struct(F.lit(0).alias("band"), F.shiftright("w0", 16).alias("val")),
+        F.struct(F.lit(1).alias("band"), (F.col("w0").bitwiseAND(0xFFFF)).alias("val")),
+        F.struct(F.lit(2).alias("band"), F.shiftright("w1", 16).alias("val")),
+        F.struct(F.lit(3).alias("band"), (F.col("w1").bitwiseAND(0xFFFF)).alias("val")),
+    )
+    stacked = hashed.select("img_id", F.explode(bands).alias("b")).select(
+        "img_id", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    posting = (
+        stacked.groupBy("band", "val")
+        .agg(F.array_sort(F.collect_list("img_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    a = hashed.select(
+        F.col("img_id").alias("id_a"), F.col("w0").alias("a0"), F.col("w1").alias("a1")
+    )
+    b = hashed.select(
+        F.col("img_id").alias("id_b"), F.col("w0").alias("b0"), F.col("w1").alias("b1")
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    ).cast("bigint")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAM)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 AUDIO_FEATURES_SCHEMA = (
     "url string, media_type string, sample_rate int, channels int, bits int, "
     "n_samples bigint, duration_s double, feature_hash string, "
