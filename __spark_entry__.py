@@ -54,6 +54,7 @@ from ocr_service_spark.operators import (  # noqa: E402
     corpus,
     dedup,
     main_content,
+    quality,
     relational,
     roundtrip,
     similarity,
@@ -708,13 +709,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same tables); q54 is three-round driver hash-green and
         # stays verified by tools/check_oracles.py + test_entry_oracle
         "q54_embedding_quantize",
+        # demoted round 4 for q95 (Gopher quality rules, first driver
+        # check): q07's rank-election join+agg stays in-window via
+        # q73's WindowGroupLimit rank filter and the dozen in-window
+        # join+agg shapes (q52, q70); q07 is three-round driver
+        # hash-green and keeps the tools/check_oracles.py +
+        # test_entry_oracle gates
+        "q07_top_purchasers",
+        # demoted round 4 for q97 (RefinedWeb-style URL filtering,
+        # first driver check): q97 exercises the same URL-projection
+        # regex machinery end-to-end (host extract, per-rule regexp
+        # counters) plus the filter verdict on top, and q75 (in-window)
+        # consumes canonicalize_urls itself; q63 is driver hash-green
+        # since birth, same local gates as the rest of the tail
+        "q63_url_canonicalize",
+        # demoted round 4 for q96 (C4 line-level cleaning, first driver
+        # check): q68's extract-outlinks + host rollup runs in-window
+        # end-to-end inside q69 (PageRank builds the same edge list
+        # with the same extractor); q68 is multi-round driver
+        # hash-green, same local gates as the tail
+        "q68_link_hosts",
+        # demoted round 4 for q98 (sharded JSONL corpus export, first
+        # driver check): q25's probe-prune top-k machinery stays
+        # in-window via q92 (PQ-ADC top-k over the same probe cells)
+        # and q85 (SemDeDup runs IVF cell assignment end-to-end); q25
+        # is three-round driver hash-green, same local gates as the
+        # tail
+        "q25_ivf_topk",
     }
-    for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
+    for mod in (
+        relational, temporal, text_stats, corpus, quality,
+        dedup, similarity, weburl,
+    ):
         for name, fn in mod.QUERIES.items():
             if name not in tail:
                 out[name] = fn
     # -- redundantly-covered tail (see module docstring)
-    for mod in (relational, temporal, text_stats, corpus, dedup, similarity, weburl):
+    for mod in (
+        relational, temporal, text_stats, corpus, quality,
+        dedup, similarity, weburl,
+    ):
         for name, fn in mod.QUERIES.items():
             if name in tail:
                 out[name] = fn
@@ -729,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(temporal.ORACLES)
     out.update(text_stats.ORACLES)
     out.update(corpus.ORACLES)
+    out.update(quality.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(weburl.ORACLES)

@@ -1,0 +1,484 @@
+"""Published web-corpus quality filters, integer-exact and oracle-twinned.
+
+Three canonical filter families a 100 TB pretraining pipeline runs over
+extracted text (the output of the reference's pipeline — CogStack/
+ocr-service `processor/processor.py:25-62` produces the text these
+consume; the filters themselves are beyond the reference's scope and
+come from the published web-corpus literature):
+
+- q95 — Gopher quality rules (Rae et al. 2021, appendix A): the seven
+  document-level heuristics (word count bounds, mean word length,
+  symbol-to-word ratio, bullet / ellipsis line ratios, alphabetic-word
+  ratio, stop-word presence), each emitted as its own flag so a corpus
+  report can attribute removals per rule.
+- q96 — C4 line-level cleaning (Raffel et al. 2020): keep lines that
+  end in terminal punctuation and have >= 3 words, drop lines
+  containing "javascript", drop whole pages containing "lorem ipsum"
+  or "{" or with < 5 kept sentences; emits the cleaned text's md5 so
+  the oracle pins the reconstructed text byte-for-byte.
+- q97 — RefinedWeb-style URL filtering (Penedo et al. 2023): score a
+  URL on blocklist substrings, digit-heavy host labels, spam TLDs and
+  excessive path depth; keep iff score is 0.
+
+Scale shape: every query is a single map-only projection over the scan
+(no joins, no shuffles except the driver-side display) — at 10^12 docs
+these run at scan speed and Catalyst folds all the per-rule regex
+counters into one WholeStageCodegen span. Every predicate is an INTEGER
+comparison (cross-multiplied thresholds, the q55/q69/q70 convention) so
+the DuckDB oracles replay the rules with zero float drift.
+
+The natural word-soup corpus only exercises the happy paths, so each
+rule gets a closed-form fixture row engineered to fail exactly that
+rule; the fixture text is a Python constant embedded verbatim in BOTH
+the Spark plan and the oracle SQL, eliminating construction-parity risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# -- q95: Gopher rules --------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# one fixture row per rule, engineered to fail ONLY that rule — plus
+# 1000000, which passes all seven (the natural word-soup corpus never
+# carries two distinct Gopher stop words, so without it `keep` would be
+# constant-false and the verdict column untested)
+_GOPHER_SYN: dict[int, str] = {
+    1000000: (
+        "the quick brown fox jumps over the lazy dog and runs to the barn"
+        " with a friend of mine that we have known for years " * 3
+    ).rstrip(),
+    # 9 words -> fails word-count; mean word length exactly 3 (27/9)
+    1000001: "the cat of dog and bat ran far with",
+    # 62 words of mean length ~29 -> fails mean-word-length upper bound
+    1000002: ("pneumonoultramicroscopicsilico " * 60).rstrip() + " the of",
+    # 182 words, 20 '#' -> 10*20 > 182 fails symbol ratio; alpha 164/182 passes
+    1000003: ("# alpha beta gamma delta epsilon zeta eta theta " * 20).rstrip()
+    + " the of",
+    # 20/20 lines start with a bullet -> fails bullet-line ratio
+    1000004: "\n".join(
+        f"- the quick brown fox of jumps over dog{i}" for i in range(20)
+    ),
+    # 20/20 lines end with '...' -> fails ellipsis-line ratio (15-word
+    # lines keep the symbol ratio passing: 10*20 <= 300)
+    1000005: "\n".join(
+        "the quick brown fox of jumps over a lazy dog near a red barn"
+        " continues..."
+        for _ in range(20)
+    ),
+    # 120 words, zero Gopher stop words -> fails stop-word rule
+    1000006: ("zebra quick vixen jumps " * 30).rstrip(),
+    # 120 words, 60 all-digit -> fails alphabetic-word ratio
+    1000007: ("12345 67890 the of " * 30).rstrip(),
+}
+
+
+def q95_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's seven document-quality rules, one boolean per rule plus
+    the combined keep verdict. Pure projection: zero shuffles."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                sorted(_GOPHER_SYN.items()), "doc_id bigint, text string"
+            )
+        )
+    )
+    t = F.split(F.trim("text"), TOKEN_RE)
+    lines = F.split("text", "\n")
+    n_words = F.size(t).cast("bigint")
+    chars = F.length(F.regexp_replace("text", r"\s", "")).cast("bigint")
+    n_sym = (
+        F.regexp_count("text", F.lit("#"))
+        + F.regexp_count("text", F.lit(r"\.\.\."))
+    ).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("bigint")
+    ell_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))
+    ).cast("bigint")
+    alpha_words = F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]"))).cast(
+        "bigint"
+    )
+    stop_hits = None
+    for w in GOPHER_STOPS:
+        hit = F.when(F.col("text").rlike(rf"\b{w}\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        chars.alias("chars"),
+        n_sym.alias("n_sym"),
+        n_lines.alias("n_lines"),
+        bullet_lines.alias("bullet_lines"),
+        ell_lines.alias("ell_lines"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+    c = F.col
+    flags = {
+        "pass_word_count": (c("n_words") >= GOPHER_MIN_WORDS)
+        & (c("n_words") <= GOPHER_MAX_WORDS),
+        # 3 <= mean word length <= 10, cross-multiplied
+        "pass_mean_word_len": (3 * c("n_words") <= c("chars"))
+        & (c("chars") <= 10 * c("n_words")),
+        # symbol-to-word ratio ('#' + '...') <= 0.1
+        "pass_symbol_ratio": 10 * c("n_sym") <= c("n_words"),
+        # <= 90% of lines start with a bullet
+        "pass_bullet_lines": 10 * c("bullet_lines") <= 9 * c("n_lines"),
+        # <= 30% of lines end with an ellipsis
+        "pass_ellipsis_lines": 10 * c("ell_lines") <= 3 * c("n_lines"),
+        # >= 80% of words contain an alphabetic character
+        "pass_alpha_words": 5 * c("alpha_words") >= 4 * c("n_words"),
+        # >= 2 distinct Gopher stop words present
+        "pass_stop_words": c("stop_hits") >= 2,
+    }
+    keep = None
+    for expr in flags.values():
+        keep = expr if keep is None else keep & expr
+    return base.select(
+        "doc_id",
+        "n_words",
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def _q95_oracle() -> str:
+    syn = " UNION ALL ".join(
+        "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(i, txt)
+        for i, txt in sorted(_GOPHER_SYN.items())
+    )
+    stop_sum = " + ".join(
+        rf"CASE WHEN regexp_matches(text, '\b{w}\b') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPS
+    )
+    return rf"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL {syn}
+        ),
+        b AS (
+            SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '{TOKEN_RE}'))
+                     AS BIGINT) AS n_words,
+                CAST(length(regexp_replace(text, '\s', '', 'g'))
+                     AS BIGINT) AS chars,
+                CAST(len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '\.\.\.'))
+                     AS BIGINT) AS n_sym,
+                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '^\s*[-*•]')))
+                     AS BIGINT) AS bullet_lines,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(rtrim(l), '\.\.\.$')))
+                     AS BIGINT) AS ell_lines,
+                CAST(len(list_filter(regexp_split_to_array(trim(text),
+                                                           '{TOKEN_RE}'),
+                         w -> regexp_matches(w, '[a-zA-Z]')))
+                     AS BIGINT) AS alpha_words,
+                CAST({stop_sum} AS BIGINT) AS stop_hits
+            FROM aug
+        )
+        SELECT doc_id, n_words,
+            n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+                AS pass_word_count,
+            3 * n_words <= chars AND chars <= 10 * n_words
+                AS pass_mean_word_len,
+            10 * n_sym <= n_words AS pass_symbol_ratio,
+            10 * bullet_lines <= 9 * n_lines AS pass_bullet_lines,
+            10 * ell_lines <= 3 * n_lines AS pass_ellipsis_lines,
+            5 * alpha_words >= 4 * n_words AS pass_alpha_words,
+            stop_hits >= 2 AS pass_stop_words,
+            (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+                AND (3 * n_words <= chars AND chars <= 10 * n_words)
+                AND 10 * n_sym <= n_words
+                AND 10 * bullet_lines <= 9 * n_lines
+                AND 10 * ell_lines <= 3 * n_lines
+                AND 5 * alpha_words >= 4 * n_words
+                AND stop_hits >= 2 AS keep
+        FROM b
+    """
+
+
+# -- q96: C4 line-level cleaning ----------------------------------------------
+C4_LINE_WORDS = 10  # synthetic line width (words) carved from each doc
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def q96_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning over a deterministic line corpus carved from each
+    document: every 10-word chunk becomes a line whose ending rotates
+    through {'.', none, ' javascript.', '!', short-'ok.'} by
+    (doc_id + line_no) % 5, and docs hit page-level hazards ('lorem
+    ipsum' line when doc_id%7==0, a '{' line when doc_id%11==3). Line
+    keep = ends in terminal punctuation AND >= 3 words AND no
+    'javascript'; page keep = >= 5 kept sentences AND no 'lorem ipsum'
+    AND no '{'. The kept text is pinned by md5. Map-only projection —
+    the higher-order transform/filter run inside codegen, no Python."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = F.col("doc_id")
+    t = F.split(F.trim("text"), TOKEN_RE)
+    n_chunks = F.floor((F.size(t) + F.lit(C4_LINE_WORDS - 1)) / C4_LINE_WORDS)
+
+    def mk_line(i):
+        base = F.array_join(
+            F.slice(t, (i * C4_LINE_WORDS + 1).cast("int"), C4_LINE_WORDS), " "
+        )
+        m = (d + i) % 5
+        return (
+            F.when(m == 4, F.lit("ok."))
+            .when(m == 0, F.concat(base, F.lit(".")))
+            .when(m == 1, base)
+            .when(m == 2, F.concat(base, F.lit(" javascript.")))
+            .otherwise(F.concat(base, F.lit("!")))
+        )
+
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1), mk_line
+    )
+    lines = F.when(
+        d % 7 == 0,
+        F.concat(lines, F.array(F.lit("lorem ipsum dolor sit amet."))),
+    ).otherwise(lines)
+    lines = F.when(
+        d % 11 == 3, F.concat(lines, F.array(F.lit("var cfg = { a: 1 };")))
+    ).otherwise(lines)
+    kept = F.filter(
+        lines,
+        lambda l: (F.size(F.split(F.trim(l), TOKEN_RE)) >= C4_MIN_LINE_WORDS)
+        & F.rtrim(l).rlike("[.!?]$")
+        & ~F.lower(l).rlike(r"\bjavascript\b"),
+    )
+    full = F.array_join(lines, "\n")
+    has_lorem = full.rlike("lorem ipsum")
+    has_brace = full.contains("{")
+    kept_n = F.size(kept).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        kept_n.alias("kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((kept_n >= C4_MIN_SENTENCES) & ~has_lorem & ~has_brace).alias(
+            "page_keep"
+        ),
+        F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
+    )
+
+
+_Q96_ORACLE = rf"""
+    WITH s AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+        FROM documents
+    ),
+    l0 AS (
+        SELECT doc_id,
+            list_transform(range(0, (len(t) + {C4_LINE_WORDS - 1})
+                                     // {C4_LINE_WORDS}),
+                i -> CASE (doc_id + i) % 5
+                    WHEN 4 THEN 'ok.'
+                    WHEN 0 THEN array_to_string(
+                        list_slice(t, i * {C4_LINE_WORDS} + 1,
+                                   (i + 1) * {C4_LINE_WORDS}), ' ') || '.'
+                    WHEN 1 THEN array_to_string(
+                        list_slice(t, i * {C4_LINE_WORDS} + 1,
+                                   (i + 1) * {C4_LINE_WORDS}), ' ')
+                    WHEN 2 THEN array_to_string(
+                        list_slice(t, i * {C4_LINE_WORDS} + 1,
+                                   (i + 1) * {C4_LINE_WORDS}), ' ')
+                        || ' javascript.'
+                    ELSE array_to_string(
+                        list_slice(t, i * {C4_LINE_WORDS} + 1,
+                                   (i + 1) * {C4_LINE_WORDS}), ' ') || '!'
+                END) AS lines
+        FROM s
+    ),
+    l1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN list_concat(lines, ['lorem ipsum dolor sit amet.'])
+                    ELSE lines END AS lines
+        FROM l0
+    ),
+    l2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 3
+                    THEN list_concat(lines, ['var cfg = {{ a: 1 }};'])
+                    ELSE lines END AS lines
+        FROM l1
+    ),
+    k AS (
+        SELECT doc_id, lines,
+            list_filter(lines,
+                l -> len(regexp_split_to_array(trim(l), '{TOKEN_RE}'))
+                         >= {C4_MIN_LINE_WORDS}
+                     AND regexp_matches(rtrim(l), '[.!?]$')
+                     AND NOT regexp_matches(lower(l), '\bjavascript\b'))
+                AS kept
+        FROM l2
+    )
+    SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS kept_lines,
+        regexp_matches(array_to_string(lines, chr(10)), 'lorem ipsum')
+            AS has_lorem,
+        contains(array_to_string(lines, chr(10)), '{{') AS has_brace,
+        len(kept) >= {C4_MIN_SENTENCES}
+            AND NOT regexp_matches(array_to_string(lines, chr(10)),
+                                   'lorem ipsum')
+            AND NOT contains(array_to_string(lines, chr(10)), '{{')
+            AS page_keep,
+        -- DuckDB's array_to_string returns NULL for an empty list where
+        -- Spark's array_join returns ''; pin the Spark semantics
+        md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+    FROM k
+"""
+
+
+# -- q97: URL filtering -------------------------------------------------------
+URL_BLOCKWORDS = ("casino", "lottery", "winbig")
+URL_MAX_DEPTH = 6
+
+
+def _scored_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form URL corpus where every filter hazard appears in a
+    pattern the oracle reconstructs: blocklist path segments
+    (doc_id%11==0), deep paths (%19==0), digit-heavy host labels
+    (%17==0), spam TLDs (%13==0)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    sub = F.when(
+        d % 17 == 0,
+        F.concat(
+            F.lit("dl"), F.lpad((d % 10000).cast("string"), 4, "0"), F.lit(".")
+        ),
+    ).otherwise(F.lit(""))
+    tld = F.when(d % 13 == 0, F.lit(".click")).otherwise(F.lit(".com"))
+    path = (
+        F.when(d % 11 == 0, F.lit("/go/casino/win"))
+        .when(d % 19 == 0, F.lit("/a/b/c/d/e/f/g/item"))
+        .otherwise(F.concat(F.lit("/articles/item-"), d.cast("string")))
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            sub,
+            F.lit("news"),
+            (d % 7).cast("string"),
+            F.lit(".example"),
+            tld,
+            path,
+        ).alias("url"),
+    )
+
+
+def q97_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL scoring: 2 points per blocklist word present
+    anywhere in the URL, 1 each for a digit-heavy host, a spam TLD, or
+    a path deeper than 6 segments; keep iff the score is 0. Pure
+    projection over the URL column — at crawl scale this runs before
+    any fetch, so it is the cheapest filter in the pipeline."""
+    urls = _scored_urls(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    block_hits = None
+    for w in URL_BLOCKWORDS:
+        hit = F.when(F.col("url").contains(w), 1).otherwise(0)
+        block_hits = hit if block_hits is None else block_hits + hit
+    b = urls.select(
+        "doc_id",
+        "url",
+        block_hits.cast("bigint").alias("blockword_hits"),
+        host.rlike("[0-9]{4}").alias("digit_host"),
+        host.rlike(r"\.(click|biz)$").alias("bad_tld"),
+        (F.regexp_count("url", F.lit("/")) - 2).cast("bigint").alias("depth"),
+    )
+    c = F.col
+    score = (
+        2 * c("blockword_hits")
+        + c("digit_host").cast("bigint")
+        + c("bad_tld").cast("bigint")
+        + (c("depth") > URL_MAX_DEPTH).cast("bigint")
+    )
+    return b.select(
+        "doc_id",
+        "url",
+        "blockword_hits",
+        "digit_host",
+        "bad_tld",
+        (c("depth") > URL_MAX_DEPTH).alias("deep_path"),
+        "depth",
+        score.alias("score"),
+        (score == 0).alias("keep"),
+    )
+
+
+def _q97_oracle() -> str:
+    block_sum = " + ".join(
+        f"CASE WHEN contains(url, '{w}') THEN 1 ELSE 0 END"
+        for w in URL_BLOCKWORDS
+    )
+    return rf"""
+        WITH u AS (
+            SELECT doc_id,
+                'https://'
+                || CASE WHEN doc_id % 17 = 0
+                        THEN 'dl' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                          4, '0') || '.'
+                        ELSE '' END
+                || 'news' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                || CASE WHEN doc_id % 13 = 0 THEN '.click' ELSE '.com' END
+                || CASE WHEN doc_id % 11 = 0 THEN '/go/casino/win'
+                        WHEN doc_id % 19 = 0 THEN '/a/b/c/d/e/f/g/item'
+                        ELSE '/articles/item-' || CAST(doc_id AS VARCHAR) END
+                AS url
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, url,
+                CAST({block_sum} AS BIGINT) AS blockword_hits,
+                regexp_matches(regexp_extract(url, '^https?://([^/]+)', 1),
+                               '[0-9]{{4}}') AS digit_host,
+                regexp_matches(regexp_extract(url, '^https?://([^/]+)', 1),
+                               '\.(click|biz)$') AS bad_tld,
+                CAST(len(regexp_extract_all(url, '/')) - 2 AS BIGINT) AS depth
+            FROM u
+        )
+        SELECT doc_id, url, blockword_hits, digit_host, bad_tld,
+            depth > {URL_MAX_DEPTH} AS deep_path, depth,
+            2 * blockword_hits
+                + CAST(digit_host AS BIGINT) + CAST(bad_tld AS BIGINT)
+                + CAST(depth > {URL_MAX_DEPTH} AS BIGINT) AS score,
+            (2 * blockword_hits
+                + CAST(digit_host AS BIGINT) + CAST(bad_tld AS BIGINT)
+                + CAST(depth > {URL_MAX_DEPTH} AS BIGINT)) = 0 AS keep
+        FROM b
+    """
+
+
+QUERIES = {
+    "q95_gopher_quality": q95_gopher_quality,
+    "q96_c4_line_filter": q96_c4_line_filter,
+    "q97_url_filter": q97_url_filter,
+}
+
+ORACLES: dict[str, str] = {
+    "q95_gopher_quality": _q95_oracle(),
+    "q96_c4_line_filter": _Q96_ORACLE,
+    "q97_url_filter": _q97_oracle(),
+}
