@@ -580,8 +580,92 @@ ORACLES["q82_sequence_packing"] = f"""
     FROM c
 """
 
+# -- q98: sharded JSONL corpus export (the training-data sink) ----------------
+# Pretraining corpora ship as hive-partitioned JSONL shards; this proves
+# the sink END-TO-END: deterministic shard assignment, a real
+# partitionBy JSONL write, a read-back of the written files, and
+# per-shard integrity aggregates (count, id-sum, byte-sum, an
+# order-free XOR fingerprint of every text hash) that the oracle
+# recomputes from the SOURCE table — any doc lost, duplicated, or
+# corrupted in the JSON round trip flips a fingerprint. At 10^12 docs
+# the shard count scales with cluster width; assignment stays an
+# embarrassingly parallel projection and the write is one shuffle-free
+# pass (each task appends to its partition dirs).
+EXPORT_SHARDS = 8
+EXPORT_SALT = "export"
+
+
+def export_jsonl_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Write the documents table as hive-partitioned JSONL
+    (``shard=K/part-*.json``) and return the READ-BACK DataFrame —
+    callers aggregate over what actually landed on storage, never over
+    the pre-write plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        "lang",
+        (h32(F.col("doc_id").cast("string"), EXPORT_SALT) % EXPORT_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    docs.write.partitionBy("shard").mode("overwrite").json(out_dir)
+    return spark.read.schema("doc_id bigint, text string, lang string").json(
+        out_dir
+    )
+
+
+def q98_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    slug = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/ocr_spark_q98_{slug}_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        back = export_jsonl_shards(spark, sf_dir, out_dir)
+        rows = (
+            back.groupBy(F.col("shard").cast("bigint").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("docid_sum"),
+                F.sum(F.length("text")).cast("bigint").alias("char_sum"),
+                F.expr(
+                    "bit_xor(cast(conv(substring(md5(concat('x', text)), 1, 8),"
+                    " 16, 10) as bigint))"
+                ).alias("text_fprint"),
+                F.countDistinct("lang").alias("n_langs"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "shard bigint, n_docs bigint, docid_sum bigint, char_sum bigint, "
+        "text_fprint bigint, n_langs bigint",
+    )
+
+
+ORACLES["q98_corpus_export"] = rf"""
+    SELECT
+        CAST({h32_sql("CAST(doc_id AS VARCHAR)", EXPORT_SALT)}
+             % {EXPORT_SHARDS} AS BIGINT) AS shard,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(doc_id) AS BIGINT) AS docid_sum,
+        CAST(sum(length(text)) AS BIGINT) AS char_sum,
+        bit_xor({h32_sql("text", "x")}) AS text_fprint,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "q70_corpus_filter": q70_corpus_filter,
+    "q98_corpus_export": q98_corpus_export,
     "q51_boilerplate_segments": q51_boilerplate_segments,
     "q52_contamination": q52_contamination,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,

@@ -122,3 +122,32 @@ def test_quality_plans_are_shuffle_free(spark, fn):
     Exchange here would be the pipeline's largest shuffle."""
     plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# -- q98: the JSONL corpus-export sink ----------------------------------------
+def test_export_writes_hive_partitioned_jsonl(spark, tmp_path):
+    import json
+    from pathlib import Path
+
+    from ocr_service_spark.operators.corpus import (
+        EXPORT_SHARDS,
+        export_jsonl_shards,
+    )
+
+    out = str(tmp_path / "export")
+    back = export_jsonl_shards(spark, SF_DIR, out)
+    # layout: shard=K/part-*.json, every shard present
+    shard_dirs = sorted(p.name for p in Path(out).iterdir() if p.is_dir())
+    assert shard_dirs == sorted(f"shard={k}" for k in range(EXPORT_SHARDS))
+    # files are real line-delimited JSON with the full record
+    some = next(Path(out, shard_dirs[0]).glob("*.json"))
+    rec = json.loads(some.read_text().splitlines()[0])
+    assert set(rec) == {"doc_id", "text", "lang"}
+    # the round trip is lossless: every source doc comes back once
+    import duckdb
+
+    src = duckdb.connect().execute(
+        f"SELECT count(*), sum(doc_id) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()
+    got = back.selectExpr("count(*)", "sum(doc_id)").collect()[0]
+    assert (got[0], got[1]) == (src[0], src[1])
