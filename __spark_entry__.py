@@ -736,6 +736,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is three-round driver hash-green, same local gates as the
         # tail
         "q25_ivf_topk",
+        # demoted round 4 for q99 (corpus mixture sampling, first
+        # driver check): q51's segment explode + doc-frequency election
+        # is reached in-window by q79 (span dedup: the same gram
+        # explode + df-count machinery at substring granularity) and
+        # the keep/drop verdict family by q70/q96; q51 is three-round
+        # driver hash-green and keeps the tools/check_oracles.py +
+        # test_entry_oracle gates
+        "q51_boilerplate_segments",
+        # demoted round 4 for q100 (split leakage guard, first driver
+        # check): q36's exact-percentile agg consumes q11's token
+        # counts, whose map-only projection family is the most
+        # redundantly tailed (q11/q13/q18/q83), and the sort-based
+        # exact-percentile shape is pinned by its own oracle under
+        # tools/check_oracles.py + test_entry_oracle; q36 is
+        # three-round driver hash-green
+        "q36_token_percentiles",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -663,9 +663,113 @@ ORACLES["q98_corpus_export"] = rf"""
 """
 
 
+# -- q99: corpus mixture sampling (Pile/DoReMi-style domain reweighting) ------
+# A pretraining run rarely consumes sources at their natural sizes: each
+# source gets a target WEIGHT and the pipeline downsamples overweight
+# sources to hit it. Acceptance is a deterministic per-doc hash gate
+# (basis points, integer-exact), so membership is stable across runs
+# and incremental appends — the same property as q26's split. Shape at
+# 100 TB: one tiny groupBy(source) agg (source cardinality is O(100)),
+# a 1-row totals crossJoin broadcast, a broadcast rate join back to the
+# scan, and the final per-source rollup — the doc-scan is touched
+# exactly twice with zero wide shuffles.
+MIX_BPS = 10_000
+MIX_SALT = "mix"
+MIX_WEIGHT_MOD = 4  # weight(srcN) = N % 4 + 1 — deterministic, varied
+
+
+def q99_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    weight = (
+        F.substring("source", 4, 10).cast("bigint") % MIX_WEIGHT_MOD + 1
+    ).alias("weight")
+    per = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("actual_chars")
+    ).select("source", "actual_chars", weight)
+    totals = per.agg(
+        F.sum("actual_chars").alias("total_chars"),
+        F.sum("weight").alias("total_weight"),
+    )
+    rates = (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "target_chars", F.expr("(total_chars * weight) div total_weight")
+        )
+        .withColumn(
+            "rate_bps",
+            F.least(
+                F.lit(MIX_BPS).cast("bigint"),
+                F.expr(f"(target_chars * {MIX_BPS}) div actual_chars"),
+            ),
+        )
+        .select("source", "actual_chars", "weight", "target_chars", "rate_bps")
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate_bps")), "source")
+        .filter(
+            h32(F.col("doc_id").cast("string"), MIX_SALT) % MIX_BPS
+            < F.col("rate_bps")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "actual_chars",
+        "weight",
+        "target_chars",
+        "rate_bps",
+        F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+        F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+    )
+
+
+ORACLES["q99_corpus_mixture"] = rf"""
+    WITH per AS (
+        SELECT source,
+               CAST(sum(n_chars) AS BIGINT) AS actual_chars,
+               CAST(CAST(substr(source, 4) AS BIGINT) % {MIX_WEIGHT_MOD} + 1
+                    AS BIGINT) AS weight
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(actual_chars) AS total_chars, sum(weight) AS total_weight
+        FROM per
+    ),
+    r AS (
+        SELECT source, actual_chars, weight,
+               CAST((total_chars * weight) // total_weight AS BIGINT)
+                   AS target_chars,
+               CAST(least(
+                   {MIX_BPS},
+                   ((total_chars * weight) // total_weight * {MIX_BPS})
+                       // actual_chars
+               ) AS BIGINT) AS rate_bps
+        FROM per CROSS JOIN tot
+    ),
+    k AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS kept_docs,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE {h32_sql("CAST(doc_id AS VARCHAR)", MIX_SALT)} % {MIX_BPS}
+                  < r.rate_bps
+        GROUP BY 1
+    )
+    SELECT r.source, actual_chars, weight, target_chars, rate_bps,
+           CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(coalesce(kept_chars, 0) AS BIGINT) AS kept_chars
+    FROM r LEFT JOIN k ON r.source = k.source
+"""
+
+
 QUERIES = {
     "q70_corpus_filter": q70_corpus_filter,
     "q98_corpus_export": q98_corpus_export,
+    "q99_corpus_mixture": q99_corpus_mixture,
     "q51_boilerplate_segments": q51_boilerplate_segments,
     "q52_contamination": q52_contamination,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,

@@ -783,6 +783,156 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# -- q100: train/val split leakage guard --------------------------------------
+# Hash-split alone (q26) does not keep near-duplicates of training docs
+# out of the validation set — eval numbers silently inflate. q100 runs
+# the q34 band machinery ACROSS the split boundary: val docs that share
+# an LSH band with any train doc are exact-Jaccard-verified, and
+# verified leaks are quarantined out of val. The candidate join is
+# band-keyed val x train (never a self-join); at 100 TB the val side is
+# ~10% of the corpus and the band join prunes the quadratic term
+# exactly as q34 does. Clones of the first LEAK_CLONES docs (mirrored
+# verbatim by the oracle) guarantee leaks exist at every SF: a clone
+# whose hash lands in val while its original lands in train is a
+# perfect (jaccard 1.0) leak.
+LEAK_CLONE_OFFSET = 4_000_000
+LEAK_CLONES = 40
+
+
+def q100_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_service_spark.operators.text_stats import SPLIT_SALT, TRAIN_PCT
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < LEAK_CLONES).select(
+        (F.col("doc_id") + LEAK_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    docs = docs.unionByName(clones)
+    split = F.when(
+        F.pmod(h32(F.col("doc_id").cast("string"), SPLIT_SALT), F.lit(100))
+        < TRAIN_PCT,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    sp = docs.select("doc_id", split.alias("split"))
+    sigs = _shingles(docs).groupBy("doc_id").agg(
+        *[
+            F.min(h32(F.col("tok"), seed)).alias(f"mh{i}")
+            for i, seed in enumerate(MINHASH_SEEDS)
+        ]
+    )
+    bands = _band_stack(sigs).join(sp, "doc_id")
+    vb = bands.filter("split = 'val'").select(
+        F.col("doc_id").alias("val_id"), "band_key"
+    )
+    tb = bands.filter("split = 'train'").select(
+        F.col("doc_id").alias("train_id"), "band_key"
+    )
+    cand = vb.join(tb, "band_key").select("val_id", "train_id").distinct()
+    tok_sets = docs.select("doc_id", _shingle_array().alias("toks"))
+    a = tok_sets.select(F.col("doc_id").alias("val_id"), F.col("toks").alias("ta"))
+    b = tok_sets.select(
+        F.col("doc_id").alias("train_id"), F.col("toks").alias("tb")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ta", "tb")).cast("double")
+        / F.size(F.array_union("ta", "tb")),
+        4,
+    )
+    leaks = (
+        cand.join(a, "val_id")
+        .join(b, "train_id")
+        .select("val_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
+        .groupBy("val_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_leak_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    out = sp.join(leaks, sp.doc_id == leaks.val_id, "left")
+    leak = F.col("val_id").isNotNull()
+    return out.select(
+        sp.doc_id.alias("doc_id"),
+        "split",
+        leak.alias("leak"),
+        F.coalesce("n_leak_matches", F.lit(0))
+        .cast("bigint")
+        .alias("n_leak_matches"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        F.when(leak, F.lit("quarantine")).otherwise(F.col("split")).alias(
+            "final_split"
+        ),
+    )
+
+
+def _q100_oracle() -> str:
+    from ocr_service_spark.operators.text_stats import SPLIT_SALT, TRAIN_PCT
+
+    sig_cols = ", ".join(
+        f"min({h32_sql('tok', seed)}) AS mh{i}"
+        for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    shingle = (
+        "list_distinct(list_transform(range(1, len(w) - 1), "
+        "i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]"
+        " || ' ' || w[CAST(i AS INT) + 2]))"
+    )
+    return f"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {LEAK_CLONE_OFFSET}, text
+            FROM documents WHERE doc_id < {LEAK_CLONES}
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN {h32_sql("CAST(doc_id AS VARCHAR)", SPLIT_SALT)}
+                            % 100 < {TRAIN_PCT}
+                        THEN 'train' ELSE 'val' END AS split
+            FROM aug
+        ),
+        words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM aug
+        ),
+        t AS (SELECT doc_id, {shingle} AS toks FROM words),
+        sigs AS (
+            SELECT doc_id, {sig_cols}
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id
+        ),
+        bands AS ({_lsh_band_arms_sql('sigs')}),
+        cand AS (
+            SELECT DISTINCT v.doc_id AS val_id, tr.doc_id AS train_id
+            FROM bands v
+            JOIN sp sv ON sv.doc_id = v.doc_id AND sv.split = 'val'
+            JOIN bands tr ON tr.band_key = v.band_key
+            JOIN sp st ON st.doc_id = tr.doc_id AND st.split = 'train'
+        ),
+        ver AS (
+            SELECT val_id,
+                   CAST(count(*) AS BIGINT) AS n_leak_matches,
+                   max(j) AS max_jaccard
+            FROM (
+                SELECT val_id, train_id,
+                       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                             / len(list_distinct(a.toks || b.toks)), 4) AS j
+                FROM cand
+                JOIN t a ON a.doc_id = val_id
+                JOIN t b ON b.doc_id = train_id
+            ) WHERE j >= {MINHASH_VERIFY_MIN}
+            GROUP BY 1
+        )
+        SELECT sp.doc_id, sp.split,
+               ver.val_id IS NOT NULL AS leak,
+               CAST(coalesce(n_leak_matches, 0) AS BIGINT) AS n_leak_matches,
+               coalesce(max_jaccard, 0.0) AS max_jaccard,
+               CASE WHEN ver.val_id IS NOT NULL THEN 'quarantine'
+                    ELSE sp.split END AS final_split
+        FROM sp LEFT JOIN ver ON ver.val_id = sp.doc_id
+    """
+
+
+ORACLES["q100_split_leakage_guard"] = _q100_oracle()
+
 QUERIES = {
     "q10_dedup_exact": q10_dedup_exact,
     "q14_jaccard_pairs": q14_jaccard_pairs,
@@ -794,4 +944,5 @@ QUERIES = {
     "q38_dedup_canonical": q38_dedup_canonical,
     "q79_span_dedup": q79_span_dedup,
     "q90_incremental_neardup": q90_incremental_neardup,
+    "q100_split_leakage_guard": q100_split_leakage_guard,
 }
