@@ -77,6 +77,14 @@ HEADLINE_QUERIES = [
     "q86_bpe_merges",
     "q87_cdx_ingest",
     "q88_mojibake_repair",
+    # round 4 closing additions — published quality filters + corpus
+    # assembly (mixture, export sink, split leakage guard)
+    "q95_gopher_quality",
+    "q96_c4_line_filter",
+    "q97_url_filter",
+    "q98_corpus_export",
+    "q99_corpus_mixture",
+    "q100_split_leakage_guard",
 ]
 
 
