@@ -550,8 +550,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_extract_xml_roundtrip",
         "q48_pii_scrub_roundtrip",
     }
+    # q33's payload-ladder rungs (JSON/base64/raw/null/empty) run
+    # in-window inside q41 — the synthetic generator emits every rung
+    # through the same extraction entry — and inside q40's fixture
+    # corpus; demoted round 4 for q101 (stateful streaming dedup, first
+    # driver check). q33 is four-round driver hash-green and keeps the
+    # tools/check_oracles.py + test_entry_oracle gates.
+    roundtrip_late_tail = {"q33_payload_ladder_roundtrip"}
     for name, fn in roundtrip.QUERIES.items():  # q30 q62 q66 q44 q48 q33
-        if name not in roundtrip_tail:
+        if name not in roundtrip_tail and name not in roundtrip_late_tail:
             out[name] = _wrap(fn)
     # -- analytic suites
     tail = {
@@ -768,7 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for name, fn in mod.QUERIES.items():
             if name in tail:
                 out[name] = fn
-    for name in sorted(roundtrip_tail):
+    for name in sorted(roundtrip_tail | roundtrip_late_tail):
         out[name] = _wrap(roundtrip.QUERIES[name])
     return out
 

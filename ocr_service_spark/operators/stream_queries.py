@@ -213,7 +213,86 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# -- q101: stateful streaming exact dedup ------------------------------------
+# The crawl-ingest dedup shape: documents arrive over many micro-batches
+# and a duplicate may land BATCHES after its first copy, so the dedup
+# operator must hold the seen-hash set in the state store between
+# batches — per-batch distinct is not enough. Clones of the first
+# STREAM_DUP_CLONES docs are appended as a SECOND parquet write, so
+# with maxFilesPerTrigger throttling most duplicate pairs straddle a
+# micro-batch boundary. The sink is append-mode parquet: a cross-batch
+# miss EMITS the duplicate and the oracle's n_emitted=1 row flips. At
+# production scale the same plan runs dropDuplicatesWithinWatermark so
+# state carries a TTL; the unbounded variant here is exact over the
+# bounded drain.
+STREAM_DUP_CLONES = 50
+STREAM_DUP_OFFSET = 7_000_000
+
+
+def q101_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _scratch_dir("q101", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/docs", f"{base}/dedup", f"{base}/ckpt"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(6).write.parquet(in_dir)
+    clones = docs.filter(F.col("doc_id") < STREAM_DUP_CLONES).select(
+        (F.col("doc_id") + STREAM_DUP_OFFSET).alias("doc_id"), "text"
+    )
+    clones.repartition(6).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.select(F.md5("text").alias("h"))
+        .dropDuplicates(["h"])
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    emitted = spark.read.parquet(out_dir).groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_emitted")
+    )
+    inputs = (
+        docs.unionByName(clones)
+        .select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_input_copies"))
+    )
+    # left join from the INPUT side: a hash the stream dropped entirely
+    # surfaces as n_emitted=0, a cross-batch dedup miss as n_emitted>1
+    return inputs.join(emitted, "h", "left").select(
+        "h",
+        F.coalesce("n_emitted", F.lit(0)).cast("bigint").alias("n_emitted"),
+        F.col("n_input_copies").cast("bigint").alias("n_input_copies"),
+    )
+
+
+ORACLES["q101_stream_dedup"] = f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {STREAM_DUP_OFFSET}, text
+        FROM documents WHERE doc_id < {STREAM_DUP_CLONES}
+    )
+    SELECT md5(text) AS h,
+           CAST(1 AS BIGINT) AS n_emitted,
+           CAST(count(*) AS BIGINT) AS n_input_copies
+    FROM aug GROUP BY md5(text)
+"""
+
 QUERIES = {
     "q58_stream_extract_backfill": q58_stream_extract_backfill,
     "q59_stream_sessions": q59_stream_sessions,
+    "q101_stream_dedup": q101_stream_dedup,
 }

@@ -703,3 +703,28 @@ def test_stream_kill_mid_drain_resumes_exactly_once(spark, tmp_path):
     assert q3.awaitTermination(300)
     assert sum(p["numInputRows"] for p in q3.recentProgress) == 0
     assert spark.read.parquet(results_path).count() == n
+
+
+def test_q101_stream_dedup_holds_state_across_micro_batches(spark):
+    """q101's exactly-one-per-hash guarantee must come from the state
+    store, not from single-batch luck: the drain must have committed
+    multiple micro-batches, and every duplicated input hash (the 50
+    engineered clones) must still emit exactly once."""
+    import os
+
+    from ocr_service_spark.operators.stream_queries import (
+        STREAM_DUP_CLONES,
+        _scratch_dir,
+        q101_stream_dedup,
+    )
+
+    rows = q101_stream_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["n_emitted"] == 1 for r in rows)
+    dups = [r for r in rows if r["n_input_copies"] >= 2]
+    assert len(dups) >= STREAM_DUP_CLONES
+    commits_dir = os.path.join(
+        _scratch_dir("q101", "/root/testdata/sf0.001"), "ckpt", "commits"
+    )
+    commits = [f for f in os.listdir(commits_dir) if not f.startswith(".")]
+    assert len(commits) >= 2, "dedup never crossed a micro-batch boundary"
