@@ -505,6 +505,195 @@ def _q57_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q102_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction over a deterministic camera-media
+    corpus: per doc_id the GENERATION stage builds a real payload
+    (JPEG through the from-scratch encoder with a spliced APP1/Exif
+    segment, a raw TIFF-container EXIF blob, or an EXIF-less JPEG;
+    endianness alternates by parity) and the PARSE stage recovers
+    make/model/orientation/DateTimeOriginal from the bytes via the
+    APP1 scan + IFD walk. The oracle mirrors the generation PARAMETERS
+    closed-form, so a parse error anywhere flips a row. Tail by design
+    from birth: its mapInPandas fan-out shape is the q42/q60/q61 media
+    family (all in-window) and its per-row byte parsing is pinned by
+    tests/test_exif_pdf_metadata.py; verified by tools/check_oracles.py
+    + tests/test_entry_oracle.py like the rest of the tail."""
+    _ship_package(spark)
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        from ocr_service_spark.extraction.exif import build_exif_blob, splice_app1
+        from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray
+
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                luma = bytes((i + p) % 256 for p in range(64))
+                if i % 7 == 0:
+                    payload = encode_jpeg_gray(8, 8, luma)
+                else:
+                    blob = build_exif_blob(
+                        f"Cam{i % 5}",
+                        f"M{i % 3}",
+                        i % 8 + 1,
+                        f"2026:08:{i % 28 + 1:02d} 12:{i % 60:02d}:00",
+                        big_endian=(i % 2 == 1),
+                    )
+                    payload = (
+                        blob if i % 3 == 0 else splice_app1(encode_jpeg_gray(8, 8, luma), blob)
+                    )
+                rows.append({"doc_id": i, "payload": payload})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+    def parse(batches):
+        from ocr_service_spark.extraction.exif import parse_exif
+
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(payload)
+                container = "tiff" if b[:4] in (b"II*\x00", b"MM\x00*") else "jpeg"
+                meta = parse_exif(b) or {}
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "container": container,
+                        "has_exif": bool(meta),
+                        "make": meta.get("make"),
+                        "model": meta.get("model"),
+                        "orientation": meta.get("orientation"),
+                        "datetime_original": meta.get("datetime_original"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "has_exif", "make", "model",
+                    "orientation", "datetime_original",
+                ],
+            )
+
+    return media.mapInPandas(
+        parse,
+        schema=(
+            "doc_id bigint, container string, has_exif boolean, make string,"
+            " model string, orientation bigint, datetime_original string"
+        ),
+    )
+
+
+def _q103_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF document-information extraction: per doc_id a real
+    multi-page PDF (pages = doc_id%4 + 1) with a trailer /Info dict is
+    BUILT from closed-form parameters, then the PARSE stage recovers
+    title/author/producer/creation_date via the from-scratch PDF
+    parser's /Info resolution plus the page count via the page-tree
+    walk. Every 11th doc omits /Info (all-None metadata rung). Tail by
+    design from birth: the PDF object machinery is in-window via q40's
+    PDF fixture rows and the mapInPandas shape via the media family;
+    same local gates as the rest of the tail."""
+    _ship_package(spark)
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        def minimal_pdf(page_texts, info=None):
+            objs = []
+            n = len(page_texts)
+            kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n))
+            objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+            objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+            for k, text in enumerate(page_texts):
+                content = f"BT /F1 12 Tf 72 700 Td ({text}) Tj ET".encode()
+                objs.append(
+                    (
+                        f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                        f"/Contents {4 + 2 * k} 0 R /Resources << /Font << /F1 "
+                        f"{3 + 2 * n} 0 R >> >> >>"
+                    ).encode()
+                )
+                objs.append(
+                    b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+                    + content + b"\nendstream"
+                )
+            objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+            info_ref = b""
+            if info is not None:
+                body = " ".join(f"/{k} ({v})" for k, v in info.items())
+                objs.append(f"<< {body} >>".encode())
+                info_ref = f" /Info {len(objs)} 0 R".encode()
+            out = bytearray(b"%PDF-1.4\n")
+            offsets = []
+            for k, body in enumerate(objs, start=1):
+                offsets.append(len(out))
+                out += f"{k} 0 obj\n".encode() + body + b"\nendobj\n"
+            xref_at = len(out)
+            out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+            for off in offsets:
+                out += f"{off:010d} 00000 n \n".encode()
+            out += (
+                f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R".encode()
+                + info_ref
+                + f" >>\nstartxref\n{xref_at}\n%%EOF\n".encode()
+            )
+            return bytes(out)
+
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                texts = [f"d{i}p{k}" for k in range(i % 4 + 1)]
+                info = None
+                if i % 11 != 0:
+                    info = {
+                        "Title": f"Doc {i}",
+                        "Author": f"Writer {i % 6}",
+                        "Producer": "ocr-service-spark",
+                        "CreationDate": f"D:202608{i % 28 + 1:02d}120000Z",
+                    }
+                rows.append({"doc_id": i, "payload": minimal_pdf(texts, info)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    pdfs = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+    def parse(batches):
+        from ocr_service_spark.extraction.pdf_text import pdf_info, pdf_page_count
+
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(payload)
+                meta = pdf_info(b)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "pages": pdf_page_count(b),
+                        "title": meta["title"],
+                        "author": meta["author"],
+                        "producer": meta["producer"],
+                        "creation_date": meta["creationdate"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "pages", "title", "author", "producer", "creation_date"],
+            )
+
+    return pdfs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id bigint, pages bigint, title string, author string,"
+            " producer string, creation_date string"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 out[name] = fn
     for name in sorted(roundtrip_tail | roundtrip_late_tail):
         out[name] = _wrap(roundtrip.QUERIES[name])
+    # tail by design from birth (see each docstring): metadata tier
+    out["q102_exif_metadata"] = _q102_exif_metadata
+    out["q103_pdf_metadata"] = _q103_pdf_metadata
     return out
 
 
@@ -937,6 +1129,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS rows_after,
                CAST(sum(doc_id) AS BIGINT) AS docid_sum_before,
                CAST(sum(doc_id) AS BIGINT) AS docid_sum_after
+        FROM documents
+    """
+    # q102/q103 build their payloads from closed-form per-doc_id
+    # parameters, so the oracles mirror the PARAMETERS — a parse
+    # failure anywhere in the APP1/IFD walk or the /Info resolution
+    # flips the row
+    out["q102_exif_metadata"] = """
+        SELECT doc_id,
+            CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0
+                 THEN 'tiff' ELSE 'jpeg' END AS container,
+            doc_id % 7 <> 0 AS has_exif,
+            CASE WHEN doc_id % 7 <> 0
+                 THEN 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+            CASE WHEN doc_id % 7 <> 0
+                 THEN 'M' || CAST(doc_id % 3 AS VARCHAR) END AS model,
+            CASE WHEN doc_id % 7 <> 0
+                 THEN CAST(doc_id % 8 + 1 AS BIGINT) END AS orientation,
+            CASE WHEN doc_id % 7 <> 0
+                 THEN '2026:08:'
+                      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                      || ' 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                      || ':00' END AS datetime_original
+        FROM documents
+    """
+    out["q103_pdf_metadata"] = """
+        SELECT doc_id,
+            CAST(doc_id % 4 + 1 AS BIGINT) AS pages,
+            CASE WHEN doc_id % 11 <> 0
+                 THEN 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+            CASE WHEN doc_id % 11 <> 0
+                 THEN 'Writer ' || CAST(doc_id % 6 AS VARCHAR) END AS author,
+            CASE WHEN doc_id % 11 <> 0
+                 THEN 'ocr-service-spark' END AS producer,
+            CASE WHEN doc_id % 11 <> 0
+                 THEN 'D:202608'
+                      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                      || '120000Z' END AS creation_date
         FROM documents
     """
     return out

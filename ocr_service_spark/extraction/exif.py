@@ -1,0 +1,193 @@
+"""EXIF metadata: APP1 segment scan + TIFF IFD walk, both endians.
+
+A training-data pipeline keeps typed metadata columns next to opaque
+media payloads (capture time, orientation, camera) — this module
+recovers them from raw bytes. The reference service exposes a
+per-document metadata dict (ocr_service/processor/processor.py:47,
+converter.py:166-523); EXIF is the media-tier analog of that surface.
+
+Two entry containers:
+- baseline/progressive JPEG: scan marker segments for APP1 whose body
+  starts with ``Exif\\0\\0``; the remainder is a TIFF blob.
+- raw TIFF: the payload IS the blob (EXIF tags live on IFD0).
+
+The IFD walk resolves inline vs offset values, ASCII/SHORT/LONG types,
+and the 0x8769 Exif sub-IFD pointer. ``build_exif_blob`` /
+``splice_app1`` exist so tests and the q102 corpus can synthesize
+payloads from parameters the oracle mirrors closed-form — the parser
+is exercised on bytes it did not produce (hand-packed fixtures in
+tests pin the wire format independently).
+"""
+
+from __future__ import annotations
+
+import struct
+
+TAG_MAKE = 0x010F
+TAG_MODEL = 0x0110
+TAG_ORIENTATION = 0x0112
+TAG_DATETIME = 0x0132
+TAG_EXIF_IFD = 0x8769
+TAG_DATETIME_ORIGINAL = 0x9003
+
+_TYPE_ASCII = 2
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+# -- builder -------------------------------------------------------------------
+def build_exif_blob(
+    make: str,
+    model: str,
+    orientation: int,
+    datetime_original: str,
+    big_endian: bool = False,
+) -> bytes:
+    """TIFF-format EXIF blob: IFD0 carries Make/Model/Orientation/
+    DateTime + the 0x8769 pointer; the Exif sub-IFD carries
+    DateTimeOriginal."""
+    e = ">" if big_endian else "<"
+
+    def entries_bytes(entries, data_base):
+        ext = bytearray()
+        out = b""
+        for tag, typ, values in entries:
+            if typ == _TYPE_ASCII:
+                raw = values.encode("ascii") + b"\x00"
+                cnt = len(raw)
+            else:
+                raw = b"".join(
+                    struct.pack(e + ("H" if typ == _TYPE_SHORT else "I"), v)
+                    for v in values
+                )
+                cnt = len(values)
+            if len(raw) <= 4:
+                val = raw.ljust(4, b"\x00")
+            else:
+                val = struct.pack(e + "I", data_base + len(ext))
+                ext += raw
+            out += struct.pack(e + "HHI", tag, typ, cnt) + val
+        return out, bytes(ext)
+
+    # layout: header(8) | IFD0(2 + n*12 + 4) | ifd0-ext | sub-IFD | sub-ext
+    ifd0_entries = [
+        (TAG_MAKE, _TYPE_ASCII, make),
+        (TAG_MODEL, _TYPE_ASCII, model),
+        (TAG_ORIENTATION, _TYPE_SHORT, [orientation]),
+        (TAG_DATETIME, _TYPE_ASCII, datetime_original),
+        (TAG_EXIF_IFD, _TYPE_LONG, [0]),  # patched below
+    ]
+    sub_entries = [(TAG_DATETIME_ORIGINAL, _TYPE_ASCII, datetime_original)]
+
+    ifd0_size = 2 + len(ifd0_entries) * 12 + 4
+    # first pass to size ifd0's external area
+    _, ifd0_ext = entries_bytes(ifd0_entries, 0)
+    sub_off = 8 + ifd0_size + len(ifd0_ext)
+    ifd0_entries[-1] = (TAG_EXIF_IFD, _TYPE_LONG, [sub_off])
+    ifd0_body, ifd0_ext = entries_bytes(ifd0_entries, 8 + ifd0_size)
+
+    sub_size = 2 + len(sub_entries) * 12 + 4
+    sub_body, sub_ext = entries_bytes(sub_entries, sub_off + sub_size)
+
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", 8)
+    ifd0 = struct.pack(e + "H", len(ifd0_entries)) + ifd0_body + struct.pack(
+        e + "I", 0
+    )
+    sub = struct.pack(e + "H", len(sub_entries)) + sub_body + struct.pack(
+        e + "I", 0
+    )
+    return header + ifd0 + ifd0_ext + sub + sub_ext
+
+
+def splice_app1(jpeg: bytes, tiff_blob: bytes) -> bytes:
+    """Insert an APP1/Exif segment immediately after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    body = b"Exif\x00\x00" + tiff_blob
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+# -- parser --------------------------------------------------------------------
+def _exif_tiff_blob(payload: bytes) -> bytes | None:
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return payload
+    if payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # entropy data starts: no APP1 past here
+            return None
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            return None
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return payload[pos + 10 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    return None
+
+
+def _walk_ifd(blob: bytes, e: str, off: int, wanted: dict) -> dict:
+    out: dict = {}
+    if off + 2 > len(blob):
+        return out
+    n = struct.unpack_from(e + "H", blob, off)[0]
+    if off + 2 + n * 12 + 4 > len(blob):
+        return out
+    for i in range(n):
+        entry = off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(e + "HHI", blob, entry)
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue
+        voff = entry + 8
+        if cnt * size > 4:
+            voff = struct.unpack_from(e + "I", blob, voff)[0]
+        if voff + cnt * size > len(blob):
+            continue
+        if tag == TAG_EXIF_IFD and typ == _TYPE_LONG and cnt == 1:
+            sub_off = struct.unpack_from(e + "I", blob, voff)[0]
+            out.update(_walk_ifd(blob, e, sub_off, wanted))
+            continue
+        if tag not in wanted:
+            continue
+        if typ == _TYPE_ASCII:
+            raw = blob[voff : voff + cnt].split(b"\x00", 1)[0]
+            try:
+                out[wanted[tag]] = raw.decode("ascii")
+            except UnicodeDecodeError:
+                continue
+        elif typ in (_TYPE_SHORT, _TYPE_LONG):
+            fmt = e + ("H" if typ == _TYPE_SHORT else "I")
+            out[wanted[tag]] = struct.unpack_from(fmt, blob, voff)[0]
+    return out
+
+
+def parse_exif(payload: bytes) -> dict | None:
+    """(make, model, orientation, datetime_original) from JPEG APP1 or
+    raw TIFF; None when the container has no EXIF."""
+    blob = _exif_tiff_blob(payload)
+    if blob is None or len(blob) < 8:
+        return None
+    if blob[:4] == b"II*\x00":
+        e = "<"
+    elif blob[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    ifd0 = struct.unpack_from(e + "I", blob, 4)[0]
+    wanted = {
+        TAG_MAKE: "make",
+        TAG_MODEL: "model",
+        TAG_ORIENTATION: "orientation",
+        TAG_DATETIME_ORIGINAL: "datetime_original",
+    }
+    out = _walk_ifd(blob, e, ifd0, wanted)
+    return out or None

@@ -1097,3 +1097,41 @@ def pdf_to_text(stream: bytes, password: bytes = b"") -> tuple[str, int]:
     """converter.py:183-211 — (concatenated page texts, page count)."""
     texts = pdf_page_texts(stream, password=password)
     return "".join(texts), len(texts)
+
+
+_INFO_KEYS = ("Title", "Author", "Producer", "CreationDate")
+
+
+def _pdf_text_string(raw) -> str | None:
+    """PDF text-string decode: UTF-16BE with BOM, else PDFDocEncoding
+    (latin-1 covers the ASCII fixtures and the common web subset)."""
+    if not isinstance(raw, bytes):
+        return None
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+    return raw.decode("latin-1")
+
+
+def pdf_info(stream: bytes, password: bytes = b"") -> dict[str, str | None]:
+    """Document-information dictionary (trailer /Info): Title, Author,
+    Producer, CreationDate — the metadata tier next to the text tier
+    (the reference exposes a per-document metadata dict,
+    processor.py:47; /Info is its PDF analog). Missing entries are
+    None; a document without /Info yields all-None."""
+    if not stream.startswith(b"%PDF"):
+        raise PdfError("not a pdf")
+    doc = _Document(stream, password=password)
+    out: dict[str, str | None] = {k.lower(): None for k in _INFO_KEYS}
+    for t in doc._trailer_dicts():
+        info = doc.resolve(t.get("Info"))
+        if not isinstance(info, dict):
+            continue
+        for k in _INFO_KEYS:
+            v = doc.resolve(info.get(k))
+            s = _pdf_text_string(v)
+            if s is not None and out[k.lower()] is None:
+                out[k.lower()] = s
+    return out

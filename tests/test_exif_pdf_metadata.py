@@ -1,0 +1,130 @@
+"""EXIF (APP1/IFD) and PDF /Info metadata extraction — the metadata
+tier next to the text tier (q102/q103).
+
+The oracles mirror generation parameters; these tests pin the parsers
+against bytes the builders did NOT produce (hand-packed IFD fixtures,
+hex-string /Info values) so builder and parser cannot share a bug.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ocr_service_spark.extraction.exif import (
+    build_exif_blob,
+    parse_exif,
+    splice_app1,
+)
+from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray
+from ocr_service_spark.extraction.pdf_text import pdf_info, pdf_page_count
+
+
+def _hand_packed_exif_le() -> bytes:
+    """Minimal little-endian TIFF/EXIF packed by hand, independent of
+    build_exif_blob: IFD0 with Orientation (inline SHORT) and Make
+    (ASCII via external offset)."""
+    make = b"HandCam\x00"
+    # header(8) + IFD0: count(2) + 2*12 + next(4) = 38 -> ext data at 38
+    ifd0 = struct.pack("<H", 2)
+    ifd0 += struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", 3, 0)
+    ifd0 += struct.pack("<HHI", 0x010F, 2, len(make)) + struct.pack("<I", 38)
+    ifd0 += struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", 8) + ifd0 + make
+
+
+def test_parse_hand_packed_ifd_little_endian():
+    meta = parse_exif(_hand_packed_exif_le())
+    assert meta == {"orientation": 3, "make": "HandCam"}
+
+
+def test_builder_parser_roundtrip_all_containers():
+    for be in (False, True):
+        blob = build_exif_blob("Cam1", "M2", 6, "2026:08:18 01:02:03", big_endian=be)
+        want = {
+            "make": "Cam1",
+            "model": "M2",
+            "orientation": 6,
+            "datetime_original": "2026:08:18 01:02:03",
+        }
+        assert parse_exif(blob) == want  # raw TIFF container
+        jpeg = splice_app1(encode_jpeg_gray(8, 8, bytes(range(64))), blob)
+        assert parse_exif(jpeg) == want  # APP1 container
+        # the spliced file must still be a decodable JPEG
+        from ocr_service_spark.extraction.jpeg_codec import decode_jpeg_gray
+
+        w, h, _px = decode_jpeg_gray(jpeg)
+        assert (w, h) == (8, 8)
+
+
+def test_exif_absent_or_junk_is_none():
+    assert parse_exif(encode_jpeg_gray(8, 8, bytes(64))) is None
+    assert parse_exif(b"") is None
+    assert parse_exif(b"\xff\xd8junk") is None
+    # truncated APP1 declaring more bytes than present
+    assert parse_exif(b"\xff\xd8\xff\xe1\xff\xffExif\x00\x00II*\x00") is None
+
+
+def _pdf(info_body: str | None, n_pages: int = 2) -> bytes:
+    objs = []
+    kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for k in range(n_pages):
+        content = f"BT /F1 12 Tf 72 700 Td (p{k}) Tj ET".encode()
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {4 + 2 * k} 0 R /Resources << /Font << /F1 "
+                f"{3 + 2 * n_pages} 0 R >> >> >>"
+            ).encode()
+        )
+        objs.append(
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    info_ref = b""
+    if info_body is not None:
+        objs.append(f"<< {info_body} >>".encode())
+        info_ref = f" /Info {len(objs)} 0 R".encode()
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for k, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{k} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R".encode()
+        + info_ref
+        + f" >>\nstartxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def test_pdf_info_literal_strings_and_page_count():
+    pdf = _pdf("/Title (A Title) /Author (Someone) /Producer (tool) "
+               "/CreationDate (D:20260818120000Z)", n_pages=3)
+    assert pdf_page_count(pdf) == 3
+    assert pdf_info(pdf) == {
+        "title": "A Title",
+        "author": "Someone",
+        "producer": "tool",
+        "creationdate": "D:20260818120000Z",
+    }
+
+
+def test_pdf_info_missing_is_all_none():
+    meta = pdf_info(_pdf(None))
+    assert meta == {k: None for k in ("title", "author", "producer", "creationdate")}
+
+
+def test_pdf_info_utf16_hex_string_title():
+    # <FEFF...> hex string: UTF-16BE with BOM, the other PDF text encoding
+    hexs = "FEFF" + "".join(f"{ord(c):04X}" for c in "Döc")
+    meta = pdf_info(_pdf(f"/Title <{hexs}> /Author (x)"))
+    assert meta["title"] == "Döc"
+    assert meta["author"] == "x"
+    assert meta["producer"] is None
