@@ -271,7 +271,9 @@ def test_plan_hygiene_all_driver_queries(spark):
                    "q81_lm_familiarity",
                    # 1-row totals + 1-row quantile-cutoff broadcasts
                    # (DSIR model normalization + top-quantile keep)
-                   "q93_dsir_selection"}
+                   "q93_dsir_selection",
+                   # 1-row totals crossJoin (mixture rate denominators)
+                   "q99_corpus_mixture"}
     for name, fn in em.queries().items():
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
