@@ -47,6 +47,47 @@ LSH_MH_BANDS = 4
 LSH_MH_ROWS = MINHASH_PERMS // LSH_MH_BANDS
 MINHASH_VERIFY_MIN = 0.5  # exact-Jaccard floor applied after LSH candidate verify
 
+# Hot-bucket cap: at web scale millions of near-identical boilerplate
+# pages (parked domains, error pages, cookie walls) share every band
+# key; an uncapped posting list turns one bucket into a single task
+# holding 10^6 ids and a quadratic pair explode (5*10^11 pairs from one
+# bucket). Each band bucket therefore keeps only its LSH_BUCKET_CAP
+# lowest doc ids (deterministic, oracle-replicable). Recall argument:
+# (a) exact dedup (q10) upstream removes byte-identical docs, the only
+# population that reliably floods a bucket; (b) every doc still gets
+# LSH_MH_BANDS independent chances to meet each neighbour in an
+# uncrowded bucket; (c) docs dropped from a flooded bucket are, by
+# construction, members of a giant near-dup cluster whose survivors
+# already link the cluster together for the connected-components pass.
+# Same bound philosophy as q14's JACCARD_MAX_DF inverted-index cap.
+LSH_BUCKET_CAP = 64
+
+
+def _cap_bucket(stacked: DataFrame, part_cols: list, id_col: str) -> DataFrame:
+    """Keep the LSH_BUCKET_CAP lowest ids per band bucket. Expressed as
+    a rank-limit window so Catalyst rewrites it to WindowGroupLimit:
+    each map task pre-limits its local slice of a hot bucket to CAP
+    rows BEFORE the shuffle, so a 10^6-id bucket never materializes on
+    one reducer — the post-shuffle partition sees at most CAP rows per
+    upstream task and the final filter trims to exactly CAP."""
+    w = Window.partitionBy(*part_cols).orderBy(id_col)
+    return (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LSH_BUCKET_CAP)
+        .drop("rn")
+    )
+
+
+def _capped_bands_sql(src: str, part_cols: str, id_col: str) -> str:
+    """DuckDB twin of :func:`_cap_bucket` over an existing CTE."""
+    return f"""
+        SELECT * EXCLUDE (rn) FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {part_cols} ORDER BY {id_col}) AS rn
+            FROM {src}
+        ) WHERE rn <= {LSH_BUCKET_CAP}
+    """
+
 
 def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
@@ -105,10 +146,12 @@ def _band_stack(sigs: DataFrame) -> DataFrame:
 def q34_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical MinHash-LSH dedup pipeline end-to-end: 3-word
     SHINGLES (unigram sets are near-degenerate on a small vocabulary)
-    -> MinHash signature -> band keys -> WITHIN-BUCKET candidate pairs
-    (posting-list explode, the q14/q19 pattern — never a self-join) ->
-    exact shingle-set Jaccard on candidates only, post-verify floored
-    at MINHASH_VERIFY_MIN. At 100 TB the candidate set is the quadratic
+    -> MinHash signature -> band keys -> hot-bucket cap (LSH_BUCKET_CAP
+    lowest ids per band bucket, map-side WindowGroupLimit — see
+    :func:`_cap_bucket` for the recall argument) -> WITHIN-BUCKET
+    candidate pairs (posting-list explode, the q14/q19 pattern — never
+    a self-join) -> exact shingle-set Jaccard on candidates only,
+    post-verify floored at MINHASH_VERIFY_MIN. At 100 TB the candidate set is the quadratic
     term LSH prunes; everything else is linear passes, and the final
     exact verify touches only pairs that share a band. Output is
     directly comparable to q14's exact inverted-index pairs at the
@@ -122,7 +165,7 @@ def q34_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     posting = (
-        _band_stack(sigs)
+        _cap_bucket(_band_stack(sigs), ["band_key"], "doc_id")
         .groupBy("band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
@@ -721,9 +764,10 @@ ORACLES: dict[str, str] = {
                 for i, seed in enumerate(MINHASH_SEEDS))}
             FROM sh GROUP BY doc_id
         ),
-        bands AS (
+        bands0 AS (
             {_lsh_band_arms_sql()}
         ),
+        bands AS ({_capped_bands_sql('bands0', 'band_key', 'doc_id')}),
         cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
             FROM bands x JOIN bands y
@@ -819,7 +863,15 @@ def q100_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, seed in enumerate(MINHASH_SEEDS)
         ]
     )
-    bands = _band_stack(sigs).join(sp, "doc_id")
+    # hot-bucket cap per (band_key, split): each side of the val x train
+    # band join is bounded independently, so one boilerplate band key
+    # contributes at most CAP x CAP candidate pairs instead of
+    # |val bucket| x |train bucket| (see _cap_bucket's recall argument;
+    # the LEAK_CLONES originals have the lowest doc_ids and always
+    # survive a lowest-ids-first cap)
+    bands = _cap_bucket(
+        _band_stack(sigs).join(sp, "doc_id"), ["band_key", "split"], "doc_id"
+    )
     vb = bands.filter("split = 'val'").select(
         F.col("doc_id").alias("val_id"), "band_key"
     )
@@ -899,13 +951,17 @@ def _q100_oracle() -> str:
             SELECT doc_id, {sig_cols}
             FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id
         ),
-        bands AS ({_lsh_band_arms_sql('sigs')}),
+        bands0 AS ({_lsh_band_arms_sql('sigs')}),
+        bandsp AS (
+            SELECT b.doc_id, b.band_key, s.split
+            FROM bands0 b JOIN sp s ON s.doc_id = b.doc_id
+        ),
+        bands AS ({_capped_bands_sql('bandsp', 'band_key, split', 'doc_id')}),
         cand AS (
             SELECT DISTINCT v.doc_id AS val_id, tr.doc_id AS train_id
             FROM bands v
-            JOIN sp sv ON sv.doc_id = v.doc_id AND sv.split = 'val'
             JOIN bands tr ON tr.band_key = v.band_key
-            JOIN sp st ON st.doc_id = tr.doc_id AND st.split = 'train'
+            WHERE v.split = 'val' AND tr.split = 'train'
         ),
         ver AS (
             SELECT val_id,

@@ -72,6 +72,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ocr_service_spark.operators.dedup import LSH_BUCKET_CAP, _cap_bucket
+
 TOPK = 10
 QUERY_VEC_ID = 0
 
@@ -191,13 +193,19 @@ def q19_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing any band bucket are candidates (posting-list pair explode,
     same shape as dedup.q14 — never an n^2 self-join); only candidates
     are scored, and the filter applies to the ROUNDED cosine so both
-    engines cut on identical values."""
+    engines cut on identical values. Each (band, bucket) posting list
+    is hot-capped to its LSH_BUCKET_CAP lowest vec_ids before the pair
+    explode (map-side WindowGroupLimit): at web scale millions of
+    near-identical embeddings (boilerplate pages) land in one bucket,
+    and an uncapped bucket is a single-task quadratic explode — see
+    dedup._cap_bucket for the recall argument."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     stacked = _stacked_keys(emb.select("vec_id", F.col("vec").alias("embedding")))
     posting = (
-        stacked.groupBy("band", "bucket_key")
+        _cap_bucket(stacked, ["band", "bucket_key"], "vec_id")
+        .groupBy("band", "bucket_key")
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -804,9 +812,17 @@ def _sign_word_sql(word: int, e: str = "e") -> str:
 ORACLES: dict[str, str] = {
     "q19_embedding_neardup_pairs": f"""
         WITH {_keys_cte(with_label=False)},
+        ckeys AS (
+            SELECT vec_id, band, bucket_key FROM (
+                SELECT vec_id, band, bucket_key,
+                       row_number() OVER (
+                           PARTITION BY band, bucket_key ORDER BY vec_id) AS rn
+                FROM keys
+            ) WHERE rn <= {LSH_BUCKET_CAP}
+        ),
         cand AS (
             SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-            FROM keys x JOIN keys y
+            FROM ckeys x JOIN ckeys y
               ON x.band = y.band AND x.bucket_key = y.bucket_key
              AND x.vec_id < y.vec_id
         )
