@@ -558,7 +558,12 @@ def _q102_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 b = bytes(payload)
                 container = "tiff" if b[:4] in (b"II*\x00", b"MM\x00*") else "jpeg"
-                meta = parse_exif(b) or {}
+                # untrusted-media contract: a hostile payload degrades to
+                # has_exif=False for that row, never a task failure
+                try:
+                    meta = parse_exif(b) or {}
+                except Exception:
+                    meta = {}
                 rows.append(
                     {
                         "doc_id": int(doc_id),

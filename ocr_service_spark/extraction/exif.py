@@ -134,8 +134,17 @@ def _exif_tiff_blob(payload: bytes) -> bytes | None:
     return None
 
 
-def _walk_ifd(blob: bytes, e: str, off: int, wanted: dict) -> dict:
+def _walk_ifd(
+    blob: bytes, e: str, off: int, wanted: dict, seen: set | None = None
+) -> dict:
     out: dict = {}
+    # untrusted input: a sub-IFD pointer may loop back at an already
+    # visited offset (or chain arbitrarily deep) — track visited offsets
+    # so a crafted payload degrades to a partial parse, never recursion
+    seen = set() if seen is None else seen
+    if off in seen or len(seen) >= 8:
+        return out
+    seen.add(off)
     if off + 2 > len(blob):
         return out
     n = struct.unpack_from(e + "H", blob, off)[0]
@@ -154,7 +163,7 @@ def _walk_ifd(blob: bytes, e: str, off: int, wanted: dict) -> dict:
             continue
         if tag == TAG_EXIF_IFD and typ == _TYPE_LONG and cnt == 1:
             sub_off = struct.unpack_from(e + "I", blob, voff)[0]
-            out.update(_walk_ifd(blob, e, sub_off, wanted))
+            out.update(_walk_ifd(blob, e, sub_off, wanted, seen))
             continue
         if tag not in wanted:
             continue

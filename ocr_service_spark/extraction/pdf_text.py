@@ -1101,10 +1101,32 @@ def pdf_to_text(stream: bytes, password: bytes = b"") -> tuple[str, int]:
 
 _INFO_KEYS = ("Title", "Author", "Producer", "CreationDate")
 
+# PDFDocEncoding (PDF 2.0 / ISO 32000-2 Annex D.4) differs from
+# Latin-1 only in 0x18-0x1F and 0x80-0x9F: breves/carons/rings in the
+# control block, and typographic punctuation (bullets, en/em dashes,
+# curly quotes, dagger, trademark, ligatures) in the C1 block — exactly
+# the bytes real-world Producer/Title values hit. 0x7F, 0x9F and 0xAD
+# are undefined in PDFDocEncoding.
+_PDFDOC_DELTAS = {
+    0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ", 0x1B: "˙",
+    0x1C: "˝", 0x1D: "˛", 0x1E: "˚", 0x1F: "˜",
+    0x7F: "�",
+    0x80: "•", 0x81: "†", 0x82: "‡", 0x83: "…",
+    0x84: "—", 0x85: "–", 0x86: "ƒ", 0x87: "⁄",
+    0x88: "‹", 0x89: "›", 0x8A: "−", 0x8B: "‰",
+    0x8C: "„", 0x8D: "“", 0x8E: "”", 0x8F: "‘",
+    0x90: "’", 0x91: "‚", 0x92: "™", 0x93: "ﬁ",
+    0x94: "ﬂ", 0x95: "Ł", 0x96: "Œ", 0x97: "Š",
+    0x98: "Ÿ", 0x99: "Ž", 0x9A: "ı", 0x9B: "ł",
+    0x9C: "œ", 0x9D: "š", 0x9E: "ž", 0x9F: "�",
+    0xAD: "�",
+}
+_PDFDOC_TABLE = str.maketrans(_PDFDOC_DELTAS)
+
 
 def _pdf_text_string(raw) -> str | None:
     """PDF text-string decode: UTF-16BE with BOM, else PDFDocEncoding
-    (latin-1 covers the ASCII fixtures and the common web subset)."""
+    (Latin-1 plus the 0x18-0x1F / 0x80-0x9F punctuation deltas)."""
     if not isinstance(raw, bytes):
         return None
     if raw[:2] == b"\xfe\xff":
@@ -1112,7 +1134,7 @@ def _pdf_text_string(raw) -> str | None:
             return raw[2:].decode("utf-16-be")
         except UnicodeDecodeError:
             return None
-    return raw.decode("latin-1")
+    return raw.decode("latin-1").translate(_PDFDOC_TABLE)
 
 
 def pdf_info(stream: bytes, password: bytes = b"") -> dict[str, str | None]:

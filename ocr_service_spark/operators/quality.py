@@ -155,7 +155,11 @@ def q95_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q95_oracle() -> str:
     syn = " UNION ALL ".join(
-        "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(i, txt)
+        # SQL-escape embedded single quotes so a future fixture with an
+        # apostrophe can't silently break or skew the oracle
+        "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
+            i, txt.replace("'", "''")
+        )
         for i, txt in sorted(_GOPHER_SYN.items())
     )
     stop_sum = " + ".join(
