@@ -54,7 +54,19 @@ class StubOcrEngine:
 
 class TesseractEngine:
     """Real engine; importable only on executor images that ship
-    tesseract (O1: init once per worker, reuse across batches)."""
+    tesseract (O1: init once per worker, reuse across batches).
+
+    Config pass-through mirrors the reference worker init
+    (ocr_engine.py:25-28): ``path`` from the ``TESSDATA_PREFIX`` env
+    (settings.py:31/169 — executor-image env is the Spark analog of
+    its settings object), ``lang`` pinned to OCR_LANGUAGE
+    (settings.py:33). Each recognition runs under the reference's
+    30 s per-page timeout (settings.py:32, result.get(timeout=...) at
+    ocr_engine.py:66) via a single reused worker thread — the
+    thread-pool shape of its multiprocessing.dummy Pool, sized 1
+    because Spark owns page parallelism. ``close()`` mirrors the
+    End() teardown (ocr_engine.py:74-75) and is registered atexit for
+    the executor-singleton lifetime."""
 
     def __init__(self) -> None:
         import os
@@ -62,9 +74,16 @@ class TesseractEngine:
         os.environ.setdefault("OMP_THREAD_LIMIT", OMP_THREAD_LIMIT)
         from tesserocr import PyTessBaseAPI  # noqa: PLC0415
 
-        self._api = PyTessBaseAPI(lang=OCR_LANGUAGE)
+        kwargs: dict = {"lang": OCR_LANGUAGE}
+        tessdata = os.environ.get("TESSDATA_PREFIX")
+        if tessdata:
+            kwargs["path"] = tessdata
+        self._api = PyTessBaseAPI(**kwargs)
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    def recognize(self, image_bytes: bytes) -> tuple[str, float]:
+        self._pool = ThreadPoolExecutor(max_workers=1)
+
+    def _recognize_sync(self, image_bytes: bytes) -> tuple[str, float]:
         from io import BytesIO
 
         from PIL import Image  # noqa: PLC0415
@@ -76,6 +95,18 @@ class TesseractEngine:
         # reference: empty page -> denominator 1 -> 0.0 (ocr_engine.py:37)
         mean_conf = sum(confidences) / max(len(confidences), 1)
         return text, float(mean_conf)
+
+    def recognize(self, image_bytes: bytes) -> tuple[str, float]:
+        # raises concurrent.futures.TimeoutError past the pinned page
+        # budget, like the reference's result.get(timeout=...) — the
+        # document-level swallow turns it into the empty failure row
+        return self._pool.submit(self._recognize_sync, image_bytes).result(
+            timeout=OCR_PAGE_TIMEOUT_S
+        )
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+        self._api.End()
 
 
 def engine_name() -> str:
@@ -106,7 +137,11 @@ def get_engine() -> OcrEngine:
     global _ENGINE
     if _ENGINE is None:
         try:
-            _ENGINE = TesseractEngine()
+            engine = TesseractEngine()
+            import atexit
+
+            atexit.register(engine.close)  # End() at worker teardown
+            _ENGINE = engine
         except Exception:
             from ocr_service_spark.extraction.glyph_ocr import GlyphOcrEngine
 
