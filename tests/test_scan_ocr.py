@@ -114,3 +114,43 @@ def test_in_model_path_still_exact():
     got, conf = GlyphOcrEngine().recognize(render_text_png(text))
     assert got == text
     assert conf == 100.0
+
+
+# ---------------------------------------------------------------------------
+# Second independent scan fixture (tools/gen_scan_fixture2.py): bold
+# weight, fractional anisotropic scale (2.6x/2.2x), sensor noise, and
+# the repo's own JPEG quantization — a typeface/size neither the 5x7
+# templates nor pat_id_1 exhibit, guarding against pat_id_1 overfit.
+# ---------------------------------------------------------------------------
+
+FIXTURE2 = Path(__file__).resolve().parent / "golden/scan_page2.jpg"
+
+
+@pytest.fixture(scope="module")
+def scan2_result():
+    return GlyphOcrEngine().recognize(FIXTURE2.read_bytes())
+
+
+def test_second_scan_fixture_passes_reference_gate(scan2_result):
+    from tools.gen_scan_fixture2 import PAGE2_TEXT
+
+    text, conf = scan2_result
+    sim = lev_similarity(text, re.sub(r"\s+", " ", PAGE2_TEXT).strip())
+    assert sim >= 0.60, f"reference OCR gate FAILED on fixture 2: {sim:.4f}"
+    # measured 0.8784; floor pinned just below as a regression gate
+    assert sim >= 0.86, f"similarity vs page-2 text regressed: {sim:.4f}"
+    assert 0.0 < conf < 100.0
+
+
+def test_second_scan_fixture_reads_key_content(scan2_result):
+    text, _ = scan2_result
+    for token in ("Patient Janet", "seen on 14", "amoxicillin", "2026"):
+        assert token in text, f"missing {token!r}"
+
+
+def test_second_scan_fixture_bytes_are_reproducible():
+    # the committed fixture must be exactly what the generator produces,
+    # so the transform parameters in the tool ARE the fixture's identity
+    from tools.gen_scan_fixture2 import build_scan_page2
+
+    assert build_scan_page2() == FIXTURE2.read_bytes()
