@@ -699,6 +699,91 @@ def _q103_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q104_avc1_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avc1/H.264 stream analysis on REAL decoded video: per doc_id a
+    conformant Baseline avc1 MP4 is BUILT by the from-scratch H.264
+    writer (extraction/h264_codec.py — SPS/PPS in avcC, IDR I_PCM
+    frames, 20x12 display dims exercising SPS frame cropping since the
+    coded size is 32x16), then the PARSE stage recovers profile/
+    entropy/true-cropped-dims/keyframe count from the SPS + stss walk
+    (avc1_stream_info) and decodes every frame's pixels losslessly
+    (mp4_frames -> decode_ipcm_idr). Solid frame k of doc i has value
+    (i*23 + 19k) % 256, so pixel sums are closed-form for the oracle —
+    a hash match proves NAL emulation-prevention, Exp-Golomb, SPS
+    cropping and the I_PCM macroblock walk are all bit-correct. Tail
+    by design (same local gates as the metadata tier); the CAVLC/CABAC
+    residual boundary is pinned in tests/test_h264_codec.py."""
+    _ship_package(spark)
+    import pandas as pd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 240)
+    )
+
+    def gen(batches):
+        from ocr_service_spark.extraction.mp4_codec import encode_avc1_mp4
+
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                frames = [
+                    bytes([(i * 23 + 19 * k) % 256]) * (20 * 12)
+                    for k in range(1 + i % 4)
+                ]
+                rows.append(
+                    {"doc_id": i, "payload": encode_avc1_mp4(20, 12, frames, fps=2)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    vids = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+    def parse(batches):
+        from ocr_service_spark.extraction.mp4_codec import (
+            avc1_stream_info,
+            mp4_frames,
+        )
+
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(payload)
+                info = avc1_stream_info(b)
+                decoded = mp4_frames(b) or []
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "profile_idc": info["profile_idc"],
+                        "entropy": info["entropy"],
+                        "width": info["width"],
+                        "height": info["height"],
+                        "n_keyframes": len(info["keyframes"]),
+                        "n_decoded": len(decoded),
+                        "first_frame_sum": sum(decoded[0][2]) if decoded else None,
+                        "total_pixel_sum": sum(sum(f[2]) for f in decoded),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "profile_idc", "entropy", "width", "height",
+                    "n_keyframes", "n_decoded", "first_frame_sum",
+                    "total_pixel_sum",
+                ],
+            )
+
+    return vids.mapInPandas(
+        parse,
+        schema=(
+            "doc_id bigint, profile_idc bigint, entropy string, width bigint,"
+            " height bigint, n_keyframes bigint, n_decoded bigint,"
+            " first_frame_sum bigint, total_pixel_sum bigint"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail by design from birth (see each docstring): metadata tier
     out["q102_exif_metadata"] = _q102_exif_metadata
     out["q103_pdf_metadata"] = _q103_pdf_metadata
+    out["q104_avc1_streams"] = _q104_avc1_streams
     return out
 
 
@@ -1172,5 +1258,31 @@ def oracle_sql() -> dict[str, str]:
                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
                       || '120000Z' END AS creation_date
         FROM documents
+    """
+    # q104: the avc1 writer/reader pair is closed-form in doc_id —
+    # frame k of doc i is solid (i*23 + 19k) % 256 over 20x12, frames
+    # per doc = 1 + i % 4, every frame an IDR keyframe
+    out["q104_avc1_streams"] = """
+        WITH d AS (
+            SELECT doc_id, 1 + doc_id % 4 AS nf
+            FROM documents WHERE doc_id < 240
+        ),
+        f AS (
+            SELECT doc_id, nf,
+                   CAST(240 * ((doc_id * 23 + 19 * k) % 256) AS BIGINT) AS fsum,
+                   k
+            FROM d, LATERAL unnest(range(nf)) AS t(k)
+        )
+        SELECT doc_id,
+               CAST(66 AS BIGINT) AS profile_idc,
+               'cavlc' AS entropy,
+               CAST(20 AS BIGINT) AS width,
+               CAST(12 AS BIGINT) AS height,
+               CAST(nf AS BIGINT) AS n_keyframes,
+               CAST(nf AS BIGINT) AS n_decoded,
+               CAST(max(CASE WHEN k = 0 THEN fsum END) AS BIGINT)
+                   AS first_frame_sum,
+               CAST(sum(fsum) AS BIGINT) AS total_pixel_sum
+        FROM f GROUP BY doc_id, nf
     """
     return out

@@ -7,10 +7,16 @@ offsets) — into per-sample byte spans + timestamps, exactly the way a
 conformant demuxer locates frames. Samples whose stsd entry format is
 ``jpeg`` (QuickTime Motion-JPEG: each sample is a bare baseline JPEG
 stream) decode to real pixels via the repo's from-scratch baseline
-JPEG codec (jpeg_codec.decode_jpeg_gray). Other codecs (avc1/hev1…)
-yield sample METADATA only — an entropy decoder for H.264 is the
-explicitly-marked stub boundary of this repo's codec ladder; the
-sample-table plumbing in front of it is real and shared.
+JPEG codec (jpeg_codec.decode_jpeg_gray). ``avc1`` (H.264) tracks get
+the from-scratch codec layer in extraction/h264_codec.py: full
+SPS/PPS parsing (profile/level/true cropped dims for ANY stream),
+keyframe indexing (stss or IDR NAL scan), and real pixel decode for
+I_PCM macroblock streams — the coding this repo's own writer twin
+emits, losslessly. The ONE remaining boundary of the codec ladder is
+residual entropy decoding (CAVLC/CABAC-coded predicted macroblocks):
+such frames yield metadata + keyframe positions but no pixels, and
+tests/test_h264_codec.py pins that fallback contract. hev1/other
+codecs yield sample METADATA only.
 
 Writer twin (tests + synthetic corpora, like png_codec/encode_tiff_gray):
 emits a minimal but conformant single-video-track MJPEG file — ftyp +
@@ -118,7 +124,8 @@ def _read_sample_table(
     if not all((stsd, stsz)) or (stco is None and co64 is None):
         return None
 
-    # stsd: first sample entry -> format fourcc + coded dims
+    # stsd: first sample entry -> format fourcc + coded dims (+ codec
+    # config boxes past the 86-byte VisualSampleEntry header, e.g. avcC)
     body, bend = stsd
     if body + 16 > bend:
         return None
@@ -127,6 +134,13 @@ def _read_sample_table(
     width = height = 0
     if entry + 36 <= bend:
         width, height = struct.unpack_from(">HH", buf, entry + 32)
+    avcc = None
+    entry_size = struct.unpack_from(">I", buf, entry)[0]
+    entry_end = min(entry + entry_size, bend)
+    if fmt == b"avc1" and entry + 86 < entry_end:
+        got = _child(buf, entry + 86, entry_end, b"avcC")
+        if got is not None:
+            avcc = buf[got[0] : got[1]]
 
     # stsz: uniform or per-sample sizes
     body, bend = stsz
@@ -200,23 +214,41 @@ def _read_sample_table(
             sample_idx += 1
     if sample_idx < n_samples:
         return None  # chunk map does not cover every sample
+
+    # stss: sync-sample (keyframe) numbers, 1-based; absent = all sync
+    sync: list[int] | None = None
+    stss = _child(buf, start, end, b"stss")
+    if stss is not None:
+        body, bend = stss
+        n_sync = struct.unpack_from(">I", buf, body + 4)[0]
+        if body + 8 + 4 * n_sync <= bend:
+            sync = list(struct.unpack_from(f">{n_sync}I", buf, body + 8))
+
     return {
         "codec": fmt.decode("latin-1"),
         "width": width,
         "height": height,
         "timescale": timescale,
         "samples": samples,
+        "sync_samples": sync,
+        "avcc": avcc,
     }
 
 
 def mp4_frames(
     payload: bytes, max_frames: int = 8
 ) -> list[tuple[int, int, bytes, float]] | None:
-    """Decoded (width, height, luma, ts_seconds) per MJPEG sample, or
-    None when the track is absent or its codec is not decodable from
-    scratch (the caller falls back to the metadata-only path)."""
+    """Decoded (width, height, luma, ts_seconds) per video sample —
+    MJPEG samples through the baseline JPEG codec, avc1 samples through
+    the H.264 I_PCM decoder — or None when the track is absent or its
+    coding is past the from-scratch boundary (CAVLC/CABAC residuals:
+    the caller falls back to the metadata-only path)."""
     track = mp4_video_track(payload)
-    if track is None or track["codec"].encode("latin-1") not in _MJPEG_FORMATS:
+    if track is None:
+        return None
+    if track["codec"] == "avc1":
+        return _avc1_frames(payload, track, max_frames)
+    if track["codec"].encode("latin-1") not in _MJPEG_FORMATS:
         return None
     out = []
     for off, size, ts in track["samples"][:max_frames]:
@@ -226,6 +258,100 @@ def mp4_frames(
             return None  # corrupt sample: honest fallback, not a crash
         out.append((w, h, luma, ts))
     return out or None
+
+
+def _avc1_sps_pps(track: dict) -> tuple[dict, dict] | None:
+    from ocr_service_spark.extraction.h264_codec import (
+        H264Error,
+        _strip_emulation,
+        parse_avcc,
+        parse_pps,
+        parse_sps,
+    )
+
+    cfg = parse_avcc(track["avcc"]) if track.get("avcc") else None
+    if not cfg or not cfg["sps"] or not cfg["pps"]:
+        return None
+    try:
+        sps = parse_sps(_strip_emulation(cfg["sps"][0][1:]))
+        pps = parse_pps(_strip_emulation(cfg["pps"][0][1:]))
+    except H264Error:
+        return None
+    sps["_length_size"] = cfg["length_size"]
+    return sps, pps
+
+
+def _avc1_frames(
+    payload: bytes, track: dict, max_frames: int
+) -> list[tuple[int, int, bytes, float]] | None:
+    from ocr_service_spark.extraction.h264_codec import (
+        H264Error,
+        decode_ipcm_idr,
+        nal_units_avcc,
+    )
+
+    got = _avc1_sps_pps(track)
+    if got is None:
+        return None
+    sps, pps = got
+    out = []
+    for off, size, ts in track["samples"][:max_frames]:
+        try:
+            nals = nal_units_avcc(payload[off : off + size], sps["_length_size"])
+        except H264Error:
+            return None
+        luma = None
+        for nal in nals:
+            if nal and (nal[0] & 0x1F) in (1, 5):
+                luma = decode_ipcm_idr(nal, sps, pps)
+                break
+        if luma is None:
+            return None  # residual-coded frame: metadata-only fallback
+        out.append((sps["width"], sps["height"], luma, ts))
+    return out or None
+
+
+def avc1_stream_info(payload: bytes) -> dict | None:
+    """Codec-layer metadata for ANY avc1 MP4 (no pixel decode needed):
+    H.264 profile/level, the TRUE display dims from the SPS (the stsd
+    dims lie when cropping is present), entropy mode, and the keyframe
+    sample numbers + timestamps (stss when present, else an IDR NAL
+    scan over the sample table). None when the file has no parsable
+    avc1 track."""
+    track = mp4_video_track(payload)
+    if track is None or track["codec"] != "avc1":
+        return None
+    got = _avc1_sps_pps(track)
+    if got is None:
+        return None
+    sps, pps = got
+    if track["sync_samples"] is not None:
+        keyframes = track["sync_samples"]
+    else:
+        from ocr_service_spark.extraction.h264_codec import (
+            H264Error,
+            nal_units_avcc,
+        )
+
+        keyframes = []
+        for i, (off, size, _ts) in enumerate(track["samples"], 1):
+            try:
+                nals = nal_units_avcc(payload[off : off + size], sps["_length_size"])
+            except H264Error:
+                continue
+            if any(n and (n[0] & 0x1F) == 5 for n in nals):
+                keyframes.append(i)
+    ts_by_no = {i: ts for i, (_o, _s, ts) in enumerate(track["samples"], 1)}
+    return {
+        "profile_idc": sps["profile_idc"],
+        "level_idc": sps["level_idc"],
+        "width": sps["width"],
+        "height": sps["height"],
+        "entropy": "cabac" if pps["entropy_coding_mode"] else "cavlc",
+        "n_samples": len(track["samples"]),
+        "keyframes": keyframes,
+        "keyframe_ts": [ts_by_no[i] for i in keyframes if i in ts_by_no],
+    }
 
 
 # ---------------------------------------------------------------- writer
@@ -327,6 +453,115 @@ def encode_mjpeg_mp4(
         _UNITY_MATRIX,
         b"\x00" * 24,
         struct.pack(">I", 2),  # next track id
+    )
+    moov = _box(b"moov", mvhd, _box(b"trak", tkhd, mdia))
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def encode_avc1_mp4(
+    width: int, height: int, lumas: list[bytes], fps: int = 2
+) -> bytes:
+    """Grayscale frames -> a conformant single-track avc1 (H.264) MP4.
+
+    Every frame is an IDR picture of I_PCM macroblocks (lossless, raw
+    samples inside the NAL — mandatory-support coding in every H.264
+    profile), length-prefixed per ISO 14496-15, SPS/PPS carried in the
+    avcC sample-entry box, all samples listed sync in stss. Frames
+    round-trip byte-exactly through mp4_frames/decode_ipcm_idr.
+    Deterministic for deterministic input."""
+    from ocr_service_spark.extraction.h264_codec import (
+        build_avcc,
+        write_ipcm_idr,
+        write_pps,
+        write_sps,
+    )
+
+    if not lumas:
+        raise Mp4Error("at least one frame required")
+    sps_nal = write_sps(width, height)
+    pps_nal = write_pps()
+    samples = []
+    for i, luma in enumerate(lumas):
+        nal = write_ipcm_idr(width, height, luma, idr_pic_id=i % 16)
+        samples.append(struct.pack(">I", len(nal)) + nal)
+    n = len(samples)
+    timescale = 1000
+    delta = timescale // fps
+    duration = n * delta
+
+    ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200), b"isomiso2avc1mp41")
+    mdat_payload = b"".join(samples)
+    chunk_off = len(ftyp) + 8
+
+    avcc_box = _box(b"avcC", build_avcc(sps_nal, pps_nal))
+    entry_body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + avcc_box
+    )
+    stsd_entry = struct.pack(">I", 8 + len(entry_body)) + b"avc1" + entry_body
+    stbl = _box(
+        b"stbl",
+        _box(b"stsd", struct.pack(">II", 0, 1), stsd_entry),
+        _box(b"stts", struct.pack(">II", 0, 1), struct.pack(">II", n, delta)),
+        _box(b"stss", struct.pack(">II", 0, n), struct.pack(f">{n}I", *range(1, n + 1))),
+        _box(b"stsc", struct.pack(">II", 0, 1), struct.pack(">III", 1, n, 1)),
+        _box(
+            b"stsz",
+            struct.pack(">III", 0, 0, n),
+            struct.pack(f">{n}I", *(len(s) for s in samples)),
+        ),
+        _box(b"stco", struct.pack(">II", 0, 1), struct.pack(">I", chunk_off)),
+    )
+    minf = _box(
+        b"minf",
+        _box(b"vmhd", struct.pack(">I", 1), b"\x00" * 8),
+        _box(
+            b"dinf",
+            _box(b"dref", struct.pack(">II", 0, 1), _box(b"url ", struct.pack(">I", 1))),
+        ),
+        stbl,
+    )
+    mdia = _box(
+        b"mdia",
+        _box(
+            b"mdhd",
+            struct.pack(">III", 0, 0, 0),
+            struct.pack(">II", timescale, duration),
+            struct.pack(">HH", 0x55C4, 0),
+        ),
+        _box(b"hdlr", struct.pack(">I", 0), b"\x00" * 4, b"vide", b"\x00" * 12, b"\x00"),
+        minf,
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">I", 7),
+        struct.pack(">III", 0, 0, 1),
+        struct.pack(">I", 0),
+        struct.pack(">I", duration),
+        b"\x00" * 8,
+        struct.pack(">HHHH", 0, 0, 0, 0),
+        _UNITY_MATRIX,
+        struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">I", 0),
+        struct.pack(">II", 0, 0),
+        struct.pack(">II", timescale, duration),
+        struct.pack(">I", 0x10000),
+        struct.pack(">H", 0x100),
+        b"\x00" * 10,
+        _UNITY_MATRIX,
+        b"\x00" * 24,
+        struct.pack(">I", 2),
     )
     moov = _box(b"moov", mvhd, _box(b"trak", tkhd, mdia))
     return ftyp + _box(b"mdat", mdat_payload) + moov

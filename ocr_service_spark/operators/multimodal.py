@@ -290,10 +290,11 @@ def _decode(payload: bytes) -> dict:
       GIF / TIFF (incl. LZW/PackBits) and MJPEG MP4 (first decoded
       frame; n_frames = real sample count) — feature hash = content
       hash of the decoded luma, features = pixel statistics;
-    - non-MJPEG MP4 frames (avc1…): payload-hash stand-in, clearly
-      marked — swap in PIL/ffmpeg on a cluster image and the
-      surrounding operator (schema, batching, partitioning) is
-      unchanged.
+    - avc1 MP4: real pixels for I_PCM streams (h264_codec); frames
+      behind the CAVLC/CABAC residual boundary fall back to the
+      payload-hash stand-in, clearly marked — swap in an ffmpeg-class
+      decoder on a cluster image and the surrounding operator
+      (schema, batching, partitioning) is unchanged.
     """
     digest = hashlib.sha256(payload).digest()
     media_type, width, height, n_frames = "application/octet-stream", 0, 0, 0
@@ -361,10 +362,12 @@ def sample_frames(
     (PNG/JPEG/BMP/TIFF) from decode_image_luma; for these, frame_hash
     is the sha256 of the DECODED canvas luma and pixel_sum its integer
     pixel total (closed-form checkable for synthetic corpora, q60/q61).
-    Non-MJPEG MP4 (avc1…) remains the marked container-walk stub: frame
-    count/dims are real (tkhd/mvhd), frame_hash hashes container bytes
-    + frame_no, and pixel_sum is NULL until an ffmpeg-class decoder
-    joins the ladder on a real cluster image."""
+    avc1 MP4s decode for real when their frames are I_PCM-coded
+    (h264_codec.decode_ipcm_idr); CAVLC/CABAC residual-coded frames
+    remain the one marked boundary: frame count/dims/keyframes are
+    real (SPS + stss), frame_hash hashes container bytes + frame_no,
+    and pixel_sum is NULL until an ffmpeg-class decoder joins the
+    ladder on a real cluster image."""
     from ocr_service_spark.extraction.image_codecs import gif_frames
     from ocr_service_spark.extraction.mp4_codec import mp4_frames
 
