@@ -12,6 +12,9 @@ Env:
     BENCH_REPS          timing repetitions, best-of (default 3 —
                         the shared box shows 2x hypervisor-steal
                         swings between runs; min is the robust read)
+    BENCH_NUM_QUERIES   run only the first N headline queries (A/B
+                        probe for session-state accumulation across a
+                        long single-process query run)
 """
 
 from __future__ import annotations
@@ -138,7 +141,11 @@ def main() -> None:
 
     queries = em.queries()
     warm_dir = "/root/testdata/sf0.001" if os.path.isdir("/root/testdata/sf0.001") else SF_DIR
-    for name in HEADLINE_QUERIES:
+    headline = HEADLINE_QUERIES
+    num_q = os.environ.get("BENCH_NUM_QUERIES")
+    if num_q:
+        headline = headline[: int(num_q)]
+    for name in headline:
         fn = queries[name]
         # JIT-warm the query's generated code on the tiny sf before
         # timing it at the bench sf (same plan shape -> same classes)
@@ -153,7 +160,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total wall sec (extraction of %d synthetic docs + %d headline queries)"
-        % (n_docs, len(HEADLINE_QUERIES)),
+        % (n_docs, len(headline)),
         "value": total,
         "unit": "sec",
         "queries": timings,

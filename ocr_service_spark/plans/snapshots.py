@@ -33,6 +33,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# read_as_of: largest snapshot part list inlined as an IN literal;
+# larger lists become a broadcast semi-join (see read_as_of docstring)
+AS_OF_MAX_INLINE_PARTS = 10_000
+
 
 def _read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     """Schema-migrating manifest read: manifests written before the
@@ -83,22 +87,30 @@ def read_as_of(
 ) -> DataFrame:
     """The results table as of a commit (default: latest).
 
-    The part list for the pinned commit is tiny (<= n_parts rows,
+    The part list for the pinned commit is small (<= n_parts rows,
     collected driver-side like an Iceberg manifest-list read) and
     becomes an IN filter on the partition column — Spark prunes the
     non-member part directories at planning time, so the scan touches
-    exactly the files the pinned snapshot references.
+    exactly the files the pinned snapshot references. Past
+    ``AS_OF_MAX_INLINE_PARTS`` distinct parts the literal IN list
+    would bloat the plan (10^6 partitions -> a 10^6-literal predicate
+    compiled into codegen), so the filter switches to a broadcast
+    left-semi join against the manifest projection: no driver
+    collection, same pruned semantics, scale-safe.
     """
     manifest = _read_manifest(spark, manifest_path)
     if snapshot_id is not None:
         manifest = manifest.filter(F.col("input_snapshot_id") == snapshot_id)
     if commit_seq is not None:
         manifest = manifest.filter(F.col("commit_seq") <= commit_seq)
-    parts = [r["part_hash"] for r in manifest.select("part_hash").distinct().collect()]
+    part_df = manifest.select("part_hash").distinct()
     results = spark.read.parquet(results_path)
+    parts = [r["part_hash"] for r in part_df.limit(AS_OF_MAX_INLINE_PARTS + 1).collect()]
     if not parts:
         return results.filter(F.lit(False))
-    return results.filter(F.col("part_hash").isin(parts))
+    if len(parts) <= AS_OF_MAX_INLINE_PARTS:
+        return results.filter(F.col("part_hash").isin(parts))
+    return results.join(F.broadcast(part_df), "part_hash", "left_semi")
 
 
 def rollback(spark: SparkSession, manifest_path: str, commit_seq: int) -> int:

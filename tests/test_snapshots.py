@@ -134,3 +134,29 @@ def test_as_of_read_prunes_partitions(spark, paths):
     plan = df._jdf.queryExecution().explainString(mode)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("part_hash" in ln for ln in pf), plan
+
+
+def test_as_of_large_part_list_uses_broadcast_semi_join(spark, paths, monkeypatch):
+    # past AS_OF_MAX_INLINE_PARTS the IN-literal list would bloat the
+    # plan (the Iceberg-manifest-list concern at 10^6 partitions): the
+    # filter must switch to a broadcast LEFT SEMI join with identical
+    # results and still no driver-side full collect
+    from ocr_service_spark.plans import snapshots as snap
+
+    results_path, manifest_path = paths
+    pages = _pages(spark)
+    run_with_checkpoint(spark, _half(pages), "src", results_path, manifest_path, N_PARTS)
+    run_with_checkpoint(spark, pages, "src", results_path, manifest_path, N_PARTS)
+
+    inline = read_as_of(spark, results_path, manifest_path, commit_seq=1)
+    inline_rows = {r["url"] for r in inline.select("url").collect()}
+
+    monkeypatch.setattr(snap, "AS_OF_MAX_INLINE_PARTS", 2)
+    semi = read_as_of(spark, results_path, manifest_path, commit_seq=1)
+    semi_rows = {r["url"] for r in semi.select("url").collect()}
+    assert semi_rows == inline_rows
+
+    jvm = semi.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = semi._jdf.queryExecution().explainString(mode)
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan

@@ -4,11 +4,17 @@ pandas dtypes (the driver's value hash is dtype-sensitive — DuckDB
 HUGEINT vs Spark BIGINT was round-1's only failure mode), and exact
 cell values after column-name sort.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [sf_dir] [--json OUT.json] [query ...]
+
+``--json`` writes the full per-query result table as a committed-able
+artifact (CORRECTNESS_local_rN.json): the local replica of the driver's
+CORRECTNESS_rN.json covering ALL registered queries, not just the
+driver's 50-query window.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -22,8 +28,14 @@ TABLES = (
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from pyspark.sql import SparkSession
 
@@ -47,6 +59,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failed = []
+    records = []
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -73,10 +86,37 @@ def main() -> int:
                     problems.append(f"values ({int(diff.to_numpy().sum())} cells differ)")
         status = "OK " if not problems else "FAIL"
         print(f"{status} {name}: {len(sdf)} rows" + ("; " + "; ".join(problems) if problems else ""))
+        records.append(
+            {
+                "query": name,
+                "ok": not problems,
+                "rows": len(sdf),
+                "problems": problems,
+            }
+        )
         if problems:
             failed.append(name)
     spark.stop()
+    # oracle-less queries (non-SQL-expressible ops) are listed so the
+    # artifact is explicit about what the oracle sweep does NOT cover
+    no_oracle = sorted(set(qs) - set(oracles))
     print("FAILED:", failed if failed else "none")
+    if json_out:
+        Path(json_out).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_checked": len(records),
+                    "n_ok": sum(1 for r in records if r["ok"]),
+                    "n_failed": len(failed),
+                    "failed": failed,
+                    "queries_without_oracle": no_oracle,
+                    "results": records,
+                },
+                indent=1,
+            )
+        )
+        print("wrote", json_out)
     return 1 if failed else 0
 
 
