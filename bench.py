@@ -88,6 +88,10 @@ HEADLINE_QUERIES = [
     "q98_corpus_export",
     "q99_corpus_mixture",
     "q100_split_leakage_guard",
+    # round 5 additions — metadata tier + the avc1/H.264 video tier
+    "q102_exif_metadata",
+    "q103_pdf_metadata",
+    "q104_avc1_streams",
 ]
 
 
