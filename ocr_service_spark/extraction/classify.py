@@ -25,7 +25,7 @@ from ocr_service_spark.extraction.sniff import DOCUMENT_EXTS, IMAGE_EXTS, FileTy
 
 @dataclass(frozen=True)
 class Classification:
-    doc_class: str  # encrypted_office|pdf|xml|html|rtf|office|image|plain|unknown
+    doc_class: str  # encrypted_office|pdf|xml|html|rtf|office|image|media|plain|unknown
     content_type: str  # initial resolve (converter.py:52-56); branches override later
     ext: str | None  # effective extension ("docx"/"odt"/... or None)
     is_html: bool
@@ -132,6 +132,8 @@ def classify(stream: bytes, url: str | None = None) -> Classification:
         doc_class = "rtf" if is_rtf else "office"
     elif ft_ext in IMAGE_EXTS:
         doc_class = "image"
+    elif ft_ext in sniff.MEDIA_EXTS:
+        doc_class = "media"
     elif is_plain:
         doc_class = "plain"
     else:

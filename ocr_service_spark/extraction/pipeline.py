@@ -145,6 +145,51 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
         # OCR mode: LO conversion absent -> no PDF -> T4 fallback below
     elif cls.doc_class == "office":
         pdf_stream = b""  # LO conversion structurally absent -> no PDF produced
+    elif cls.doc_class == "media":
+        # beyond-reference web-corpus rung (the reference has no media
+        # route at all): audio/video payloads are never text-extracted —
+        # they skip like NO_OCR images but carry container metadata so a
+        # downstream multimodal tier can route on it without re-sniffing
+        meta["pages"] = 1
+        meta["media_skipped"] = True
+        if cls.ext == "mp4":
+            from ocr_service_spark.extraction.mp4_codec import (
+                avc1_stream_info,
+                mp4_video_track,
+            )
+
+            track = mp4_video_track(stream)
+            if track is not None:
+                meta["media_codec"] = track["codec"]
+                meta["media_frames"] = len(track["samples"])
+                if track["width"]:
+                    meta["media_width"] = track["width"]
+                    meta["media_height"] = track["height"]
+                if track["codec"] == "avc1":
+                    info = avc1_stream_info(stream)
+                    if info is not None:
+                        # SPS truth overrides the stsd dims (cropping)
+                        meta["media_width"] = info["width"]
+                        meta["media_height"] = info["height"]
+                        meta["media_profile"] = info["profile_idc"]
+                        meta["media_keyframes"] = len(info["keyframes"])
+        elif cls.ext == "wav":
+            # fmt-chunk walk (the operator-tier _wav_info does the full
+            # RIFF parse; here only the routing metadata is needed)
+            import struct as _struct
+
+            pos = 12
+            while pos + 8 <= len(stream):
+                cid = stream[pos : pos + 4]
+                csize = _struct.unpack_from("<I", stream, pos + 4)[0]
+                if cid == b"fmt " and pos + 16 <= len(stream):
+                    _tag, channels, sample_rate = _struct.unpack_from(
+                        "<HHI", stream, pos + 8
+                    )
+                    meta["media_channels"] = channels
+                    meta["media_sample_rate"] = sample_rate
+                    break
+                pos += 8 + csize + (csize & 1)
     elif cls.doc_class == "image":
         if mode == "NO_OCR":
             # converter.py:379-383 NO_OCR image skip

@@ -78,12 +78,17 @@ MIME_BY_EXT: dict[str, str] = {
     "odt": "application/vnd.oasis.opendocument.text",
     "ods": "application/vnd.oasis.opendocument.spreadsheet",
     "odp": "application/vnd.oasis.opendocument.presentation",
+    # media containers (beyond-reference: a web corpus carries them;
+    # the reference's filetype.guess would also type both)
+    "mp4": "video/mp4",
+    "wav": "audio/x-wav",
 }
 
 # Extension groups mirroring filetype.types.DOCUMENT / IMAGE membership
 # as used by the reference dispatch (converter.py:506,514).
 DOCUMENT_EXTS = {"doc", "docx", "odt", "ods", "odp", "xls", "xlsx", "ppt", "pptx"}
 IMAGE_EXTS = {"png", "jpg", "gif", "bmp", "tif", "webp"}
+MEDIA_EXTS = {"mp4", "wav"}
 
 
 @dataclass(frozen=True)
@@ -272,6 +277,12 @@ def detect_file_type(stream: bytes) -> FileType | None:
         return FileType("tif", MIME_BY_EXT["tif"])
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         return FileType("webp", MIME_BY_EXT["webp"])
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return FileType("wav", MIME_BY_EXT["wav"])
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # ISO BMFF: the type lives at offset 4 (the one non-offset-0
+        # magic filetype also special-cases)
+        return FileType("mp4", MIME_BY_EXT["mp4"])
     if b.startswith(b"PK\x03\x04"):
         ext = infer_zip_office_extension(b)
         if ext and ext in MIME_BY_EXT:

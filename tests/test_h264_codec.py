@@ -289,3 +289,34 @@ def test_sample_frames_operator_decodes_avc1(spark):
     assert [r.pixel_sum for r in rows] == [10 * 256, 20 * 256, 30 * 256]
     assert [r.frame_ts for r in rows] == [0.0, 0.5, 1.0]
     assert all((r.width, r.height) == (16, 16) for r in rows)
+
+
+# ------------------------------------------------------------ fuzz layer
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_sps_pps_parsers_never_crash_on_junk(data):
+    # untrusted-input contract: H264Error or a dict, never any other
+    # exception (IndexError/struct.error/RecursionError/...)
+    for parser in (parse_sps, parse_pps):
+        try:
+            parser(data)
+        except H264Error:
+            pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_ipcm_decoder_never_crashes_on_junk_nal(data):
+    sps, pps = _parsed_pair(32, 32)
+    decode_ipcm_idr(data, sps, pps)  # None or pixels, never an exception
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=128))
+def test_emulation_strip_insert_roundtrip_property(data):
+    assert _strip_emulation(_insert_emulation(data)) == data

@@ -90,3 +90,66 @@ def test_ole_stream_names(fixture_bytes):
     assert "worddocument" in names
     names_enc = sniff.ole_stream_names(fixture_bytes("invalid/word_enc_noerror.docx"))
     assert {"encryptedpackage", "encryptioninfo"} <= names_enc
+
+
+def test_media_sniff_and_classify():
+    # ISO BMFF: the magic lives at offset 4 (ftyp), the one non-offset-0
+    # magic; RIFF/WAVE must not be shadowed by the RIFF/WEBP check
+    from ocr_service_spark.extraction.mp4_codec import encode_avc1_mp4
+
+    mp4 = encode_avc1_mp4(16, 16, [bytes(256)])
+    ft = sniff.detect_file_type(mp4)
+    assert (ft.ext, ft.mime) == ("mp4", "video/mp4")
+    assert classify(mp4).doc_class == "media"
+
+    import struct
+
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(fmt)) + b"WAVE" + fmt
+    ft = sniff.detect_file_type(wav)
+    assert (ft.ext, ft.mime) == ("wav", "audio/x-wav")
+    assert classify(wav).doc_class == "media"
+    # WEBP still wins its RIFF slot
+    webp = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
+    assert sniff.detect_file_type(webp).ext == "webp"
+
+
+def test_media_route_skips_with_container_metadata():
+    from ocr_service_spark.extraction.mp4_codec import encode_avc1_mp4
+    from ocr_service_spark.extraction.pipeline import extract_document
+
+    # 36x22 display dims force SPS cropping: the metadata must carry the
+    # SPS truth, not the 48x32 coded size
+    out = extract_document(
+        encode_avc1_mp4(36, 22, [bytes(36 * 22)] * 3), "https://x.test/clip.mp4"
+    )
+    assert out["doc_class"] == "media"
+    assert out["content_type"] == "video/mp4"
+    assert out["success"] is False and not out["extracted_text"]
+    md = out["metadata"]
+    assert md["media_skipped"] == "True"
+    assert md["media_codec"] == "avc1"
+    assert (md["media_width"], md["media_height"]) == ("36", "22")
+    assert md["media_profile"] == "66" and md["media_keyframes"] == "3"
+
+    import struct
+
+    data = struct.pack("<40h", *range(40))
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 9000, 36000, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + len(data)) + b"WAVE"
+           + fmt + b"data" + struct.pack("<I", len(data)) + data)
+    out = extract_document(wav, "https://x.test/a.wav")
+    assert out["doc_class"] == "media"
+    assert out["metadata"]["media_sample_rate"] == "9000"
+    assert out["metadata"]["media_channels"] == "2"
+
+
+def test_media_route_truncated_container_still_skips():
+    # a bare ftyp header with no moov: doc_class media, no metadata
+    # enrichment, no crash
+    from ocr_service_spark.extraction.pipeline import extract_document
+
+    out = extract_document(b"\x00\x00\x00\x08ftypisom" + b"\x00" * 16, "u.mp4")
+    assert out["doc_class"] == "media"
+    assert out["metadata"]["media_skipped"] == "True"
+    assert "media_codec" not in out["metadata"]
