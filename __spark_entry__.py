@@ -699,6 +699,84 @@ def _q103_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q105_media_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed media route through the REAL extraction job: per
+    doc_id < 300 a media payload is BUILT closed-form — avc1 MP4
+    (i%3==0: 20x12 display dims via SPS cropping, 1+i%3 IDR I_PCM
+    frames), WAV (i%3==1: sample rate 8000+(i%5)*1000, 1+i%2
+    channels), MJPEG MP4 (i%3==2: one 16x16 frame) — and pushed
+    through run_extraction. The output row carries doc_class /
+    content_type / success plus the routing metadata the pipeline
+    enriches (codec, frames, SPS-true dims, profile, sample rate,
+    channels), every value replayable in SQL. Proves magic-byte
+    sniffing (ftyp at offset 4, RIFF/WAVE vs RIFF/WEBP), the
+    skip-with-metadata contract, and that the avc1 SPS dims override
+    the stsd coded size — end-to-end in the distributed job, not a
+    unit test. Tail by design (same local gates as the media tier)."""
+    _ship_package(spark)
+    import pandas as pd
+
+    from ocr_service_spark.plans.job import run_extraction
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+    )
+
+    def gen(batches):
+        import struct
+
+        from ocr_service_spark.extraction.mp4_codec import (
+            encode_avc1_mp4,
+            encode_mjpeg_mp4,
+        )
+
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                if i % 3 == 0:
+                    payload = encode_avc1_mp4(
+                        20, 12,
+                        [bytes([(i * 13 + 7 * k) % 256]) * 240 for k in range(1 + i % 3)],
+                    )
+                elif i % 3 == 1:
+                    sr, ch, n = 8000 + (i % 5) * 1000, 1 + i % 2, 40
+                    data = struct.pack(
+                        f"<{n * ch}h", *(((i * 11 + 5 * j) % 256) - 128 for j in range(n * ch))
+                    )
+                    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+                        "<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16
+                    )
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+                        + b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+                    )
+                else:
+                    payload = encode_mjpeg_mp4(16, 16, [bytes([i % 256]) * 256])
+                rows.append({"url": f"media://{i}", "html": payload})
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    res = run_extraction(pages)
+    doc_id = F.regexp_extract("url", r"media://(\d+)", 1).cast("bigint")
+    md = F.col("metadata")
+    return res.select(
+        doc_id.alias("doc_id"),
+        "doc_class",
+        "content_type",
+        "success",
+        md["media_codec"].alias("media_codec"),
+        md["media_frames"].cast("bigint").alias("media_frames"),
+        md["media_width"].cast("bigint").alias("media_width"),
+        md["media_height"].cast("bigint").alias("media_height"),
+        md["media_profile"].cast("bigint").alias("media_profile"),
+        md["media_sample_rate"].cast("bigint").alias("media_sample_rate"),
+        md["media_channels"].cast("bigint").alias("media_channels"),
+    )
+
+
 def _q104_avc1_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """avc1/H.264 stream analysis on REAL decoded video: per doc_id a
     conformant Baseline avc1 MP4 is BUILT by the from-scratch H.264
@@ -1060,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q102_exif_metadata"] = _q102_exif_metadata
     out["q103_pdf_metadata"] = _q103_pdf_metadata
     out["q104_avc1_streams"] = _q104_avc1_streams
+    out["q105_media_route"] = _q105_media_route
     return out
 
 
@@ -1284,5 +1363,29 @@ def oracle_sql() -> dict[str, str]:
                    AS first_frame_sum,
                CAST(sum(fsum) AS BIGINT) AS total_pixel_sum
         FROM f GROUP BY doc_id, nf
+    """
+    # q105: every routing fact the pipeline emits for a media payload
+    # is closed-form in doc_id (builders mirrored above)
+    out["q105_media_route"] = """
+        SELECT doc_id,
+               'media' AS doc_class,
+               CASE WHEN doc_id % 3 = 1 THEN 'audio/x-wav'
+                    ELSE 'video/mp4' END AS content_type,
+               CAST(FALSE AS BOOLEAN) AS success,
+               CASE WHEN doc_id % 3 = 0 THEN 'avc1'
+                    WHEN doc_id % 3 = 2 THEN 'jpeg' END AS media_codec,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 3 AS BIGINT)
+                    WHEN doc_id % 3 = 2 THEN CAST(1 AS BIGINT) END AS media_frames,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(20 AS BIGINT)
+                    WHEN doc_id % 3 = 2 THEN CAST(16 AS BIGINT) END AS media_width,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(12 AS BIGINT)
+                    WHEN doc_id % 3 = 2 THEN CAST(16 AS BIGINT) END AS media_height,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(66 AS BIGINT) END AS media_profile,
+               CASE WHEN doc_id % 3 = 1
+                    THEN CAST(8000 + (doc_id % 5) * 1000 AS BIGINT)
+                    END AS media_sample_rate,
+               CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS BIGINT)
+                    END AS media_channels
+        FROM documents WHERE doc_id < 300
     """
     return out

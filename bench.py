@@ -92,6 +92,7 @@ HEADLINE_QUERIES = [
     "q102_exif_metadata",
     "q103_pdf_metadata",
     "q104_avc1_streams",
+    "q105_media_route",
 ]
 
 
