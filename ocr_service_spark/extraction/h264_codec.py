@@ -73,6 +73,7 @@ class _BitReader:
     def __init__(self, data: bytes) -> None:
         self._d = data
         self._pos = 0  # bit position
+        self._last_one: int | None = None  # rbsp_stop_one_bit cache
 
     def u(self, n: int) -> int:
         v = 0
@@ -100,6 +101,19 @@ class _BitReader:
         while self._pos & 7:
             if self.u(1) != 0:
                 raise H264Error("pcm_alignment_zero_bit not zero")
+
+    def more_rbsp_data(self) -> bool:
+        """7.2: data remains before the rbsp_stop_one_bit (the LAST set
+        bit in the RBSP) — the CAVLC slice-layer loop condition."""
+        if self._last_one is None:
+            last = -1
+            for i in range(len(self._d) - 1, -1, -1):
+                b = self._d[i]
+                if b:
+                    last = i * 8 + (7 - (b & -b).bit_length() + 1)
+                    break
+            self._last_one = last
+        return self._pos < self._last_one
 
     def bytes_(self, n: int) -> bytes:
         if self._pos & 7:
@@ -305,43 +319,60 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, nal_type: int) -> d
     return {"first_mb": first_mb, "slice_type": slice_type, "qp_delta": slice_qp_delta}
 
 
-def decode_ipcm_idr(nal: bytes, sps: dict, pps: dict) -> bytes | None:
-    """One IDR slice NAL of I_PCM macroblocks -> full-frame luma bytes
-    (display-cropped), or None when any macroblock is NOT I_PCM (the
-    CAVLC/CABAC residual boundary — caller falls back to metadata).
+def decode_ipcm_picture(nals: list[bytes], sps: dict, pps: dict) -> bytes | None:
+    """All slice NALs of one IDR picture (I_PCM macroblocks) ->
+    full-frame luma bytes (display-cropped), or None when any
+    macroblock is NOT I_PCM (the CAVLC/CABAC residual boundary —
+    caller falls back to metadata). Slices may carry any first_mb
+    split of the picture, in any order (real encoders slice pictures);
+    every macroblock must be covered exactly once.
 
     4:2:0 8-bit only (chroma samples are read and discarded: the
     extraction tier is grayscale, matching the rest of the image
     ladder)."""
-    if not nal:
-        return None
-    nal_type = nal[0] & 0x1F
-    if nal_type not in (_NAL_IDR, _NAL_SLICE):
-        return None
     if pps["entropy_coding_mode"] != 0:
         return None  # CABAC: out of scope, metadata-only fallback
     if sps["chroma_format_idc"] != 1:
         return None
-    r = _BitReader(_strip_emulation(nal[1:]))
+    wmb, hmb = sps["width_mbs"], sps["height_mbs"]
+    n_mbs = wmb * hmb
+    coded_w = wmb * 16
+    luma = bytearray(coded_w * hmb * 16)
+    covered = [False] * n_mbs
+    saw_slice = False
     try:
-        hdr = _parse_slice_header(r, sps, pps, nal_type)
-        if hdr["first_mb"] != 0 or hdr["slice_type"] % 5 != 2:
-            return None
-        wmb, hmb = sps["width_mbs"], sps["height_mbs"]
-        coded_w, coded_h = wmb * 16, hmb * 16
-        luma = bytearray(coded_w * coded_h)
-        for mb in range(wmb * hmb):
-            if r.ue() != _I_PCM_MB_TYPE:
-                return None  # predicted/transform-coded MB: boundary
-            r.align()
-            block = r.bytes_(256)
-            r.bytes_(128)  # Cb + Cr, discarded (grayscale tier)
-            mbx, mby = (mb % wmb) * 16, (mb // wmb) * 16
-            for row in range(16):
-                at = (mby + row) * coded_w + mbx
-                luma[at : at + 16] = block[row * 16 : row * 16 + 16]
+        for nal in nals:
+            if not nal:
+                continue
+            nal_type = nal[0] & 0x1F
+            if nal_type not in (_NAL_IDR, _NAL_SLICE):
+                continue
+            saw_slice = True
+            r = _BitReader(_strip_emulation(nal[1:]))
+            hdr = _parse_slice_header(r, sps, pps, nal_type)
+            if hdr["slice_type"] % 5 != 2:
+                return None
+            mb = hdr["first_mb"]
+            while True:
+                if mb >= n_mbs or covered[mb]:
+                    return None
+                if r.ue() != _I_PCM_MB_TYPE:
+                    return None  # predicted/transform-coded MB: boundary
+                r.align()
+                block = r.bytes_(256)
+                r.bytes_(128)  # Cb + Cr, discarded (grayscale tier)
+                mbx, mby = (mb % wmb) * 16, (mb // wmb) * 16
+                for row in range(16):
+                    at = (mby + row) * coded_w + mbx
+                    luma[at : at + 16] = block[row * 16 : row * 16 + 16]
+                covered[mb] = True
+                mb += 1
+                if not r.more_rbsp_data():
+                    break
     except H264Error:
         return None
+    if not saw_slice or not all(covered):
+        return None  # picture not fully covered by its slices
     # apply display cropping (4:2:0 frame units)
     left, _right, top, _bottom = sps["crop"]
     w, h = sps["width"], sps["height"]
@@ -351,6 +382,11 @@ def decode_ipcm_idr(nal: bytes, sps: dict, pps: dict) -> bytes | None:
         src = (y0 + row) * coded_w + x0
         out[row * w : row * w + w] = luma[src : src + w]
     return bytes(out)
+
+
+def decode_ipcm_idr(nal: bytes, sps: dict, pps: dict) -> bytes | None:
+    """Single-slice convenience wrapper over :func:`decode_ipcm_picture`."""
+    return decode_ipcm_picture([nal], sps, pps)
 
 
 # ---------------------------------------------------------------- write
@@ -416,38 +452,52 @@ def write_pps() -> bytes:
     return _nal(3, _NAL_PPS, w.data())
 
 
-def write_ipcm_idr(width: int, height: int, luma: bytes, idr_pic_id: int = 0) -> bytes:
-    """One IDR slice NAL carrying the frame as I_PCM macroblocks
+def write_ipcm_idr(
+    width: int, height: int, luma: bytes, idr_pic_id: int = 0, n_slices: int = 1
+) -> bytes | list[bytes]:
+    """IDR slice NAL(s) carrying the frame as I_PCM macroblocks
     (losslessly; pad rows/cols replicate edges so cropping restores the
-    exact input). Chroma planes are neutral 128."""
+    exact input). Chroma planes are neutral 128. With ``n_slices`` > 1
+    the picture is split into consecutive first_mb runs — the shape
+    real encoders emit — and a LIST of NALs is returned; slice_type is
+    then 2 ("I", not all-I 7), per 7.4.3."""
     if len(luma) != width * height:
         raise H264Error("luma size mismatch")
     wmb = (width + 15) // 16
     hmb = (height + 15) // 16
-    w = _BitWriter()
-    w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type: I (all slices in picture)
-    w.ue(0)  # pps_id
-    w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
-    w.ue(idr_pic_id)
-    w.u(0, 1)  # no_output_of_prior_pics
-    w.u(0, 1)  # long_term_reference
-    w.se(0)  # slice_qp_delta
+    n_mbs = wmb * hmb
+    n_slices = max(1, min(n_slices, n_mbs))
     chroma = bytes([128]) * 128
-    for mb in range(wmb * hmb):
-        mbx, mby = (mb % wmb) * 16, (mb // wmb) * 16
-        w.ue(_I_PCM_MB_TYPE)
-        w.align_zero()  # pcm_alignment_zero_bit(s)
-        block = bytearray(256)
-        for row in range(16):
-            y = min(mby + row, height - 1)
-            for col in range(16):
-                x = min(mbx + col, width - 1)
-                block[row * 16 + col] = luma[y * width + x]
-        w.bytes_(bytes(block))
-        w.bytes_(chroma)
-    w.rbsp_trailing()
-    return _nal(3, _NAL_IDR, w.data())
+    nals = []
+    per = (n_mbs + n_slices - 1) // n_slices
+    for s in range(n_slices):
+        first, last = s * per, min((s + 1) * per, n_mbs)
+        if first >= last:
+            break
+        w = _BitWriter()
+        w.ue(first)  # first_mb_in_slice
+        w.ue(7 if n_slices == 1 else 2)  # slice_type
+        w.ue(0)  # pps_id
+        w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
+        w.ue(idr_pic_id)
+        w.u(0, 1)  # no_output_of_prior_pics
+        w.u(0, 1)  # long_term_reference
+        w.se(0)  # slice_qp_delta
+        for mb in range(first, last):
+            mbx, mby = (mb % wmb) * 16, (mb // wmb) * 16
+            w.ue(_I_PCM_MB_TYPE)
+            w.align_zero()  # pcm_alignment_zero_bit(s)
+            block = bytearray(256)
+            for row in range(16):
+                y = min(mby + row, height - 1)
+                for col in range(16):
+                    x = min(mbx + col, width - 1)
+                    block[row * 16 + col] = luma[y * width + x]
+            w.bytes_(bytes(block))
+            w.bytes_(chroma)
+        w.rbsp_trailing()
+        nals.append(_nal(3, _NAL_IDR, w.data()))
+    return nals[0] if n_slices == 1 else nals
 
 
 def build_avcc(sps_nal: bytes, pps_nal: bytes, length_size: int = 4) -> bytes:

@@ -286,7 +286,7 @@ def _avc1_frames(
 ) -> list[tuple[int, int, bytes, float]] | None:
     from ocr_service_spark.extraction.h264_codec import (
         H264Error,
-        decode_ipcm_idr,
+        decode_ipcm_picture,
         nal_units_avcc,
     )
 
@@ -300,11 +300,9 @@ def _avc1_frames(
             nals = nal_units_avcc(payload[off : off + size], sps["_length_size"])
         except H264Error:
             return None
-        luma = None
-        for nal in nals:
-            if nal and (nal[0] & 0x1F) in (1, 5):
-                luma = decode_ipcm_idr(nal, sps, pps)
-                break
+        # all slice NALs of the access unit decode together (a picture
+        # may be split into several first_mb slices)
+        luma = decode_ipcm_picture(nals, sps, pps)
         if luma is None:
             return None  # residual-coded frame: metadata-only fallback
         out.append((sps["width"], sps["height"], luma, ts))
@@ -459,15 +457,17 @@ def encode_mjpeg_mp4(
 
 
 def encode_avc1_mp4(
-    width: int, height: int, lumas: list[bytes], fps: int = 2
+    width: int, height: int, lumas: list[bytes], fps: int = 2, n_slices: int = 1
 ) -> bytes:
     """Grayscale frames -> a conformant single-track avc1 (H.264) MP4.
 
     Every frame is an IDR picture of I_PCM macroblocks (lossless, raw
     samples inside the NAL — mandatory-support coding in every H.264
     profile), length-prefixed per ISO 14496-15, SPS/PPS carried in the
-    avcC sample-entry box, all samples listed sync in stss. Frames
-    round-trip byte-exactly through mp4_frames/decode_ipcm_idr.
+    avcC sample-entry box, all samples listed sync in stss. With
+    ``n_slices`` > 1 each picture is split into several first_mb slice
+    NALs inside one sample (the shape real encoders emit). Frames
+    round-trip byte-exactly through mp4_frames/decode_ipcm_picture.
     Deterministic for deterministic input."""
     from ocr_service_spark.extraction.h264_codec import (
         build_avcc,
@@ -482,8 +482,12 @@ def encode_avc1_mp4(
     pps_nal = write_pps()
     samples = []
     for i, luma in enumerate(lumas):
-        nal = write_ipcm_idr(width, height, luma, idr_pic_id=i % 16)
-        samples.append(struct.pack(">I", len(nal)) + nal)
+        nals = write_ipcm_idr(width, height, luma, idr_pic_id=i % 16, n_slices=n_slices)
+        if isinstance(nals, bytes):
+            nals = [nals]
+        samples.append(
+            b"".join(struct.pack(">I", len(nal)) + nal for nal in nals)
+        )
     n = len(samples)
     timescale = 1000
     delta = timescale // fps

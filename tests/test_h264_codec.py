@@ -320,3 +320,34 @@ def test_ipcm_decoder_never_crashes_on_junk_nal(data):
 @given(st.binary(min_size=0, max_size=128))
 def test_emulation_strip_insert_roundtrip_property(data):
     assert _strip_emulation(_insert_emulation(data)) == data
+
+
+# ----------------------------------------------------- multi-slice pictures
+
+
+def test_multi_slice_picture_roundtrip():
+    # real encoders slice pictures: 4 slices over a 64x48 frame (12 MBs)
+    # must reassemble byte-exactly, slice order independent
+    from ocr_service_spark.extraction.h264_codec import decode_ipcm_picture
+
+    W, H = 64, 48
+    frame = _gradient(W, H, 3)
+    sps, pps = _parsed_pair(W, H)
+    nals = write_ipcm_idr(W, H, frame, n_slices=4)
+    assert isinstance(nals, list) and len(nals) == 4
+    assert decode_ipcm_picture(nals, sps, pps) == frame
+    assert decode_ipcm_picture(list(reversed(nals)), sps, pps) == frame
+    # a missing slice leaves MBs uncovered -> None, not garbage pixels
+    assert decode_ipcm_picture(nals[:-1], sps, pps) is None
+    # a duplicated slice double-covers -> None
+    assert decode_ipcm_picture(nals + [nals[0]], sps, pps) is None
+
+
+def test_multi_slice_mp4_roundtrip_end_to_end():
+    W, H = 36, 22  # cropping + multi-slice together
+    frames = [_gradient(W, H, f) for f in range(2)]
+    mp4 = encode_avc1_mp4(W, H, frames, n_slices=3)
+    out = mp4_frames(mp4)
+    assert out is not None
+    assert [f[2] for f in out] == frames
+    assert avc1_stream_info(mp4)["keyframes"] == [1, 2]
