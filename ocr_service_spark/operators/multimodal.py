@@ -140,7 +140,9 @@ def _mp4_probe(payload: bytes) -> tuple[int, int, int] | None:
     """Real ISO BMFF (MP4) box walk: ftyp gates detection; dimensions
     come from the first video track's tkhd (16.16 fixed point), the
     notional frame count from mvhd duration/timescale at 1 fps (the
-    sampler's fps knob rescales it). Codec work stays stubbed."""
+    sampler's fps knob rescales it). This is the cheap dims probe;
+    pixel decode lives in mp4_codec/h264_codec (MJPEG + avc1 I_PCM,
+    CAVLC/CABAC residuals the marked boundary)."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         return None
 
