@@ -878,7 +878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _wrap(fn)
     out["q42_media_features"] = _q42_media_features
     out["q43_ocr_mode_stats"] = _q43_ocr_mode_stats
-    out["q60_frame_sampling"] = _q60_frame_sampling
     out["q61_mp4_frame_sampling"] = _q61_mp4_frame_sampling
     out["q94_image_phash_dedup"] = _q94_image_phash_dedup
     out["q56_resume_roundtrip"] = _q56_resume_roundtrip
@@ -901,10 +900,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # machinery) and the mapInPandas pipeline shape via every
     # extraction roundtrip; q48 is three-round driver hash-green and
     # keeps its tools/check_oracles.py + test_entry_oracle gates
+    # q44 demoted round 5 for q106 (main-content span table, first
+    # driver check): q44's WAV decode rung runs in-window inside q42
+    # (media features runs the same Goertzel/PCM readers end-to-end
+    # over the same payloads) and the write-read parity is pinned by
+    # pytest goldens; q44 is multi-round driver hash-green and keeps
+    # the tools/check_oracles.py + test_entry_oracle gates
     roundtrip_tail = {
         "q30_extract_html_roundtrip",
         "q31_extract_rtf_roundtrip",
         "q32_extract_xml_roundtrip",
+        "q44_audio_roundtrip",
         "q48_pii_scrub_roundtrip",
     }
     # q33's payload-ladder rungs (JSON/base64/raw/null/empty) run
@@ -1116,6 +1122,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracles.py + test_entry_oracle; q36 is
         # three-round driver hash-green
         "q36_token_percentiles",
+        # demoted round 5 for q107 (corpus-wide first-occurrence
+        # segment dedup, first driver check): q55's Lloyd-iteration
+        # centroid agg is consumed in-window by q85 (SemDeDup runs the
+        # IVF cell-assignment it feeds end-to-end) and q91/q92 (the PQ
+        # codebook path scores against the same centroid machinery);
+        # q55 is multi-round driver hash-green and keeps the
+        # tools/check_oracles.py + test_entry_oracle gates
+        "q55_kmeans_clusters",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,
@@ -1134,6 +1148,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 out[name] = fn
     for name in sorted(roundtrip_tail | roundtrip_late_tail):
         out[name] = _wrap(roundtrip.QUERIES[name])
+    # q60 demoted round 5 for q108 (sliding-window chunking, first
+    # driver check): q60's GIF frame sampler is the same
+    # frame-sampling mapInPandas shape as in-window q61 (MP4 frame
+    # sampling, the same sampler over the same media class), and its
+    # GIF pixel decode runs in-window inside q42 (media features) and
+    # q94 (perceptual-hash dedup over codec round trips); q60 is
+    # multi-round driver hash-green and keeps the
+    # tools/check_oracles.py + test_entry_oracle gates
+    out["q60_frame_sampling"] = _q60_frame_sampling
     # tail by design from birth (see each docstring): metadata tier
     out["q102_exif_metadata"] = _q102_exif_metadata
     out["q103_pdf_metadata"] = _q103_pdf_metadata

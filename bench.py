@@ -93,6 +93,10 @@ HEADLINE_QUERIES = [
     "q103_pdf_metadata",
     "q104_avc1_streams",
     "q105_media_route",
+    # round 5 closing additions — span table + corpus line-dedup/chunking
+    "q106_content_spans",
+    "q107_line_dedup_first",
+    "q108_chunk_overlap",
 ]
 
 

@@ -766,10 +766,160 @@ ORACLES["q99_corpus_mixture"] = rf"""
 """
 
 
+# -- corpus-wide first-occurrence segment dedup (CCNet line dedup) ------------
+
+
+def q107_line_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level duplicate-line removal with
+    first-occurrence-wins keep semantics: every SEG_WORDS-token segment
+    (the line stand-in — the synthetic corpus is single-line) is kept
+    only at its globally FIRST occurrence, ordered by (doc_id,
+    seg_idx); every later occurrence anywhere in the corpus is dropped.
+    Output: per document, how many segments it has and how many survive
+    the corpus-wide dedup. This is the keep/drop step q51 only counts
+    frequencies for. Reference scope: CogStack/ocr-service produces the
+    text (processor/processor.py extraction outputs); this is the
+    downstream corpus-hygiene step a pretraining pipeline runs on it.
+
+    Shape at 100 TB: min(struct(doc_id, seg_idx)) per segment is a
+    two-phase hash agg — map-side partial combine absorbs hot
+    boilerplate segments (the window-function twin row_number() OVER
+    (PARTITION BY seg) would sort EVERY occurrence of a hot segment in
+    one task; the agg never materializes more than one row per segment
+    per map task). Winners join back on the same key, so the exchange
+    from the agg is reusable and AQE picks broadcast only if the winner
+    set measures small. Per-doc totals are a second narrow agg.
+    """
+    docs = _docs(spark, sf_dir)
+    t = F.split(F.trim("text"), TOKEN_RE)
+    n_segs = (F.size(t) / SEG_WORDS).cast("int")
+    segs = F.when(
+        n_segs >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i * SEG_WORDS + 1, SEG_WORDS)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    winners = exploded.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("w")
+    )
+    flagged = exploded.join(winners, "seg").select(
+        "doc_id",
+        (
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("seg_idx") == F.col("w.seg_idx"))
+        )
+        .cast("bigint")
+        .alias("is_first"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("is_first").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("is_first")).alias("n_dropped"),
+    )
+
+
+# -- sliding-window chunking with overlap (context-window prep) ---------------
+CHUNK_W = 8  # window width in tokens
+CHUNK_S = 4  # stride in tokens (W - S = overlap)
+
+
+def q108_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the
+    context-window prep step (RAG indexing / long-doc training): chunk
+    i covers tokens [i*S, i*S+W); n<=W docs yield one chunk; otherwise
+    ceil((n-W)/S)+1 chunks so the final chunk always reaches the last
+    token. Emits (doc_id, chunk_idx, n_tokens, chunk_h) with a
+    cross-engine md5-derived chunk hash.
+
+    Shape at 100 TB: map-only projection — sequence/transform/
+    posexplode/hash all run JVM-side with no UDF and no keyed shuffle;
+    the only exchange is _docs' round-robin source rebalance. Output
+    fan-out is bounded by ~n/S chunks per doc.
+    """
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    t = F.split(F.trim("text"), TOKEN_RE)
+    n = F.size(t)
+    n_chunks = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
+        F.floor((n - CHUNK_W + CHUNK_S - 1) / CHUNK_S).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * CHUNK_S + 1, CHUNK_W)),
+    )
+    ex = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(F.split("chunk", " ")).cast("bigint").alias("n_tokens"),
+        h32(F.col("chunk")).alias("chunk_h"),
+    )
+
+
+_N_CHUNKS_SQL = (
+    f"CASE WHEN len(t) <= {CHUNK_W} THEN 1"
+    f" ELSE (len(t) - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S} + 1 END"
+)
+
+ORACLES["q107_line_dedup_first"] = f"""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(range(0, len(t) // {SEG_WORDS})) AS seg_idx,
+               unnest(list_transform(
+                   range(0, len(t) // {SEG_WORDS}),
+                   i -> array_to_string(t[i*{SEG_WORDS}+1 : i*{SEG_WORDS}+{SEG_WORDS}], ' ')
+               )) AS seg
+        FROM tk
+    ),
+    flagged AS (
+        SELECT doc_id,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY seg ORDER BY doc_id, seg_idx
+               ) = 1 THEN 1 ELSE 0 END AS is_first
+        FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(is_first) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(is_first) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id
+"""
+
+ORACLES["q108_chunk_overlap"] = f"""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+        FROM documents
+        WHERE len(trim(text)) > 0
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(range(0, {_N_CHUNKS_SQL})) AS chunk_idx,
+               unnest(list_transform(
+                   range(0, {_N_CHUNKS_SQL}),
+                   i -> array_to_string(t[i*{CHUNK_S}+1 : i*{CHUNK_S}+{CHUNK_W}], ' ')
+               )) AS chunk
+        FROM tk
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+           {h32_sql('chunk')} AS chunk_h
+    FROM ch
+"""
+
 QUERIES = {
     "q70_corpus_filter": q70_corpus_filter,
     "q98_corpus_export": q98_corpus_export,
     "q99_corpus_mixture": q99_corpus_mixture,
+    "q107_line_dedup_first": q107_line_dedup_first,
+    "q108_chunk_overlap": q108_chunk_overlap,
     "q51_boilerplate_segments": q51_boilerplate_segments,
     "q52_contamination": q52_contamination,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,

@@ -105,3 +105,72 @@ def test_fuzz_junk_never_raises(junk: bytes):
 def test_fuzz_taglike_text_never_raises(s: str):
     text, kept, total = extract_main_content(s.encode())
     assert isinstance(text, str) and kept <= total
+
+
+# -- source spans (the north rule's "text/spans per document") ----------------
+from ocr_service_spark.extraction.main_content import (
+    extract_content_spans,
+    html_block_spans,
+)
+
+
+def test_spans_slice_back_to_source():
+    # every kept block's span, sliced out of the source, whitespace-
+    # normalizes to exactly the block's extracted text
+    import re
+    src = PAGE.decode()
+    spans = extract_content_spans(PAGE)
+    assert len(spans) == 2
+    for idx, (i, s, e, text) in enumerate(spans):
+        assert i == idx and 0 <= s < e <= len(src)
+        assert re.sub(r"\s+", " ", src[s:e]).strip() == text
+
+
+def test_span_exact_single_line():
+    pre = '<html><body><nav><a href="/">x</a></nav><p>'
+    body = "A deterministic paragraph long enough to clear every filter."
+    src = pre + body + "</p></body></html>"
+    spans = extract_content_spans(src.encode())
+    assert spans == [(0, len(pre), len(pre) + len(body), body)]
+
+
+def test_span_end_exact_with_charrefs():
+    # &amp; decodes to 1 char but occupies 5 source chars: the span end
+    # anchors at the closing tag, so the source slice stays exact
+    src = "<body><p>Alpha &amp; beta gamma delta epsilon zeta eta theta!</p></body>"
+    [(_, s, e, text)] = extract_content_spans(src.encode())
+    assert src[s:e] == "Alpha &amp; beta gamma delta epsilon zeta eta theta!"
+    assert text == "Alpha & beta gamma delta epsilon zeta eta theta!"
+
+
+def test_span_multiline_and_comment_sealed():
+    src = (
+        "<html>\n<body>\n  <p>\n    First kept paragraph with plenty of prose"
+        " to clear the floor.\n  </p>\n  <!-- comment -->\n"
+        "  <p>Second kept paragraph also long enough for the prose floor.</p>\n"
+        "</body>\n</html>"
+    )
+    spans = extract_content_spans(src.encode())
+    assert len(spans) == 2
+    (_, s0, e0, t0), (_, s1, e1, t1) = spans
+    assert src[s0] == "F" and src[s1] == "S"  # starts skip whitespace
+    # first span ends at the </p> markup, not past the comment
+    assert src[e0:].lstrip().startswith("</p>")
+    assert t0.startswith("First kept") and t1.startswith("Second kept")
+
+
+def test_span_blocks_match_plain_blocks():
+    # the span parser must keep/drop exactly the same blocks as the
+    # plain parser it subclasses
+    plain = [(b.text, b.keep()) for b in html_blocks(PAGE)]
+    spanned = [(b.text, b.keep()) for b in html_block_spans(PAGE)]
+    assert plain == spanned
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_fuzz_spans_never_raise_and_stay_in_bounds(junk: bytes):
+    src = junk.decode("utf-8", "ignore")
+    for i, s, e, text in extract_content_spans(junk):
+        assert 0 <= s < e <= len(src)
+        assert isinstance(text, str)
