@@ -1130,6 +1130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q55 is multi-round driver hash-green and keeps the
         # tools/check_oracles.py + test_entry_oracle gates
         "q55_kmeans_clusters",
+        # tail by design from birth (round 5): q109 (Unicode NFC
+        # normalization) is a map-only Arrow-batched projection — the
+        # pandas-UDF pipeline shape runs in-window via every
+        # mapInPandas extraction roundtrip and q106's span table; its
+        # cross-engine normalization semantics are pinned by its own
+        # DuckDB nfc_normalize oracle under tools/check_oracles.py +
+        # test_entry_oracle, the same local gates as q80-q84
+        "q109_unicode_nfc",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -94,9 +94,11 @@ HEADLINE_QUERIES = [
     "q104_avc1_streams",
     "q105_media_route",
     # round 5 closing additions — span table + corpus line-dedup/chunking
+    # + unicode canonicalization
     "q106_content_spans",
     "q107_line_dedup_first",
     "q108_chunk_overlap",
+    "q109_unicode_nfc",
 ]
 
 

@@ -8,6 +8,7 @@ engines evaluate the same IEEE-double operations on the same operands.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -893,6 +894,47 @@ ORACLES["q93_dsir_selection"] = f"""
     FROM per_doc, cut
 """
 
+# -- Unicode NFC normalization (corpus text canonicalization) -----------------
+_NFC_MARK = "́"  # U+0301 COMBINING ACUTE ACCENT
+
+
+def q109_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step every real
+    corpus pipeline runs before dedup/tokenization (decomposed NFD
+    sequences from real crawls hash differently from their composed
+    twins, silently defeating exact dedup). Synthesize-then-normalize:
+    every 'e' in the document text is decomposed to e + U+0301 (the NFD
+    shape), then the normalizer must recompose it to the single
+    codepoint. Cross-engine check: Python unicodedata NFC vs DuckDB's
+    utf8proc nfc_normalize over every document.
+
+    Shape at 100 TB: map-only. Normalization is a stateful
+    codepoint-sequence algorithm with no JVM builtin, so this is one of
+    the repo's two Python stages — an Arrow-batched Series->Series
+    pandas UDF (never per-row), everything around it (decompose,
+    lengths, hash, changed flag) stays codegen.
+    """
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    docs = _docs(spark, sf_dir)
+    decomposed = F.replace(F.col("text"), F.lit("e"), F.lit("e" + _NFC_MARK))
+    d = docs.select("doc_id", decomposed.alias("raw"))
+    d = d.withColumn("nfc", nfc("raw"))
+    return d.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("n_cp_raw"),
+        F.length("nfc").cast("bigint").alias("n_cp_nfc"),
+        (F.col("raw") != F.col("nfc")).cast("bigint").alias("changed"),
+        h32(F.col("nfc")).alias("nfc_h"),
+    )
+
+
 QUERIES = {
     "q11_token_stats": q11_token_stats,
     "q12_quality_buckets": q12_quality_buckets,
@@ -908,4 +950,20 @@ QUERIES = {
     "q83_bpe_token_counts": q83_bpe_token_counts,
     "q86_bpe_merges": q86_bpe_merges,
     "q93_dsir_selection": q93_dsir_selection,
+    "q109_unicode_nfc": q109_unicode_nfc,
 }
+
+ORACLES["q109_unicode_nfc"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               replace(text, 'e', 'e' || chr(769)) AS raw,
+               nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS nfc
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(raw) AS BIGINT) AS n_cp_raw,
+           CAST(len(nfc) AS BIGINT) AS n_cp_nfc,
+           CAST(CASE WHEN raw <> nfc THEN 1 ELSE 0 END AS BIGINT) AS changed,
+           {h32_sql('nfc')} AS nfc_h
+    FROM d
+"""
