@@ -54,6 +54,7 @@ from ocr_service_spark.operators import (  # noqa: E402
     corpus,
     dedup,
     main_content,
+    markdown_ops,
     quality,
     relational,
     roundtrip,
@@ -874,7 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- flagship end-to-end extraction + lifecycle (highest value first)
     out["q40_extract_fixtures"] = _q40_extract_fixtures
     out["q41_extract_synthetic"] = _q41_extract_synthetic
-    for name, fn in main_content.QUERIES.items():  # q35
+    for name, fn in main_content.QUERIES.items():  # q35 q106
+        out[name] = _wrap(fn)
+    for name, fn in markdown_ops.QUERIES.items():  # q110 (html -> markdown)
         out[name] = _wrap(fn)
     out["q42_media_features"] = _q42_media_features
     out["q43_ocr_mode_stats"] = _q43_ocr_mode_stats
@@ -906,12 +909,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over the same payloads) and the write-read parity is pinned by
     # pytest goldens; q44 is multi-round driver hash-green and keeps
     # the tools/check_oracles.py + test_entry_oracle gates
+    # q66 demoted round 5 for q110 (html -> markdown conversion, first
+    # driver check): q66's gzip decode rung runs in-window inside q74
+    # and q76 (the WARC reader's member-split walk gunzips every
+    # record before extraction, extraction/warc.py:49-63), and its
+    # pipeline shape is q62's (in-window); q66 is multi-round driver
+    # hash-green
+    # and keeps the tools/check_oracles.py + test_entry_oracle gates
     roundtrip_tail = {
         "q30_extract_html_roundtrip",
         "q31_extract_rtf_roundtrip",
         "q32_extract_xml_roundtrip",
         "q44_audio_roundtrip",
         "q48_pii_scrub_roundtrip",
+        "q66_gzip_roundtrip",
     }
     # q33's payload-ladder rungs (JSON/base64/raw/null/empty) run
     # in-window inside q41 — the synthetic generator emits every rung
@@ -1185,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(weburl.ORACLES)
     out.update(roundtrip.ORACLES)
     out.update(main_content.ORACLES)
+    out.update(markdown_ops.ORACLES)
     out.update(stream_queries.ORACLES)
     # q40-q43 are deterministic end-to-end in this environment (NO_OCR
     # tier + the deterministic glyph OCR engine); their expected outputs

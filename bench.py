@@ -99,6 +99,7 @@ HEADLINE_QUERIES = [
     "q107_line_dedup_first",
     "q108_chunk_overlap",
     "q109_unicode_nfc",
+    "q110_html_markdown",
 ]
 
 
