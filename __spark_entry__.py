@@ -57,6 +57,7 @@ from ocr_service_spark.operators import (  # noqa: E402
     markdown_ops,
     quality,
     relational,
+    retrieval,
     roundtrip,
     similarity,
     stream_queries,
@@ -1149,6 +1150,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB nfc_normalize oracle under tools/check_oracles.py +
         # test_entry_oracle, the same local gates as q80-q84
         "q109_unicode_nfc",
+        # tail by design from birth (round 5): q111 (SURT latest-capture
+        # dedup) composes canonicalize_urls — driver-green in-window via
+        # q75's redirect resolution — with the single-shuffle window
+        # row_number shape that q84 (host quota) runs in-window; its
+        # SURT dialect is pinned by its own DuckDB oracle under
+        # tools/check_oracles.py + test_entry_oracle
+        "q111_surt_dedup",
+        # tail by design from birth (round 5): q112 (integer-exact
+        # Flesch-Kincaid) is a map-only projection — the
+        # cross-multiplied-threshold projection family runs in-window
+        # via q95 (Gopher rules, same module, same fixture-union shape)
+        "q112_readability",
+        # tail by design from birth (round 5): q113 (domain blocklist)
+        # is a suffix-explode + broadcast equi-join + regroup — the
+        # broadcast-join-then-agg shape runs in-window via q93/q99;
+        # same local gates as the rest of the tail
+        "q113_domain_blocklist",
+        # tail by design from birth (round 5): q114 (cross-corpus
+        # paragraph dedup) is the explode -> window first-occurrence ->
+        # regroup shape that in-window q107 runs at line granularity
+        # and q79 at substring granularity; the global-seen-set
+        # semantics difference is pinned by its own DuckDB oracle
+        "q114_paragraph_dedup",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,
@@ -1181,6 +1205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q103_pdf_metadata"] = _q103_pdf_metadata
     out["q104_avc1_streams"] = _q104_avc1_streams
     out["q105_media_route"] = _q105_media_route
+    # tail by design from birth (round 5): the retrieval tier — q115's
+    # conjunctive postings search and q116's rational-BM25 both end in
+    # the TakeOrderedAndProject top-k shape that q92 runs in-window,
+    # over the filter-before-shuffle postings build; their ranking
+    # dialects are pinned by their own DuckDB oracles under
+    # tools/check_oracles.py + test_entry_oracle
+    for name, fn in retrieval.QUERIES.items():
+        out[name] = fn
     return out
 
 
@@ -1198,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(main_content.ORACLES)
     out.update(markdown_ops.ORACLES)
     out.update(stream_queries.ORACLES)
+    out.update(retrieval.ORACLES)
     # q40-q43 are deterministic end-to-end in this environment (NO_OCR
     # tier + the deterministic glyph OCR engine); their expected outputs
     # are committed, reviewed golden tables the oracle reads back. q40's

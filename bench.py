@@ -100,6 +100,14 @@ HEADLINE_QUERIES = [
     "q108_chunk_overlap",
     "q109_unicode_nfc",
     "q110_html_markdown",
+    # round 5 final additions — SURT dedup, readability, blocklist,
+    # paragraph dedup, retrieval tier
+    "q111_surt_dedup",
+    "q112_readability",
+    "q113_domain_blocklist",
+    "q114_paragraph_dedup",
+    "q115_inverted_search",
+    "q116_bm25_topk",
 ]
 
 

@@ -989,6 +989,103 @@ def _q100_oracle() -> str:
 
 ORACLES["q100_split_leakage_guard"] = _q100_oracle()
 
+# -- q114: cross-document paragraph dedup -------------------------------------
+#
+# MassiveText/Gopher-style exact paragraph dedup: the corpus-wide
+# FIRST occurrence of every paragraph survives (ordered by (doc_id,
+# position)); later occurrences are dropped and each document is
+# reassembled from its surviving paragraphs. Differs from q107 (which
+# dedups lines WITHIN a document) — the seen-set here is global.
+#
+# Scale shape: posexplode -> ONE hash shuffle on the paragraph value
+# (row_number window elects the first occurrence) -> ONE shuffle back
+# to doc_id for reassembly. The window group size per paragraph equals
+# its corpus frequency — boilerplate paragraphs repeated 10^6 times
+# put 10^6 rows in one partition, but row_number needs only a
+# streaming pass (no buffering beyond the sort spill), unlike a
+# collect_list; an upstream exact-dup pass (q10) removes the
+# byte-identical documents that dominate that skew.
+
+_PARA_POOL = 50  # paragraphs are drawn from a 50-slot shared pool
+
+
+def _para_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seq, para): each doc carries 3 paragraphs drawn from a
+    50-slot pool by pid = (doc_id*3 + seq) % 50, so every paragraph
+    recurs in ~30 documents at sf0.01 and first-occurrence election is
+    exercised both within and across documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pool = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda j: F.format_string(
+            "pool paragraph %d body tok%d tok%d",
+            (F.col("doc_id") * 3 + j) % _PARA_POOL,
+            ((F.col("doc_id") * 3 + j) % _PARA_POOL) % 7,
+            ((F.col("doc_id") * 3 + j) % _PARA_POOL) % 5,
+        ),
+    )
+    return docs.select("doc_id", F.posexplode(pool).alias("seq", "para"))
+
+
+def q114_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global first-occurrence paragraph dedup + per-doc reassembly:
+    (doc_id, n_paras, n_kept, n_dropped, clean_md5) where clean_md5
+    fingerprints the doc's surviving paragraphs joined by blank
+    lines."""
+    from pyspark.sql import Window
+
+    paras = _para_corpus(spark, sf_dir)
+    w = Window.partitionBy("para").orderBy("doc_id", "seq")
+    flagged = paras.withColumn("rn", F.row_number().over(w)).withColumn(
+        "kept", F.col("rn") == 1
+    )
+    entries = F.array_sort(
+        F.collect_list(F.struct("seq", "kept", "para"))
+    )
+    clean = F.array_join(
+        F.transform(
+            F.filter(entries, lambda e: e["kept"]), lambda e: e["para"]
+        ),
+        "\n\n",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(F.col("kept").cast("bigint"))).alias(
+            "n_dropped"
+        ),
+        F.md5(F.encode(clean, "utf-8")).alias("clean_md5"),
+    )
+
+
+_Q114_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, j AS seq,
+               'pool paragraph ' || CAST((doc_id * 3 + j) % {_PARA_POOL} AS VARCHAR)
+               || ' body tok'
+               || CAST(((doc_id * 3 + j) % {_PARA_POOL}) % 7 AS VARCHAR)
+               || ' tok'
+               || CAST(((doc_id * 3 + j) % {_PARA_POOL}) % 5 AS VARCHAR) AS para
+        FROM documents, (VALUES (0), (1), (2)) AS g(j)
+    ),
+    r AS (
+        SELECT doc_id, seq, para,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, seq) AS rn
+        FROM d
+    )
+    SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_paras,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped,
+        md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                chr(10) || chr(10) ORDER BY seq), ''))
+            AS clean_md5
+    FROM r GROUP BY doc_id
+"""
+
+ORACLES["q114_paragraph_dedup"] = _Q114_ORACLE
+
 QUERIES = {
     "q10_dedup_exact": q10_dedup_exact,
     "q14_jaccard_pairs": q14_jaccard_pairs,
@@ -1001,4 +1098,5 @@ QUERIES = {
     "q79_span_dedup": q79_span_dedup,
     "q90_incremental_neardup": q90_incremental_neardup,
     "q100_split_leakage_guard": q100_split_leakage_guard,
+    "q114_paragraph_dedup": q114_paragraph_dedup,
 }

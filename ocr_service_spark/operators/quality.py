@@ -475,14 +475,122 @@ def _q97_oracle() -> str:
     """
 
 
+# -- q112: Flesch–Kincaid readability, integer-exact --------------------------
+#
+# The FK grade level is 0.39*(W/S) + 11.8*(Sy/W) - 15.59 (Kincaid et
+# al. 1975). Corpus pipelines bucket on "grade <= 8" (plain-language
+# threshold); cross-multiplying by 100*S*W (S,W >= 1) turns the test
+# into pure BIGINT arithmetic both engines compute bit-identically:
+#     easy  <=>  39*W^2 + 1180*Sy*S - 2359*S*W <= 0.
+# Syllables use the pinned proxy: vowel-group count ([aeiouy]+ on the
+# lowercased text) plus one per vowel-free token (every word carries
+# at least one spoken syllable). Map-only projection: zero shuffles.
+
+# fixture rows: the natural word-soup corpus has no punctuation (S
+# clamps to 1) and never flips easy_read true, so each rung gets a
+# closed-form row — an easy passage, a vowel-free-token passage (the
+# novowel rung), a polysyllabic hard passage, and the empty string
+# (both clamps at once).
+_FK_SYN: dict[int, str] = {
+    1000000: "The cat sat. The dog ran. We go now.",
+    1000001: "Grr hmm tsk. Brr pfft shh. Psst.",
+    1000002: (
+        "Incomprehensibility notwithstanding, multisyllabic verbiage "
+        "overwhelms readability evaluation heuristics considerably. "
+        "Organizational bureaucratization institutionalizes "
+        "overcomplicated administrative terminology."
+    ),
+    1000003: "",
+}
+
+
+def q112_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability: raw word/sentence/syllable counts,
+    the scaled FK numerator, and the grade<=8 verdict."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                sorted(_FK_SYN.items()), "doc_id bigint, text string"
+            )
+        )
+    )
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"(\S+)"), 1)
+    w0 = F.size(toks).cast("bigint")
+    s0 = F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint")
+    vg = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("bigint")
+    novowel = F.size(
+        F.filter(toks, lambda t: ~F.lower(t).rlike("[aeiouy]"))
+    ).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        w0.alias("n_words"),
+        s0.alias("n_sentences"),
+        (vg + novowel).alias("n_syllables"),
+    )
+    w = F.greatest(F.col("n_words"), F.lit(1))
+    s = F.greatest(F.col("n_sentences"), F.lit(1))
+    sy = F.col("n_syllables")
+    fk = 39 * w * w + 1180 * sy * s - 2359 * s * w
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        fk.cast("bigint").alias("fk_num"),
+        (fk <= 0).alias("easy_read"),
+    )
+
+
+def _q112_oracle() -> str:
+    fixture_rows = "\n            UNION ALL ".join(
+        "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
+            i, t.replace("'", "''")
+        )
+        for i, t in sorted(_FK_SYN.items())
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            {fixture_rows}
+        ),
+        c AS (
+            SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                    AS n_words,
+                CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                    AS n_sentences,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     + len(list_filter(regexp_extract_all(text, '\\S+'),
+                           t -> NOT regexp_matches(lower(t), '[aeiouy]')))
+                     AS BIGINT) AS n_syllables
+            FROM d
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+            CAST(39 * greatest(n_words, 1) * greatest(n_words, 1)
+                 + 1180 * n_syllables * greatest(n_sentences, 1)
+                 - 2359 * greatest(n_sentences, 1) * greatest(n_words, 1)
+                 AS BIGINT) AS fk_num,
+            (39 * greatest(n_words, 1) * greatest(n_words, 1)
+             + 1180 * n_syllables * greatest(n_sentences, 1)
+             - 2359 * greatest(n_sentences, 1) * greatest(n_words, 1)) <= 0
+                AS easy_read
+        FROM c
+    """
+
+
 QUERIES = {
     "q95_gopher_quality": q95_gopher_quality,
     "q96_c4_line_filter": q96_c4_line_filter,
     "q97_url_filter": q97_url_filter,
+    "q112_readability": q112_readability,
 }
 
 ORACLES: dict[str, str] = {
     "q95_gopher_quality": _q95_oracle(),
     "q96_c4_line_filter": _Q96_ORACLE,
     "q97_url_filter": _q97_oracle(),
+    "q112_readability": _q112_oracle(),
 }

@@ -1023,8 +1023,12 @@ _MESSY_SQL = """
     FROM documents
 """
 
-_CANON_SQL = f"""
-    WITH m AS ({_MESSY_SQL}),
+def _canon_sql_over(messy_sql: str) -> str:
+    """The canonicalization CTE chain over any (doc_id, url) input SQL —
+    shared by the q63/q64 oracles (messy-URL corpus) and the q111
+    oracle (capture-log corpus)."""
+    return f"""
+    WITH m AS ({messy_sql}),
     s AS (
         SELECT doc_id, url,
                regexp_replace(url, '{_RE_FRAGMENT}', '') AS nf
@@ -1069,6 +1073,9 @@ _CANON_SQL = f"""
         FROM c
     )
 """
+
+
+_CANON_SQL = _canon_sql_over(_MESSY_SQL)
 
 ORACLES: dict[str, str] = {
     "q63_url_canonicalize": _CANON_SQL
@@ -1517,6 +1524,170 @@ ORACLES["q89_bloom_seen_set"] = f"""
     FROM checked
 """
 
+# -- q111: SURT keys + latest-capture dedup ----------------------------------
+#
+# Common Crawl's CDX index keys on the SURT (Sort-friendly URI
+# Reordering Transform) of each capture's URL, and "latest capture per
+# SURT wins" is the standard index-dedup rule. Pinned SURT dialect (the
+# subset expressible identically in Spark and DuckDB): canonicalize
+# first (q63 rules), then drop the scheme, strip one leading "www.",
+# reverse the host labels comma-joined, keep a non-default port, then
+# ")" + path + "?" + sorted query. Scale shape: the key is a pure
+# projection; the dedup is ONE hash shuffle on surt_key (window
+# row_number + count over the same partitioning, so Spark plans a
+# single Window over a single Exchange). Group sizes are bounded by
+# captures-per-page (crawl revisit policy), not corpus size.
+
+
+def _capture_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic capture log: doc_id % 200 picks the page, so at
+    sf0.01 every page has 2-3 captures arriving under different messy
+    spellings (scheme case, www prefix, trailing host dot, default
+    port, duplicate path slashes, fragments) that all canonicalize to
+    the same SURT; the capture timestamp is closed-form in doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    p = d % 200
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    www = F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    host = F.concat(
+        www,
+        F.lit("News"),
+        (p % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    # always the scheme's default port (or none), so canonicalization
+    # drops it and the spelling variant never splits a SURT group
+    port = F.when(
+        d % 4 <= 1,
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.when(d % 7 == 0, F.lit("/story//")).otherwise(F.lit("/story/")),
+        p.cast("string"),
+    )
+    query = (
+        F.when(p % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(p % 3 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 2 == 0, F.lit("#Section-2")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("url"),
+        (F.lit(1_700_000_000) + (d % 97) * 3600 + d).cast("bigint").alias("capture_ts"),
+    )
+
+
+def q111_surt_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-keyed latest-capture dedup over the capture log: one row
+    per distinct SURT carrying the newest capture's identity and the
+    group's capture count. Single shuffle (window on surt_key)."""
+    from pyspark.sql import Window
+
+    caps = canonicalize_urls(_capture_urls(spark, sf_dir))
+    hp = F.regexp_extract("canonical_url", r"^[^:]+://([^/]*)", 1)
+    bare = F.regexp_replace(F.regexp_extract(hp, "^([^:]*)", 1), r"^www\.", "")
+    prt = F.regexp_extract(hp, ":([0-9]+)$", 1)
+    tail = F.regexp_replace("canonical_url", r"^[^:]+://[^/]*", "")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(bare, r"\.")), ","),
+        F.when(prt == "", F.lit("")).otherwise(F.concat(F.lit(":"), prt)),
+        F.lit(")"),
+        tail,
+    )
+    keyed = caps.select(
+        "doc_id", "capture_ts", "canonical_url", surt.alias("surt_key")
+    )
+    part = Window.partitionBy("surt_key")
+    latest = part.orderBy(F.col("capture_ts").desc(), F.col("doc_id").desc())
+    return (
+        keyed.withColumn("rn", F.row_number().over(latest))
+        .withColumn("n_captures", F.count(F.lit(1)).over(part))
+        .filter(F.col("rn") == 1)
+        .select("surt_key", "doc_id", "capture_ts", "canonical_url", "n_captures")
+    )
+
+
+# -- q113: UT1-style domain blocklist filter ----------------------------------
+#
+# Corpus pipelines (C4, RefinedWeb, FineWeb) drop pages whose host
+# falls under a blocklisted registrable domain, where "under" means
+# the host equals the entry or is any-depth subdomain of it. The
+# scale-right implementation is NOT a LIKE-join (that's a cartesian):
+# explode each host into its ≤ label-count domain suffixes and
+# broadcast-equi-join the blocklist, then take the max-severity match
+# per doc in the same aggregation. One hash shuffle total (the per-doc
+# regroup); the blocklist side is broadcast.
+
+_BLOCKLIST = (
+    ("malware-cdn.example", "malware", 4),
+    ("casino-win.example", "gambling", 3),
+    ("ads-track.example", "ads", 2),
+    ("news3.example.com", "blocked-host", 1),
+)
+
+
+def _blocklist_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host corpus: ~9% of docs land on a blocklisted
+    domain directly, as a subdomain, or two labels deep; d%7==3 hosts
+    exercise the exact-match rung (news3.example.com)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    host = (
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit("pixel"), (d % 3).cast("string"), F.lit(".ads-track.example")),
+        )
+        .when(d % 13 == 0, F.lit("casino-win.example"))
+        .when(
+            d % 17 == 0,
+            F.concat(F.lit("dl"), (d % 4).cast("string"), F.lit(".cdn.malware-cdn.example")),
+        )
+        .otherwise(F.concat(F.lit("news"), (d % 7).cast("string"), F.lit(".example.com")))
+    )
+    return docs.select("doc_id", host.alias("host"))
+
+
+def q113_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-explode + broadcast blocklist join: every host expands to
+    its domain suffixes (length ≥ 2 labels), the blocklist equi-joins
+    on the suffix, and the per-doc max-severity match decides the
+    verdict. Unmatched docs keep category 'none'."""
+    hosts = _blocklist_hosts(spark, sf_dir)
+    labels = F.split("host", r"\.")
+    n = F.size(labels)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    exploded = hosts.select("doc_id", "host", F.explode(sufs).alias("suffix"))
+    bl = spark.createDataFrame(
+        list(_BLOCKLIST), "domain string, category string, severity int"
+    )
+    joined = exploded.join(
+        F.broadcast(bl), F.col("suffix") == F.col("domain"), "left"
+    )
+    agg = joined.groupBy("doc_id", "host").agg(
+        F.max(
+            F.when(
+                F.col("domain").isNotNull(),
+                F.struct("severity", "domain", "category"),
+            )
+        ).alias("m")
+    )
+    m = F.col("m")
+    return agg.select(
+        "doc_id",
+        "host",
+        m.isNotNull().alias("blocked"),
+        F.coalesce(m["category"], F.lit("none")).alias("category"),
+        F.coalesce(m["domain"], F.lit("")).alias("matched_domain"),
+        F.coalesce(m["severity"], F.lit(0)).alias("severity"),
+    )
+
+
 QUERIES = {
     "q89_bloom_seen_set": q89_bloom_seen_set,
     "q63_url_canonicalize": q63_url_canonicalize,
@@ -1532,4 +1703,92 @@ QUERIES = {
     "q73_anchor_terms": q73_anchor_terms,
     "q80_crawl_merge": q80_crawl_merge,
     "q84_host_quota": q84_host_quota,
+    "q111_surt_dedup": q111_surt_dedup,
+    "q113_domain_blocklist": q113_domain_blocklist,
 }
+
+# DuckDB mirror of _capture_urls (closed-form in doc_id).
+_CAPTURE_SQL = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+           || '://'
+           || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+           || 'News' || CAST((doc_id % 200) % 7 AS VARCHAR) || '.Example.COM'
+           || (CASE WHEN doc_id % 5 = 0 THEN '.' ELSE '' END)
+           || (CASE WHEN doc_id % 4 <= 1 THEN
+                 (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+               ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN '/story//' ELSE '/story/' END)
+           || CAST(doc_id % 200 AS VARCHAR)
+           || (CASE WHEN (doc_id % 200) % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+                    WHEN (doc_id % 200) % 3 = 1 THEN '?b=2&a=1' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END) AS url
+    FROM documents
+"""
+
+_Q111_ORACLE = _canon_sql_over(_CAPTURE_SQL) + """
+    , surt AS (
+        SELECT doc_id, canonical_url,
+               CAST(1700000000 + (doc_id % 97) * 3600 + doc_id AS BIGINT)
+                   AS capture_ts,
+               array_to_string(list_reverse(string_split(
+                   regexp_replace(regexp_extract(regexp_extract(
+                       canonical_url, '^[^:]+://([^/]*)', 1),
+                       '^([^:]*)', 1), '^www\\.', ''), '.')), ',')
+               || (CASE WHEN regexp_extract(regexp_extract(canonical_url,
+                       '^[^:]+://([^/]*)', 1), ':([0-9]+)$', 1) = '' THEN ''
+                    ELSE ':' || regexp_extract(regexp_extract(canonical_url,
+                       '^[^:]+://([^/]*)', 1), ':([0-9]+)$', 1) END)
+               || ')'
+               || regexp_replace(canonical_url, '^[^:]+://[^/]*', '')
+                   AS surt_key
+        FROM canon
+    ),
+    ranked AS (
+        SELECT surt_key, doc_id, capture_ts, canonical_url,
+               row_number() OVER (PARTITION BY surt_key
+                                  ORDER BY capture_ts DESC, doc_id DESC) AS rn,
+               count(*) OVER (PARTITION BY surt_key) AS n_captures
+        FROM surt
+    )
+    SELECT surt_key, doc_id, capture_ts, canonical_url,
+           CAST(n_captures AS BIGINT) AS n_captures
+    FROM ranked WHERE rn = 1
+"""
+
+
+def _q113_oracle() -> str:
+    values = ", ".join(
+        f"('{d}', '{c}', {s})" for d, c, s in _BLOCKLIST
+    )
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0
+                     THEN 'pixel' || CAST(doc_id % 3 AS VARCHAR)
+                          || '.ads-track.example'
+                 WHEN doc_id % 13 = 0 THEN 'casino-win.example'
+                 WHEN doc_id % 17 = 0
+                     THEN 'dl' || CAST(doc_id % 4 AS VARCHAR)
+                          || '.cdn.malware-cdn.example'
+                 ELSE 'news' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+            END AS host
+        FROM documents
+    ),
+    b(domain, category, severity) AS (VALUES {values}),
+    m AS (
+        SELECT doc_id, host, b.domain, b.category, b.severity
+        FROM h LEFT JOIN b
+          ON h.host = b.domain OR h.host LIKE '%.' || b.domain
+    )
+    SELECT doc_id, host,
+        max(severity) IS NOT NULL AS blocked,
+        coalesce(arg_max(category, severity), 'none') AS category,
+        coalesce(arg_max(domain, severity), '') AS matched_domain,
+        CAST(coalesce(max(severity), 0) AS INT) AS severity
+    FROM m GROUP BY doc_id, host
+    """
+
+
+ORACLES["q111_surt_dedup"] = _Q111_ORACLE
+ORACLES["q113_domain_blocklist"] = _q113_oracle()
