@@ -918,6 +918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-green
     # and keeps the tools/check_oracles.py + test_entry_oracle gates
     roundtrip_tail = {
+        # tail by design from birth (round 5): q117 (WET conversion
+        # export + read-back) reuses the q76 crawl-to-text chain that
+        # runs in-window, adding the per-shard WET assembly + re-parse
+        # on top; its record dialect is pinned by its own DuckDB oracle
+        # under tools/check_oracles.py + test_entry_oracle
+        "q117_wet_export",
         "q30_extract_html_roundtrip",
         "q31_extract_rtf_roundtrip",
         "q32_extract_xml_roundtrip",
@@ -1173,6 +1179,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and q79 at substring granularity; the global-seen-set
         # semantics difference is pinned by its own DuckDB oracle
         "q114_paragraph_dedup",
+        # tail by design from birth (round 5): q118 (mergeable
+        # histogram quantile sketch) is the sketch twin of in-window
+        # q36's exact percentiles — a map-side-combined bin agg plus
+        # windows over the sketch-sized bin table; the integer election
+        # rule is pinned by its own DuckDB oracle
+        "q118_hist_quantiles",
+        # tail by design from birth (round 5): q119 (per-host corpus
+        # quality report) composes q113's blocklist verdict and q112's
+        # readability rule — both tail-verified — into one host rollup;
+        # the carry-through-regroup shape is pinned by its own oracle
+        "q119_host_quality_report",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -108,6 +108,9 @@ HEADLINE_QUERIES = [
     "q114_paragraph_dedup",
     "q115_inverted_search",
     "q116_bm25_topk",
+    "q117_wet_export",
+    "q118_hist_quantiles",
+    "q119_host_quality_report",
 ]
 
 

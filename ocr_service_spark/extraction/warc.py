@@ -192,6 +192,13 @@ def warc_to_pages(data: bytes) -> list[dict[str, Any]]:
             ct = hh.get("content-type")
             row["content_type"] = ct.split(";")[0].strip().lower() if ct else None
             row["payload"] = body
+        elif wtype == "conversion":
+            # WET-style record: the block IS the converted text; the
+            # record-level Content-Type header describes it directly
+            # (no HTTP envelope to parse).
+            ct = h.get("content-type")
+            row["content_type"] = ct.split(";")[0].strip().lower() if ct else None
+            row["payload"] = rec["block"]
         rows.append(row)
     return rows
 
@@ -220,7 +227,10 @@ def build_warc(records: list[dict[str, Any]], compress: bool = True) -> bytes:
             ("WARC-Type", r.get("warc_type", "response")),
             ("WARC-Target-URI", r.get("url", "")),
             ("WARC-Date", r.get("ts", "2026-01-01T00:00:00Z")),
-            ("Content-Type", "application/http; msgtype=response"),
+            (
+                "Content-Type",
+                r.get("content_type", "application/http; msgtype=response"),
+            ),
             ("Content-Length", str(len(block))),
         ]
         rec = (

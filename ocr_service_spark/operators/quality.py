@@ -504,6 +504,31 @@ _FK_SYN: dict[int, str] = {
 }
 
 
+def fk_signals(text) -> dict[str, "F.Column"]:
+    """The q112 dialect's raw FK ingredient columns + verdict for any
+    text column — reusable by host-level rollups (q119): n_words,
+    n_sentences, n_syllables (all raw), fk_num (the scaled numerator
+    with both clamps engaged) and easy_read (grade <= 8)."""
+    toks = F.regexp_extract_all(text, F.lit(r"(\S+)"), 1)
+    w0 = F.size(toks).cast("bigint")
+    s0 = F.regexp_count(text, F.lit(r"[.!?]+")).cast("bigint")
+    vg = F.regexp_count(F.lower(text), F.lit("[aeiouy]+")).cast("bigint")
+    novowel = F.size(
+        F.filter(toks, lambda t: ~F.lower(t).rlike("[aeiouy]"))
+    ).cast("bigint")
+    sy = vg + novowel
+    w = F.greatest(w0, F.lit(1))
+    s = F.greatest(s0, F.lit(1))
+    fk = 39 * w * w + 1180 * sy * s - 2359 * s * w
+    return {
+        "n_words": w0,
+        "n_sentences": s0,
+        "n_syllables": sy,
+        "fk_num": fk.cast("bigint"),
+        "easy_read": fk <= 0,
+    }
+
+
 def q112_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document readability: raw word/sentence/syllable counts,
     the scaled FK numerator, and the grade<=8 verdict."""
@@ -516,30 +541,9 @@ def q112_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    toks = F.regexp_extract_all(F.col("text"), F.lit(r"(\S+)"), 1)
-    w0 = F.size(toks).cast("bigint")
-    s0 = F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint")
-    vg = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("bigint")
-    novowel = F.size(
-        F.filter(toks, lambda t: ~F.lower(t).rlike("[aeiouy]"))
-    ).cast("bigint")
-    base = docs.select(
-        "doc_id",
-        w0.alias("n_words"),
-        s0.alias("n_sentences"),
-        (vg + novowel).alias("n_syllables"),
-    )
-    w = F.greatest(F.col("n_words"), F.lit(1))
-    s = F.greatest(F.col("n_sentences"), F.lit(1))
-    sy = F.col("n_syllables")
-    fk = 39 * w * w + 1180 * sy * s - 2359 * s * w
-    return base.select(
-        "doc_id",
-        "n_words",
-        "n_sentences",
-        "n_syllables",
-        fk.cast("bigint").alias("fk_num"),
-        (fk <= 0).alias("easy_read"),
+    sig = fk_signals(F.col("text"))
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in sig.items()]
     )
 
 

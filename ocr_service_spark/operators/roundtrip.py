@@ -782,6 +782,107 @@ ORACLES["q88_mojibake_repair"] = f"""
     FROM documents
 """
 
+# -- q117: WET export (WARC conversion records) round trip --------------------
+WET_TS = "2026-03-01T00:00:00Z"
+
+
+def q117_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl WET shape end-to-end: WARC shards -> parse ->
+    2xx filter -> REAL extraction -> per-shard WET files (one
+    `WARC-Type: conversion` record per extracted page, plus a
+    warcinfo lead record) written with the repo's own WARC writer ->
+    read BACK through the real parser. Output is one row per WET
+    record with the decoded text and its octet length, so the oracle
+    (which rebuilds the expected conversion text closed-form, the q76
+    derivation) proves the write->parse round trip lost nothing.
+
+    Scale shape: parse -> extract stays zero-shuffle inside the scan
+    stage (the q76 chain); the ONE shuffle is the per-shard regroup
+    that assembles each WET file — exactly the sharding a production
+    WET job performs (WET files mirror their WARC file boundaries).
+    The read-back is a second map-only pass over the built blobs."""
+    import pandas as pd
+
+    from ocr_service_spark.sources.warc import read_warc
+
+    records = read_warc(_warc_shards(spark, sf_dir), id_cols=("shard",))
+    fetched = records.filter(
+        (F.col("warc_type") == "response") & (F.col("status") == 200)
+    )
+    pages = fetched.select("url", F.col("payload").alias("html"))
+    results = extract_documents(pages).filter(F.col("success"))
+    doc_id = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+    conv = results.select(
+        doc_id.alias("doc_id"),
+        "url",
+        "extracted_text",
+    ).withColumn("shard", F.expr(f"doc_id DIV {WARC_SHARD_DOCS}"))
+
+    def build_wet(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from ocr_service_spark.extraction.warc import build_warc
+
+        shard = int(pdf["shard"].iloc[0])
+        recs = [
+            {
+                "warc_type": "warcinfo",
+                "url": "",
+                "ts": WET_TS,
+                "block": b"software: graft-wet\r\n",
+                "content_type": "application/warc-fields",
+            }
+        ]
+        for row in pdf.sort_values("doc_id").itertuples(index=False):
+            recs.append(
+                {
+                    "warc_type": "conversion",
+                    "url": row.url,
+                    "ts": WET_TS,
+                    "block": (row.extracted_text or "").encode("utf-8"),
+                    "content_type": "text/plain",
+                }
+            )
+        return pd.DataFrame([{"shard": shard, "data": build_warc(recs)}])
+
+    wet = conv.groupBy("shard").applyInPandas(build_wet, "shard long, data binary")
+    back = read_warc(wet, id_cols=("shard",))
+    out_doc_id = F.nullif(
+        F.regexp_extract(F.coalesce("url", F.lit("")), r"/doc/(\d+)$", 1),
+        F.lit(""),
+    ).cast("bigint")
+    return back.select(
+        "shard",
+        "warc_type",
+        out_doc_id.alias("doc_id"),
+        "content_type",
+        F.when(
+            F.col("payload").isNotNull(), F.decode(F.col("payload"), "UTF-8")
+        ).alias("wet_text"),
+        F.octet_length("payload").cast("bigint").alias("content_length"),
+    )
+
+
+# Closed-form mirror: conversion rows are the q76 derivation (2xx docs
+# with extracted text 'warc doc N body'); one warcinfo row per shard.
+ORACLES["q117_wet_export"] = f"""
+    WITH conv AS (
+        SELECT CAST(doc_id // {WARC_SHARD_DOCS} AS BIGINT) AS shard,
+               doc_id,
+               'warc doc ' || doc_id || ' body' AS wet_text
+        FROM documents
+        WHERE doc_id % 17 <> 0
+    )
+    SELECT shard, 'conversion' AS warc_type, doc_id,
+           'text/plain' AS content_type, wet_text,
+           CAST(strlen(wet_text) AS BIGINT) AS content_length
+    FROM conv
+    UNION ALL
+    SELECT DISTINCT shard, 'warcinfo', CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM conv
+"""
+
+
 QUERIES = {
     "q30_extract_html_roundtrip": q30_extract_html_roundtrip,
     "q76_warc_extract": q76_warc_extract,
@@ -790,6 +891,7 @@ QUERIES = {
     "q44_audio_roundtrip": q44_audio_roundtrip,
     "q48_pii_scrub_roundtrip": q48_pii_scrub_roundtrip,
     "q74_warc_ingest": q74_warc_ingest,
+    "q117_wet_export": q117_wet_export,
     "q87_cdx_ingest": q87_cdx_ingest,
     "q88_mojibake_repair": q88_mojibake_repair,
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,

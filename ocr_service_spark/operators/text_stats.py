@@ -935,6 +935,66 @@ def q109_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q118: mergeable histogram quantile sketch --------------------------------
+#
+# q36 computes EXACT percentiles (sort-based percentile_disc) — correct
+# but a full sort of the value column at 100 TB. The production-scale
+# twin is a fixed-bin histogram sketch: one map-side-combined groupBy
+# onto ~hundreds of bin rows, a cumulative window over that sketch-
+# sized table, and quantile estimates read off the cumulative counts.
+# The sketch is MERGEABLE (bin counts add), so per-shard / per-day
+# sketches roll up without touching the raw data again — the property
+# that matters for a standing corpus dashboard. All integer: the
+# estimate for percentile p is the lowest bin whose cumulative count
+# reaches ceil(p% of N), i.e. cum*100 >= p*N.
+
+HIST_BIN_W = 8  # token-count bin width
+HIST_PCTS = (25, 50, 75, 95)
+
+
+def q118_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of per-doc token counts: one row per
+    requested percentile with the electing bin, its token range and
+    the cumulative evidence. The post-agg windows run over the
+    sketch-sized bin table (bounded by max_tokens / bin_width, never
+    by corpus size), so their single-partition shape is safe by
+    construction."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.trim("text"), TOKEN_RE)).cast("bigint")
+    bins = (
+        docs.select(tokens.alias("tokens"))
+        .select(F.expr(f"tokens DIV {HIST_BIN_W}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    sketch = bins.withColumn("cum_n", F.sum("bucket_n").over(w_cum)).withColumn(
+        "n_total", F.sum("bucket_n").over(w_all)
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in HIST_PCTS])
+    ).alias("pct")
+    hits = sketch.select("bin", "bucket_n", "cum_n", "n_total", pcts).filter(
+        F.col("cum_n") * 100 >= F.col("pct") * F.col("n_total")
+    )
+    elected = hits.groupBy("pct").agg(
+        F.min(F.struct("bin", "bucket_n", "cum_n", "n_total")).alias("e")
+    )
+    e = F.col("e")
+    return elected.select(
+        "pct",
+        e["bin"].alias("bin"),
+        (e["bin"] * HIST_BIN_W).alias("lo_tokens"),
+        (e["bin"] * HIST_BIN_W + (HIST_BIN_W - 1)).alias("hi_tokens"),
+        e["bucket_n"].alias("bucket_n"),
+        e["cum_n"].alias("cum_n"),
+        e["n_total"].alias("n_total"),
+    )
+
+
 QUERIES = {
     "q11_token_stats": q11_token_stats,
     "q12_quality_buckets": q12_quality_buckets,
@@ -951,7 +1011,37 @@ QUERIES = {
     "q86_bpe_merges": q86_bpe_merges,
     "q93_dsir_selection": q93_dsir_selection,
     "q109_unicode_nfc": q109_unicode_nfc,
+    "q118_hist_quantiles": q118_hist_quantiles,
 }
+
+ORACLES["q118_hist_quantiles"] = f"""
+    WITH bins AS (
+        SELECT CAST(len(regexp_split_to_array(trim(text), '{TOKEN_RE}'))
+                    // {HIST_BIN_W} AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS bucket_n
+        FROM documents GROUP BY 1
+    ),
+    sketch AS (
+        SELECT bin, bucket_n,
+               CAST(sum(bucket_n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+               CAST(sum(bucket_n) OVER () AS BIGINT) AS n_total
+        FROM bins
+    ),
+    hits AS (
+        SELECT p.pct, s.*
+        FROM sketch s, (VALUES {", ".join(f"({p})" for p in HIST_PCTS)}) p(pct)
+        WHERE s.cum_n * 100 >= p.pct * s.n_total
+    )
+    SELECT pct,
+           min(bin) AS bin,
+           CAST(min(bin) * {HIST_BIN_W} AS BIGINT) AS lo_tokens,
+           CAST(min(bin) * {HIST_BIN_W} + {HIST_BIN_W - 1} AS BIGINT)
+               AS hi_tokens,
+           arg_min(bucket_n, bin) AS bucket_n,
+           arg_min(cum_n, bin) AS cum_n,
+           arg_min(n_total, bin) AS n_total
+    FROM hits GROUP BY pct
+"""
 
 ORACLES["q109_unicode_nfc"] = f"""
     WITH d AS (

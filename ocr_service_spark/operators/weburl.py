@@ -1629,13 +1629,12 @@ _BLOCKLIST = (
 )
 
 
-def _blocklist_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic host corpus: ~9% of docs land on a blocklisted
-    domain directly, as a subdomain, or two labels deep; d%7==3 hosts
-    exercise the exact-match rung (news3.example.com)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    d = F.col("doc_id")
-    host = (
+def _host_expr(d: Column) -> Column:
+    """The closed-form host assignment shared by q113 and q119: ~9% of
+    docs land on a blocklisted domain directly, as a subdomain, or two
+    labels deep; d%7==3 hosts exercise the exact-match rung
+    (news3.example.com)."""
+    return (
         F.when(
             d % 11 == 0,
             F.concat(F.lit("pixel"), (d % 3).cast("string"), F.lit(".ads-track.example")),
@@ -1647,7 +1646,48 @@ def _blocklist_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("news"), (d % 7).cast("string"), F.lit(".example.com")))
     )
-    return docs.select("doc_id", host.alias("host"))
+
+
+def _blocklist_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host corpus (see _host_expr)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.select("doc_id", _host_expr(F.col("doc_id")).alias("host"))
+
+
+def _blocklist_matches(
+    spark: SparkSession, hosts: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, host, carry...) -> (doc_id, host, m, carry...) where
+    ``m`` is the max-severity blocklist match struct (null when
+    clean): every host expands to its domain suffixes (length >= 2
+    labels), the blocklist equi-joins on the suffix (broadcast), and
+    one per-doc regroup elects the match. ``carry`` columns ride
+    through the explode and regroup (per-doc constants), so callers
+    composing further rollups (q119) avoid a join back."""
+    labels = F.split("host", r"\.")
+    n = F.size(labels)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    exploded = hosts.select(
+        "doc_id", "host", *carry, F.explode(sufs).alias("suffix")
+    )
+    bl = spark.createDataFrame(
+        list(_BLOCKLIST), "domain string, category string, severity int"
+    )
+    joined = exploded.join(
+        F.broadcast(bl), F.col("suffix") == F.col("domain"), "left"
+    )
+    return joined.groupBy("doc_id", "host").agg(
+        F.max(
+            F.when(
+                F.col("domain").isNotNull(),
+                F.struct("severity", "domain", "category"),
+            )
+        ).alias("m"),
+        *[F.first(c).alias(c) for c in carry],
+    )
 
 
 def q113_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,28 +1695,7 @@ def q113_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     its domain suffixes (length ≥ 2 labels), the blocklist equi-joins
     on the suffix, and the per-doc max-severity match decides the
     verdict. Unmatched docs keep category 'none'."""
-    hosts = _blocklist_hosts(spark, sf_dir)
-    labels = F.split("host", r"\.")
-    n = F.size(labels)
-    sufs = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
-    )
-    exploded = hosts.select("doc_id", "host", F.explode(sufs).alias("suffix"))
-    bl = spark.createDataFrame(
-        list(_BLOCKLIST), "domain string, category string, severity int"
-    )
-    joined = exploded.join(
-        F.broadcast(bl), F.col("suffix") == F.col("domain"), "left"
-    )
-    agg = joined.groupBy("doc_id", "host").agg(
-        F.max(
-            F.when(
-                F.col("domain").isNotNull(),
-                F.struct("severity", "domain", "category"),
-            )
-        ).alias("m")
-    )
+    agg = _blocklist_matches(spark, _blocklist_hosts(spark, sf_dir))
     m = F.col("m")
     return agg.select(
         "doc_id",
@@ -1685,6 +1704,54 @@ def q113_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(m["category"], F.lit("none")).alias("category"),
         F.coalesce(m["domain"], F.lit("")).alias("matched_domain"),
         F.coalesce(m["severity"], F.lit(0)).alias("severity"),
+    )
+
+
+# -- q119: per-host corpus quality report --------------------------------------
+
+
+def q119_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-crawl dashboard a production corpus pipeline publishes:
+    one row per host with document volume, blocklist hits, the
+    plain-language (FK grade<=8) fraction in basis points, and token
+    mass. Composes three already-pinned dialects — the q113 host
+    assignment + suffix-explode blocklist verdict and the q112
+    integer readability rule — into ONE rollup: signals are computed
+    in the scan projection, ride through the blocklist regroup as
+    carry columns (no join back), and a single host groupBy produces
+    the report. Two shuffles end to end; every reported ratio is an
+    integer (basis points / milli-tokens via DIV), so the oracle
+    replays the dashboard bit-for-bit."""
+    from ocr_service_spark.operators.quality import fk_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sig = fk_signals(F.col("text"))
+    sigs = docs.select(
+        "doc_id",
+        _host_expr(F.col("doc_id")).alias("host"),
+        sig["n_words"].alias("tokens"),
+        sig["easy_read"].cast("bigint").alias("easy"),
+    )
+    per_doc = _blocklist_matches(spark, sigs, carry=("tokens", "easy"))
+    return (
+        per_doc.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("m").isNotNull().cast("bigint")).alias("n_blocked"),
+            F.sum("easy").alias("n_easy"),
+            F.sum("tokens").alias("sum_tokens"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_blocked",
+            "n_easy",
+            F.expr("(10000 * n_easy) DIV n_docs").alias("easy_bp"),
+            "sum_tokens",
+            F.expr("(1000 * sum_tokens) DIV n_docs").alias("mean_tokens_milli"),
+        )
     )
 
 
@@ -1705,6 +1772,7 @@ QUERIES = {
     "q84_host_quota": q84_host_quota,
     "q111_surt_dedup": q111_surt_dedup,
     "q113_domain_blocklist": q113_domain_blocklist,
+    "q119_host_quality_report": q119_host_quality_report,
 }
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
@@ -1757,13 +1825,8 @@ _Q111_ORACLE = _canon_sql_over(_CAPTURE_SQL) + """
 """
 
 
-def _q113_oracle() -> str:
-    values = ", ".join(
-        f"('{d}', '{c}', {s})" for d, c, s in _BLOCKLIST
-    )
-    return f"""
-    WITH h AS (
-        SELECT doc_id,
+# DuckDB mirror of _host_expr.
+_HOST_CASE_SQL = """
             CASE WHEN doc_id % 11 = 0
                      THEN 'pixel' || CAST(doc_id % 3 AS VARCHAR)
                           || '.ads-track.example'
@@ -1772,7 +1835,17 @@ def _q113_oracle() -> str:
                      THEN 'dl' || CAST(doc_id % 4 AS VARCHAR)
                           || '.cdn.malware-cdn.example'
                  ELSE 'news' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
-            END AS host
+            END
+"""
+
+
+def _q113_oracle() -> str:
+    values = ", ".join(
+        f"('{d}', '{c}', {s})" for d, c, s in _BLOCKLIST
+    )
+    return f"""
+    WITH h AS (
+        SELECT doc_id, {_HOST_CASE_SQL} AS host
         FROM documents
     ),
     b(domain, category, severity) AS (VALUES {values}),
@@ -1790,5 +1863,43 @@ def _q113_oracle() -> str:
     """
 
 
+def _q119_oracle() -> str:
+    values = ", ".join(f"('{d}', '{c}', {s})" for d, c, s in _BLOCKLIST)
+    return f"""
+    WITH sig AS (
+        SELECT doc_id, {_HOST_CASE_SQL} AS host,
+            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w0,
+            CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s0,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 + len(list_filter(regexp_extract_all(text, '\\S+'),
+                       t -> NOT regexp_matches(lower(t), '[aeiouy]')))
+                 AS BIGINT) AS sy
+        FROM documents
+    ),
+    v AS (
+        SELECT s.*,
+            CASE WHEN 39 * greatest(w0, 1) * greatest(w0, 1)
+                      + 1180 * sy * greatest(s0, 1)
+                      - 2359 * greatest(s0, 1) * greatest(w0, 1) <= 0
+                 THEN 1 ELSE 0 END AS easy,
+            CASE WHEN EXISTS (
+                     SELECT 1 FROM (VALUES {values}) b(domain, category, sev)
+                     WHERE s.host = b.domain
+                        OR s.host LIKE '%.' || b.domain)
+                 THEN 1 ELSE 0 END AS blocked
+        FROM sig s
+    )
+    SELECT host,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(blocked) AS BIGINT) AS n_blocked,
+        CAST(sum(easy) AS BIGINT) AS n_easy,
+        CAST((10000 * sum(easy)) // count(*) AS BIGINT) AS easy_bp,
+        CAST(sum(w0) AS BIGINT) AS sum_tokens,
+        CAST((1000 * sum(w0)) // count(*) AS BIGINT) AS mean_tokens_milli
+    FROM v GROUP BY host
+    """
+
+
 ORACLES["q111_surt_dedup"] = _Q111_ORACLE
 ORACLES["q113_domain_blocklist"] = _q113_oracle()
+ORACLES["q119_host_quality_report"] = _q119_oracle()

@@ -145,3 +145,55 @@ def test_q116_rational_bm25_weights(spark):
             expect += ((11000 * tf) // (5 * tf + 6)) * (1_000_000 // (df[t] + 1))
     assert top["score"] == expect
     assert top["n_terms"] == n_terms
+
+
+def test_q118_sketch_matches_exact_quantiles(spark):
+    from ocr_service_spark.operators.text_stats import (
+        HIST_BIN_W,
+        HIST_PCTS,
+        q118_hist_quantiles,
+    )
+
+    rows = {r["pct"]: r for r in q118_hist_quantiles(spark, SF).collect()}
+    assert set(rows) == set(HIST_PCTS)
+    toks = sorted(
+        len(r["text"].split())
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    )
+    n = len(toks)
+    for pct, r in rows.items():
+        assert r["n_total"] == n
+        assert r["lo_tokens"] == r["bin"] * HIST_BIN_W
+        assert r["hi_tokens"] == r["lo_tokens"] + HIST_BIN_W - 1
+        # election rule: lowest bin whose cumulative count reaches pct% of N
+        want_bin = None
+        cum = 0
+        from collections import Counter
+
+        by_bin = Counter(t // HIST_BIN_W for t in toks)
+        for b in sorted(by_bin):
+            cum += by_bin[b]
+            if cum * 100 >= pct * n:
+                want_bin = b
+                break
+        assert r["bin"] == want_bin
+        # the sketch brackets the exact percentile value
+        exact = toks[max(0, -(-pct * n // 100) - 1)]
+        assert r["lo_tokens"] <= exact <= r["hi_tokens"]
+
+
+def test_q119_report_rolls_up_both_signals(spark):
+    from ocr_service_spark.operators.weburl import q119_host_quality_report
+
+    rows = {r["host"]: r for r in q119_host_quality_report(spark, SF).collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == 500
+    blocked_hosts = {h for h in rows if "ads-track" in h or "casino" in h
+                     or "malware" in h or h == "news3.example.com"}
+    for h, r in rows.items():
+        if h in blocked_hosts:
+            assert r["n_blocked"] == r["n_docs"], h
+        else:
+            assert r["n_blocked"] == 0, h
+        assert 0 <= r["n_easy"] <= r["n_docs"]
+        assert r["easy_bp"] == (10000 * r["n_easy"]) // r["n_docs"]
+        assert r["mean_tokens_milli"] == (1000 * r["sum_tokens"]) // r["n_docs"]

@@ -193,3 +193,64 @@ def test_q76_crawl_to_text_single_stage_chain(spark) -> None:
     gz = [d for d in rows if d % 4 == 0]
     assert gz, "no gzip-rung docs in corpus"
     assert all(d % 17 != 0 for d in rows)  # 404s never reach extraction
+
+
+def test_conversion_records_roundtrip() -> None:
+    """WET-style conversion records: the block is the payload, the
+    record-level Content-Type is surfaced directly (no HTTP parse),
+    and the writer's content_type override lands in the header."""
+    from ocr_service_spark.extraction.warc import build_warc, warc_to_pages
+
+    data = build_warc(
+        [
+            {
+                "warc_type": "warcinfo",
+                "url": "",
+                "ts": "2026-03-01T00:00:00Z",
+                "block": b"software: graft-wet\r\n",
+                "content_type": "application/warc-fields",
+            },
+            {
+                "warc_type": "conversion",
+                "url": "https://a.example.com/doc/7",
+                "ts": "2026-03-01T00:00:00Z",
+                "block": "warc doc 7 body".encode(),
+                "content_type": "text/plain",
+            },
+        ]
+    )
+    rows = warc_to_pages(data)
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "conversion"]
+    info, conv = rows
+    assert info["payload"] is None and info["content_type"] is None
+    assert conv["payload"] == b"warc doc 7 body"
+    assert conv["content_type"] == "text/plain"
+    assert conv["url"] == "https://a.example.com/doc/7"
+    # response records keep the default msgtype header (byte-stable
+    # corpora from earlier rounds must not change)
+    legacy = build_warc(
+        [{"warc_type": "response", "url": "u", "ts": "t", "body": b"x"}],
+        compress=False,
+    )
+    assert b"Content-Type: application/http; msgtype=response" in legacy
+
+
+def test_q117_wet_export_one_build_shuffle(spark) -> None:
+    """The WET job's only exchange is the per-shard file assembly;
+    parse -> extract -> record build -> re-parse otherwise stay
+    map-side. Every conversion record's Content-Length must equal its
+    re-parsed payload length (the self-consistency a WET consumer
+    relies on)."""
+    from ocr_service_spark.operators.roundtrip import q117_wet_export
+
+    df = q117_wet_export(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two exchanges total: the test-corpus shard BUILD (q76 shares it)
+    # and the WET per-shard assembly
+    assert plan.count("Exchange") == 2, plan
+    rows = df.collect()
+    conv = [r for r in rows if r["warc_type"] == "conversion"]
+    info = [r for r in rows if r["warc_type"] == "warcinfo"]
+    assert conv and info
+    assert all(r["content_length"] == len(r["wet_text"].encode()) for r in conv)
+    assert {r["shard"] for r in info} == {r["shard"] for r in conv}
