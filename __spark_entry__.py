@@ -1190,6 +1190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # readability rule — both tail-verified — into one host rollup;
         # the carry-through-regroup shape is pinned by its own oracle
         "q119_host_quality_report",
+        # tail by design from birth (round 5): q121 (PMI collocations)
+        # reuses the explode->agg bigram machinery in-window via q39
+        # and the AQE-decided vocab join + 1-row totals broadcast via
+        # q81/q93; the cross-multiplied PMI verdict is pinned by its
+        # own DuckDB oracle
+        "q121_collocations",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -111,6 +111,7 @@ HEADLINE_QUERIES = [
     "q117_wet_export",
     "q118_hist_quantiles",
     "q119_host_quality_report",
+    "q121_collocations",
 ]
 
 

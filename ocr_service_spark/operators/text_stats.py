@@ -995,6 +995,99 @@ def q118_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q121: PMI collocation mining, integer-exact -------------------------------
+#
+# Corpus-level collocation detection (Church & Hanks 1990): adjacent
+# word pairs whose joint frequency beats independence. The verdict
+# PMI > ln 2 is kept exact by cross-multiplication:
+#     ln((C_ab/M) / ((C_a/N)(C_b/N))) > ln 2
+#     <=>  C_ab * N^2 > 2 * M * C_a * C_b            (all BIGINT)
+# The N^2 term bounds the exact integer form to corpora under ~3e9
+# tokens per evaluation shard (64-bit); beyond that the same counts
+# merge additively across shards and the verdict moves to log space —
+# the counts pipeline (two explode->agg passes, AQE-decided unigram
+# joins, 1-row totals broadcasts) is the part that must scale, and it
+# is the q81/q93 shape. A fixture doc repeating one phrase pins the
+# collocated-TRUE branch (the word-soup corpus is near-independent).
+
+COLL_MIN_COUNT = 5
+COLL_TOP_K = 20
+_COLL_SYN_REPS = 30
+_COLL_SYN = {1000000: ("tensor core " * _COLL_SYN_REPS).rstrip()}
+
+
+def q121_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent-pair collocations ranked by the pinned integer
+    lift (milli): pair counts, unigram counts, and the exact PMI>ln2
+    verdict."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                sorted(_COLL_SYN.items()), "doc_id bigint, text string"
+            )
+        )
+    )
+    t = F.split(F.trim(F.lower(F.col("text"))), TOKEN_RE)
+    uni = (
+        docs.select(F.explode(t).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_term"))
+    )
+    n_row = uni.agg(F.sum("c_term").alias("n_tokens"))
+    pair_structs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bigrams = (
+        docs.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    m_row = bigrams.agg(F.sum("c_ab").alias("m_bigrams"))
+    cand = (
+        bigrams.filter(F.col("c_ab") >= COLL_MIN_COUNT)
+        .join(
+            uni.select(F.col("term").alias("a"), F.col("c_term").alias("c_a")),
+            "a",
+        )
+        .join(
+            uni.select(F.col("term").alias("b"), F.col("c_term").alias("c_b")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(m_row))
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "(1000 * c_ab * n_tokens * n_tokens)"
+                " DIV (m_bigrams * c_a * c_b)"
+            ).alias("lift_milli"),
+            (
+                F.col("c_ab") * F.col("n_tokens") * F.col("n_tokens")
+                > 2 * F.col("m_bigrams") * F.col("c_a") * F.col("c_b")
+            ).alias("collocated"),
+        )
+        .orderBy(
+            F.col("lift_milli").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(COLL_TOP_K)
+    )
+
+
 QUERIES = {
     "q11_token_stats": q11_token_stats,
     "q12_quality_buckets": q12_quality_buckets,
@@ -1012,7 +1105,58 @@ QUERIES = {
     "q93_dsir_selection": q93_dsir_selection,
     "q109_unicode_nfc": q109_unicode_nfc,
     "q118_hist_quantiles": q118_hist_quantiles,
+    "q121_collocations": q121_collocations,
 }
+
+def _q121_oracle() -> str:
+    fixture_rows = "\n            UNION ALL ".join(
+        "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
+            i, txt.replace("'", "''")
+        )
+        for i, txt in sorted(_COLL_SYN.items())
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        {fixture_rows}
+    ),
+    toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '{TOKEN_RE}') AS t
+        FROM d
+    ),
+    uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c_term
+        FROM (SELECT unnest(t) AS term FROM toks)
+        GROUP BY term
+    ),
+    n AS (SELECT CAST(sum(c_term) AS BIGINT) AS n_tokens FROM uni),
+    big AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM (
+            SELECT t[i] AS a, t[i + 1] AS b
+            FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+        )
+        GROUP BY a, b
+    ),
+    m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS m_bigrams FROM big)
+    SELECT g.a, g.b, g.c_ab, ua.c_term AS c_a, ub.c_term AS c_b,
+        CAST((1000 * g.c_ab * n.n_tokens * n.n_tokens)
+             // (m.m_bigrams * ua.c_term * ub.c_term) AS BIGINT)
+            AS lift_milli,
+        g.c_ab * n.n_tokens * n.n_tokens
+            > 2 * m.m_bigrams * ua.c_term * ub.c_term AS collocated
+    FROM big g
+    JOIN uni ua ON g.a = ua.term
+    JOIN uni ub ON g.b = ub.term
+    CROSS JOIN n CROSS JOIN m
+    WHERE g.c_ab >= {COLL_MIN_COUNT}
+    ORDER BY lift_milli DESC, g.a ASC, g.b ASC
+    LIMIT {COLL_TOP_K}
+    """
+
+
+ORACLES["q121_collocations"] = _q121_oracle()
 
 ORACLES["q118_hist_quantiles"] = f"""
     WITH bins AS (

@@ -273,7 +273,9 @@ def test_plan_hygiene_all_driver_queries(spark):
                    # (DSIR model normalization + top-quantile keep)
                    "q93_dsir_selection",
                    # 1-row totals crossJoin (mixture rate denominators)
-                   "q99_corpus_mixture"}
+                   "q99_corpus_mixture",
+                   # 1-row N/M totals crossJoins (PMI denominators)
+                   "q121_collocations"}
     for name, fn in em.queries().items():
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name

@@ -197,3 +197,47 @@ def test_q119_report_rolls_up_both_signals(spark):
         assert 0 <= r["n_easy"] <= r["n_docs"]
         assert r["easy_bp"] == (10000 * r["n_easy"]) // r["n_docs"]
         assert r["mean_tokens_milli"] == (1000 * r["sum_tokens"]) // r["n_docs"]
+
+
+def test_q121_collocation_verdict(spark):
+    from ocr_service_spark.operators.text_stats import q121_collocations
+
+    rows = {(r["a"], r["b"]): r for r in q121_collocations(spark, SF).collect()}
+    assert len(rows) == 20
+    # the fixture phrase is a true collocation and dominates by count
+    tc = rows[("tensor", "core")]
+    assert tc["collocated"] and tc["c_ab"] == 30
+    # verdict and lift replay the pinned integer dialect
+    for r in rows.values():
+        lhs = r["c_ab"] * _n_tokens(spark) ** 2
+        rhs = 2 * _m_bigrams(spark) * r["c_a"] * r["c_b"]
+        assert r["collocated"] == (lhs > rhs)
+        assert r["lift_milli"] == (1000 * r["c_ab"] * _n_tokens(spark) ** 2) // (
+            _m_bigrams(spark) * r["c_a"] * r["c_b"]
+        )
+    # word-soup adjacencies are near-independent: at least one top pair
+    # must NOT be a collocation (the FALSE branch is exercised)
+    assert any(not r["collocated"] for r in rows.values())
+
+
+_TOTALS: dict[str, int] = {}
+
+
+def _corpus_tokens(spark):
+    if "toks" not in _TOTALS:
+        from ocr_service_spark.operators.text_stats import _COLL_SYN
+
+        texts = [
+            r["text"]
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+        ] + [t for _, t in sorted(_COLL_SYN.items())]
+        _TOTALS["toks"] = [t.lower().split() for t in texts]
+    return _TOTALS["toks"]
+
+
+def _n_tokens(spark):
+    return sum(len(t) for t in _corpus_tokens(spark))
+
+
+def _m_bigrams(spark):
+    return sum(len(t) - 1 for t in _corpus_tokens(spark) if len(t) >= 2)
