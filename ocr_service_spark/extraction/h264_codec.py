@@ -292,7 +292,9 @@ def nal_units_avcc(sample: bytes, length_size: int) -> list[bytes]:
     return out
 
 
-def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, nal_type: int) -> dict:
+def _parse_slice_header(
+    r: _BitReader, sps: dict, pps: dict, nal_type: int, nal_ref_idc: int
+) -> dict:
     first_mb = r.ue()
     slice_type = r.ue()
     r.ue()  # pps_id
@@ -308,8 +310,25 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict, nal_type: int) -> d
     if nal_type == _NAL_IDR:
         r.u(1)  # no_output_of_prior_pics_flag
         r.u(1)  # long_term_reference_flag
-    elif slice_type % 5 != 2:
-        raise H264Error("non-I slice unsupported")
+    else:
+        if slice_type % 5 != 2:
+            raise H264Error("non-I slice unsupported")
+        if nal_ref_idc != 0:
+            # dec_ref_pic_marking for non-IDR reference slices
+            # (7.3.3.3) — real encoders emit NAL-type-1 I slices with
+            # ref_idc>0; skipping this bit misaligns everything after
+            # frame_num and the first mb_type reads garbage
+            if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+                while True:
+                    op = r.ue()  # memory_management_control_operation
+                    if op == 0:
+                        break
+                    if op in (1, 2, 4, 6):
+                        r.ue()
+                    elif op == 3:
+                        r.ue()
+                        r.ue()
+                    # op 5 carries no arguments
     slice_qp_delta = r.se()
     if pps["deblocking_control_present"]:
         idc = r.ue()  # disable_deblocking_filter_idc
@@ -349,7 +368,7 @@ def decode_ipcm_picture(nals: list[bytes], sps: dict, pps: dict) -> bytes | None
                 continue
             saw_slice = True
             r = _BitReader(_strip_emulation(nal[1:]))
-            hdr = _parse_slice_header(r, sps, pps, nal_type)
+            hdr = _parse_slice_header(r, sps, pps, nal_type, (nal[0] >> 5) & 3)
             if hdr["slice_type"] % 5 != 2:
                 return None
             mb = hdr["first_mb"]

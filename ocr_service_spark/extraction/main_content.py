@@ -150,6 +150,9 @@ def html_blocks(stream: bytes) -> list[Block]:
     return parser.blocks
 
 
+_CHARREF_RE = re.compile(r"&(?:#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+
+
 class _SpanBlockParser(_BlockParser):
     """_BlockParser that additionally records, per block, the raw-source
     character span its visible text was read from.
@@ -176,6 +179,7 @@ class _SpanBlockParser(_BlockParser):
                 break
             start = nl + 1
             self._line_starts.append(start)
+        self._source = source
         self._source_len = len(source)
         self._data_open = False
 
@@ -214,10 +218,35 @@ class _SpanBlockParser(_BlockParser):
     def handle_data(self, data: str) -> None:
         if self._drop_depth == 0 and data.strip():
             if self._cur.span_start is None:
-                # anchor at the first non-whitespace char of the run
-                self._cur.span_start = self._abs() + (len(data) - len(data.lstrip()))
+                # anchor at the first non-whitespace char of the run,
+                # advancing in SOURCE text: the decoded run's leading
+                # whitespace may be spelled as character references
+                # (&#32; is 5 source chars for 1 decoded char), so
+                # counting decoded chars would land mid-entity
+                self._cur.span_start = self._skip_source_ws(self._abs())
             self._data_open = True
         super().handle_data(data)
+
+    def _skip_source_ws(self, i: int) -> int:
+        """Advance past source chars (and character references) that
+        decode to whitespace, stopping at the first visible char."""
+        from html import unescape as _unescape
+
+        src = self._source
+        while i < len(src):
+            ch = src[i]
+            if ch.isspace():
+                i += 1
+                continue
+            if ch == "&":
+                m = _CHARREF_RE.match(src, i)
+                if m:
+                    decoded = _unescape(m.group(0))
+                    if decoded != m.group(0) and decoded.isspace():
+                        i = m.end()
+                        continue
+            break
+        return i
 
     def close(self) -> None:
         if self._data_open and self._cur.span_start is not None:

@@ -31,6 +31,10 @@ Output contract (the pinned dialect):
 - ``blockquote`` -> every line of every block it contains gets a
   ``"> "`` prefix (nested quotes stack prefixes);
 - ``br`` inside a block contributes a single space (collapse rule);
+- block elements opening INSIDE an ``li`` (``<li><p>…</p></li>``,
+  headings in items) are transparent: their text joins the item line
+  with a single space at each block boundary — flushing there would
+  hoist the content out of the list (pinned, documented);
 - ``script``/``style``/``title``/``head`` contents, comments, doctype
   and processing instructions are dropped;
 - text that appears outside any block element forms an implicit
@@ -104,6 +108,12 @@ class _MarkdownBuilder(HTMLParser):
             line = "\n".join(q + ln for ln in line.split("\n"))
         self.blocks.append(line)
 
+    def _in_list_item(self) -> bool:
+        """An <li> block is currently open (its prefix is pending)."""
+        return self.in_block and (
+            self.block_prefix == "- " or self.block_prefix[:1].isdigit()
+        )
+
     def _flush_implicit(self) -> None:
         """A new block element is opening: finalize whatever is
         pending — an open block (e.g. an <li> whose nested list starts
@@ -137,11 +147,22 @@ class _MarkdownBuilder(HTMLParser):
             self.pre_parts = []
             return
         if tag in _HEADINGS:
+            if self._in_list_item():
+                self.frags.append(" ")  # block boundary -> one space
+                return  # block elements inside <li> are transparent
             self._flush_implicit()
             self.in_block = True
             self.block_prefix = "#" * _HEADINGS[tag] + " "
             return
         if tag == "p":
+            # <li><p>text</p></li> is extremely common on real pages:
+            # flushing here would consume the pending "- " prefix on an
+            # empty buffer and hoist the <p> body OUT of the list, so
+            # block elements inside an open list item are transparent —
+            # their text joins the item line (pinned, documented).
+            if self._in_list_item():
+                self.frags.append(" ")  # block boundary -> one space
+                return
             self._flush_implicit()
             self.in_block = True
             return
@@ -194,6 +215,8 @@ class _MarkdownBuilder(HTMLParser):
                     self._emit("```\n" + body + "\n```")
             return
         if tag in _HEADINGS or tag == "p" or tag == "li":
+            if tag != "li" and self._in_list_item():
+                return  # closing a transparent block inside <li>
             self._flush_block()
             return
         if tag in ("ul", "ol"):

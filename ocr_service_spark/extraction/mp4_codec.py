@@ -220,9 +220,12 @@ def _read_sample_table(
     stss = _child(buf, start, end, b"stss")
     if stss is not None:
         body, bend = stss
-        n_sync = struct.unpack_from(">I", buf, body + 4)[0]
-        if body + 8 + 4 * n_sync <= bend:
-            sync = list(struct.unpack_from(f">{n_sync}I", buf, body + 8))
+        # a download cut mid-moov can truncate stss right after its
+        # header: degrade to sync=None (all-sync), don't raise
+        if body + 8 <= bend:
+            n_sync = struct.unpack_from(">I", buf, body + 4)[0]
+            if body + 8 + 4 * n_sync <= bend:
+                sync = list(struct.unpack_from(f">{n_sync}I", buf, body + 8))
 
     return {
         "codec": fmt.decode("latin-1"),
@@ -324,7 +327,11 @@ def avc1_stream_info(payload: bytes) -> dict | None:
         return None
     sps, pps = got
     if track["sync_samples"] is not None:
-        keyframes = track["sync_samples"]
+        # drop phantom stss entries (sample numbers outside 1..n) so
+        # keyframes and keyframe_ts stay the same length on malformed
+        # files — consumers pair them positionally
+        n = len(track["samples"])
+        keyframes = [i for i in track["sync_samples"] if 1 <= i <= n]
     else:
         from ocr_service_spark.extraction.h264_codec import (
             H264Error,

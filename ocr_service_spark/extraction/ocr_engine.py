@@ -72,16 +72,25 @@ class TesseractEngine:
         import os
 
         os.environ.setdefault("OMP_THREAD_LIMIT", OMP_THREAD_LIMIT)
+        self._api = self._new_api()
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        # (pool, api) pairs abandoned after a page timeout — their
+        # worker thread may still sit inside a native call
+        self._abandoned: list[tuple] = []
+
+    @staticmethod
+    def _new_api():
+        import os
+
         from tesserocr import PyTessBaseAPI  # noqa: PLC0415
 
         kwargs: dict = {"lang": OCR_LANGUAGE}
         tessdata = os.environ.get("TESSDATA_PREFIX")
         if tessdata:
             kwargs["path"] = tessdata
-        self._api = PyTessBaseAPI(**kwargs)
-        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
-
-        self._pool = ThreadPoolExecutor(max_workers=1)
+        return PyTessBaseAPI(**kwargs)
 
     def _recognize_sync(self, image_bytes: bytes) -> tuple[str, float]:
         from io import BytesIO
@@ -99,14 +108,31 @@ class TesseractEngine:
     def recognize(self, image_bytes: bytes) -> tuple[str, float]:
         # raises concurrent.futures.TimeoutError past the pinned page
         # budget, like the reference's result.get(timeout=...) — the
-        # document-level swallow turns it into the empty failure row
-        return self._pool.submit(self._recognize_sync, image_bytes).result(
-            timeout=OCR_PAGE_TIMEOUT_S
-        )
+        # document-level swallow turns it into the empty failure row.
+        # A Python thread can't be killed, so on timeout the poisoned
+        # pool+API are ABANDONED and rebuilt: without this, the stuck
+        # native call would queue every later page on this executor
+        # behind it (the reference's process pool can kill the page;
+        # a fresh single-use API per worker is the thread analog).
+        fut = self._pool.submit(self._recognize_sync, image_bytes)
+        try:
+            return fut.result(timeout=OCR_PAGE_TIMEOUT_S)
+        except TimeoutError:
+            self._pool.shutdown(wait=False)
+            self._abandoned.append((self._pool, self._api))
+            self._api = self._new_api()
+            from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+            self._pool = ThreadPoolExecutor(max_workers=1)
+            raise
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)
-        self._api.End()
+        # End() only the live API; abandoned ones may still be inside a
+        # native call — freeing them concurrently risks a native crash,
+        # so they are left to process teardown
+        if not self._abandoned:
+            self._api.End()
 
 
 def engine_name() -> str:

@@ -351,3 +351,42 @@ def test_multi_slice_mp4_roundtrip_end_to_end():
     assert out is not None
     assert [f[2] for f in out] == frames
     assert avc1_stream_info(mp4)["keyframes"] == [1, 2]
+
+
+def _nonidr_ipcm_slice_nal(w_mbs: int, h_mbs: int, luma_mb: bytes) -> bytes:
+    """A spec-conformant NAL-type-1 (non-IDR) I slice, nal_ref_idc=3,
+    carrying every macroblock as I_PCM — includes dec_ref_pic_marking
+    (7.3.3.3) with one adaptive MMCO op, the field the round-5 review
+    found the parser skipping."""
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type I
+    w.ue(0)  # pps_id
+    w.u(1, 4)  # frame_num
+    # non-IDR + ref_idc>0 -> dec_ref_pic_marking:
+    w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+    w.ue(1)  # mmco op 1 (mark short-term unused)
+    w.ue(0)  # difference_of_pic_nums_minus1
+    w.ue(0)  # mmco op 0: end of loop
+    w.se(0)  # slice_qp_delta
+    for _ in range(w_mbs * h_mbs):
+        w.ue(25)  # mb_type I_PCM
+        w.align_zero()
+        w.bytes_(luma_mb)
+        w.bytes_(bytes(128))  # Cb+Cr
+    w.rbsp_trailing()
+    return bytes([0x61]) + _insert_emulation(w.data())  # ref_idc=3, type=1
+
+
+def test_nonidr_reference_ipcm_slice_decodes():
+    """Real encoders emit NAL-type-1 I_PCM pictures with ref_idc>0;
+    before the round-5 fix the skipped dec_ref_pic_marking bit
+    misaligned the reader and the picture fell back to None."""
+    from ocr_service_spark.extraction.h264_codec import decode_ipcm_picture
+
+    sps, pps = _parsed_pair(16, 16)
+    luma_mb = bytes(range(128)) + bytes(range(128))
+    nal = _nonidr_ipcm_slice_nal(1, 1, luma_mb)
+    out = decode_ipcm_picture([nal], sps, pps)
+    assert out is not None
+    assert out == luma_mb

@@ -174,3 +174,25 @@ def test_fuzz_spans_never_raise_and_stay_in_bounds(junk: bytes):
     for i, s, e, text in extract_content_spans(junk):
         assert 0 <= s < e <= len(src)
         assert isinstance(text, str)
+
+
+def test_span_start_skips_entity_encoded_leading_whitespace():
+    """char_start must slice the ORIGINAL source at the first visible
+    char even when the leading whitespace is spelled as character
+    references (&#32; is 5 source chars for 1 decoded char) — counting
+    decoded chars landed mid-entity (round-5 review fix)."""
+    from ocr_service_spark.extraction.main_content import extract_content_spans
+
+    body = (
+        "Hello world this is a fine paragraph of prose text, "
+        "with enough words to keep."
+    )
+    src = f"<p>&#32;&#32;{body}</p>".encode()
+    spans = extract_content_spans(src)
+    assert len(spans) == 1
+    _, a, b, txt = spans[0]
+    assert src.decode()[a:b] == body
+    # a leading ref that decodes to a VISIBLE char anchors AT the ref
+    src2 = f"<p>&amp; {body}</p>".encode()
+    (_, a2, b2, _t2), = extract_content_spans(src2)
+    assert src2.decode()[a2:b2] == f"&amp; {body}"

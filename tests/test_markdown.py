@@ -133,3 +133,27 @@ def test_spark_stage_shape(spark):
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = out._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan
+
+
+def test_block_elements_inside_li_stay_in_the_list():
+    """<li><p>...</p></li> is the common real-world shape: the item's
+    content must stay ON its list line, never hoisted out (round-5
+    review fix — flushing on the inner <p> consumed the pending '- '
+    prefix and emitted the body before the list)."""
+    from ocr_service_spark.extraction.markdown import html_to_markdown
+
+    assert (
+        html_to_markdown("<ul><li>a</li><li><p>b</p></li><li>c</li></ul>")
+        == "- a\n- b\n- c"
+    )
+    # adjacent inner blocks join with a single space
+    assert html_to_markdown("<ul><li><p>x</p><p>y</p></li></ul>") == "- x y"
+    # headings inside items are transparent too
+    assert (
+        html_to_markdown("<ol><li><h2>t</h2> rest</li><li>z</li></ol>")
+        == "1. t rest\n2. z"
+    )
+    # nested lists still flatten after the parent item
+    assert (
+        html_to_markdown("<ul><li>a<ul><li>n</li></ul></li></ul>") == "- a\n- n"
+    )

@@ -183,3 +183,45 @@ def test_sample_frames_operator_decodes_mp4(spark):
     assert [r.pixel_sum for r in rows] == [10 * 256, 20 * 256, 30 * 256]
     assert [r.frame_ts for r in rows] == [0.0, 0.5, 1.0]  # media ts, not fps arg
     assert all((r.width, r.height) == (16, 16) for r in rows)
+
+
+def test_truncated_stss_degrades_not_raises():
+    """A download cut inside the stss header must degrade (sync=None /
+    metadata intact), never raise struct.error (round-5 review fix)."""
+    from ocr_service_spark.extraction.mp4_codec import (
+        encode_avc1_mp4,
+        mp4_video_track,
+    )
+
+    good = encode_avc1_mp4(32, 32, [bytes(32 * 32)])
+    at = good.find(b"stss")
+    assert at > 0
+    # cut the file right after the stss version/flags word: the box
+    # header parse sees a short box at EOF
+    cut = good[: at + 8]
+    # must not raise — any degradation (None track or sync=None) is fine
+    track = mp4_video_track(cut)
+    assert track is None or track["sync_samples"] is None
+
+
+def test_phantom_stss_entries_filtered_consistently():
+    """stss sample numbers outside 1..n_samples must not inflate
+    n_keyframes relative to keyframe_ts (consumers pair them)."""
+    import struct
+
+    from ocr_service_spark.extraction.mp4_codec import (
+        avc1_stream_info,
+        encode_avc1_mp4,
+    )
+
+    good = encode_avc1_mp4(32, 32, [bytes(32 * 32), bytes(32 * 32)])
+    at = good.find(b"stss")
+    body = at + 4
+    n_sync = struct.unpack_from(">I", good, body + 4)[0]
+    assert n_sync == 2
+    # overwrite entry 2 with a phantom sample number (99)
+    patched = bytearray(good)
+    struct.pack_into(">I", patched, body + 8 + 4, 99)
+    info = avc1_stream_info(bytes(patched))
+    assert info["keyframes"] == [1]
+    assert len(info["keyframes"]) == len(info["keyframe_ts"])

@@ -43,8 +43,15 @@ def run_bench(num_queries: int | None, reps_env: str = "3") -> dict:
         env=env,
         timeout=1800,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)["queries"]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        # one failed rep must not lose the completed ones: surface the
+        # failure loudly and let the caller's loop decide
+        raise RuntimeError(
+            f"bench rep failed (rc={out.returncode}): "
+            f"{out.stderr.strip()[-500:] or out.stdout.strip()[-500:]}"
+        )
+    return json.loads(lines[-1])["queries"]
 
 
 def main() -> None:
@@ -52,10 +59,19 @@ def main() -> None:
     a_runs: list[dict] = []
     b_runs: list[dict] = []
     for rep in range(n_reps):
-        a_runs.append(run_bench(R3_QUERY_COUNT))
-        print(f"rep {rep + 1}: A done", file=sys.stderr)
-        b_runs.append(run_bench(None))
-        print(f"rep {rep + 1}: B done", file=sys.stderr)
+        try:
+            a_runs.append(run_bench(R3_QUERY_COUNT))
+            print(f"rep {rep + 1}: A done", file=sys.stderr)
+            b_runs.append(run_bench(None))
+            print(f"rep {rep + 1}: B done", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            # keep the completed interleaved pairs; a lost rep is noise,
+            # hours of finished reps are not
+            if len(a_runs) > len(b_runs):
+                a_runs.pop()
+            print(f"rep {rep + 1} failed, continuing: {exc}", file=sys.stderr)
+    if not a_runs or not b_runs:
+        raise SystemExit("no completed A/B rep pairs")
 
     shared = [q for q in a_runs[0] if q in b_runs[0]]
     rows = []
