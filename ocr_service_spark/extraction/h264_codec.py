@@ -47,7 +47,11 @@ def _strip_emulation(nal: bytes) -> bytes:
     n = len(nal)
     while i < n:
         b = nal[i]
-        if zeros >= 2 and b == 3:
+        # spec (7.4.1): the 03 is an escape only when the NEXT byte is
+        # 00-03; a conforming encoder emits nothing else after 00 00 03,
+        # but crawled junk can — stripping unconditionally would shift
+        # every subsequent I_PCM byte and decode wrong pixels silently
+        if zeros >= 2 and b == 3 and (i + 1 >= n or nal[i + 1] <= 3):
             zeros = 0
             i += 1
             continue
@@ -274,7 +278,6 @@ _NAL_SPS = 7
 _NAL_PPS = 8
 
 _I_PCM_MB_TYPE = 25
-_I_SLICE_TYPES = {2, 7}  # slice_type % 5 == 2 for I slices; 7 = "all I"
 
 
 def nal_units_avcc(sample: bytes, length_size: int) -> list[bytes]:

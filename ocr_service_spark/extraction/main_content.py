@@ -41,10 +41,6 @@ BLOCK_TAGS = {
 DROP_TAGS = {"script", "style", "noscript", "template", "svg", "head"}
 # subtree is structural boilerplate (kept out of main text)
 BOILERPLATE_TAGS = {"nav", "header", "footer", "aside", "form"}
-# void/self-closing tags never get an end tag
-VOID_TAGS = {"area", "base", "br", "col", "embed", "hr", "img", "input",
-             "link", "meta", "source", "track", "wbr"}
-
 MIN_BLOCK_CHARS = 25      # prose floor
 MAX_LINK_DENSITY = 1 / 3  # chars inside <a> / chars
 MIN_TEXT_DENSITY = 8.0    # chars per (1 + inline tag)
@@ -128,7 +124,11 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
             return
-        if tag == "a" and self._link_depth > 0:
+        # only balance <a> outside dropped subtrees: handle_starttag
+        # never increments inside one, so an </a> within e.g. an <svg>
+        # icon inside an anchor must not zero the accounting and let a
+        # link farm's text escape the link-density filter
+        if tag == "a" and self._drop_depth == 0 and self._link_depth > 0:
             self._link_depth -= 1
 
     def handle_data(self, data: str) -> None:
@@ -273,6 +273,10 @@ def extract_content_spans(stream: bytes) -> list[tuple[int, int, int, str]]:
     out: list[tuple[int, int, int, str]] = []
     for b in html_block_spans(stream):
         if b.keep() and b.span_start is not None and b.span_end is not None:
+            # the extra unescape over already-decoded text is DELIBERATE
+            # reference parity: the service runs a second html.unescape
+            # pass after parsing (html_text.py's T6 rule), and the span
+            # text must match the extracted-text tier byte-for-byte
             out.append((len(out), b.span_start, b.span_end, unescape(b.text)))
     return out
 

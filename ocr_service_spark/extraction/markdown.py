@@ -62,9 +62,6 @@ _INLINE_MARKS = {
     "code": ("`", "`"),
 }
 _SKIP_CONTENT = {"script", "style", "title"}
-# void elements never arrive as endtags; ignore their starttags except br
-_VOID = {"img", "hr", "meta", "link", "input", "area", "base", "col",
-         "embed", "source", "track", "wbr"}
 
 
 def _collapse(s: str) -> str:
@@ -246,7 +243,12 @@ class _MarkdownBuilder(HTMLParser):
                     inner = _collapse("".join(self.frags[pos:]))
                     del self.frags[pos:]
                     if tag == "a":
-                        wrapped = f"[{inner}]({extra})" if extra else inner
+                        # image-only anchors (logo links) collapse to
+                        # empty inner text: drop them like empty marks
+                        # instead of emitting a stray [](url)
+                        wrapped = (
+                            f"[{inner}]({extra})" if extra and inner else inner
+                        )
                     else:
                         o, c = _INLINE_MARKS[tag]
                         wrapped = f"{o}{inner}{c}" if inner else ""
@@ -268,9 +270,15 @@ class _MarkdownBuilder(HTMLParser):
         if self.frags:
             self._flush_block()
         while self.list_lines:
+            # unclosed nested lists: splice innermost into its parent
+            # (the </ul> path's rule) so document order is preserved —
+            # emitting each popped list directly would reverse it
             lines = self.list_lines.pop()
             if lines:
-                self._emit("\n".join(lines))
+                if self.list_lines:
+                    self.list_lines[-1].extend(lines)
+                else:
+                    self._emit("\n".join(lines))
 
 
 def html_to_markdown_blocks(stream: bytes | str) -> list[str]:

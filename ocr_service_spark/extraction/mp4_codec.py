@@ -312,14 +312,17 @@ def _avc1_frames(
     return out or None
 
 
-def avc1_stream_info(payload: bytes) -> dict | None:
+def avc1_stream_info(payload: bytes, track: dict | None = None) -> dict | None:
     """Codec-layer metadata for ANY avc1 MP4 (no pixel decode needed):
     H.264 profile/level, the TRUE display dims from the SPS (the stsd
     dims lie when cropping is present), entropy mode, and the keyframe
     sample numbers + timestamps (stss when present, else an IDR NAL
     scan over the sample table). None when the file has no parsable
-    avc1 track."""
-    track = mp4_video_track(payload)
+    avc1 track. Callers that already hold the parsed track (the media
+    route parses it first for codec dispatch) pass it in to avoid a
+    second full container walk per document."""
+    if track is None:
+        track = mp4_video_track(payload)
     if track is None or track["codec"] != "avc1":
         return None
     got = _avc1_sps_pps(track)

@@ -114,10 +114,12 @@ class TesseractEngine:
         # native call would queue every later page on this executor
         # behind it (the reference's process pool can kill the page;
         # a fresh single-use API per worker is the thread analog).
+        from concurrent.futures import TimeoutError as FuturesTimeout  # noqa: PLC0415
+
         fut = self._pool.submit(self._recognize_sync, image_bytes)
         try:
             return fut.result(timeout=OCR_PAGE_TIMEOUT_S)
-        except TimeoutError:
+        except (TimeoutError, FuturesTimeout):  # separate classes on <=3.10
             self._pool.shutdown(wait=False)
             self._abandoned.append((self._pool, self._api))
             self._api = self._new_api()
@@ -128,11 +130,11 @@ class TesseractEngine:
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)
-        # End() only the live API; abandoned ones may still be inside a
-        # native call — freeing them concurrently risks a native crash,
-        # so they are left to process teardown
-        if not self._abandoned:
-            self._api.End()
+        # End() the live API (by construction never mid-call after its
+        # pool drained); ABANDONED pairs may still sit inside a native
+        # call — freeing those concurrently risks a native crash, so
+        # they are left to process teardown
+        self._api.End()
 
 
 def engine_name() -> str:

@@ -1102,10 +1102,10 @@ def pdf_to_text(stream: bytes, password: bytes = b"") -> tuple[str, int]:
 _INFO_KEYS = ("Title", "Author", "Producer", "CreationDate")
 
 # PDFDocEncoding (PDF 2.0 / ISO 32000-2 Annex D.4) differs from
-# Latin-1 only in 0x18-0x1F and 0x80-0x9F: breves/carons/rings in the
+# Latin-1 in 0x18-0x1F and 0x80-0x9F — breves/carons/rings in the
 # control block, and typographic punctuation (bullets, en/em dashes,
-# curly quotes, dagger, trademark, ligatures) in the C1 block — exactly
-# the bytes real-world Producer/Title values hit. 0x7F, 0x9F and 0xAD
+# curly quotes, dagger, trademark, ligatures) in the C1 block — plus
+# 0xA0, which is EURO SIGN (not no-break space). 0x7F, 0x9F and 0xAD
 # are undefined in PDFDocEncoding.
 _PDFDOC_DELTAS = {
     0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ", 0x1B: "˙",
@@ -1119,6 +1119,7 @@ _PDFDOC_DELTAS = {
     0x94: "ﬂ", 0x95: "Ł", 0x96: "Œ", 0x97: "Š",
     0x98: "Ÿ", 0x99: "Ž", 0x9A: "ı", 0x9B: "ł",
     0x9C: "œ", 0x9D: "š", 0x9E: "ž", 0x9F: "�",
+    0xA0: "€",
     0xAD: "�",
 }
 _PDFDOC_TABLE = str.maketrans(_PDFDOC_DELTAS)

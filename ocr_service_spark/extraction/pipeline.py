@@ -166,7 +166,7 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
                     meta["media_width"] = track["width"]
                     meta["media_height"] = track["height"]
                 if track["codec"] == "avc1":
-                    info = avc1_stream_info(stream)
+                    info = avc1_stream_info(stream, track=track)
                     if info is not None:
                         # SPS truth overrides the stsd dims (cropping)
                         meta["media_width"] = info["width"]

@@ -184,3 +184,12 @@ def test_pdf_info_pdfdoc_control_block_accents():
     pdf = _pdf("/Title (PLACEHOLDERXYZ)")
     pdf = pdf.replace(b"(PLACEHOLDERXYZ)", b"(a\x18b\x19c\x1e)")
     assert pdf_info(pdf)["title"] == "a˘bˇc˚"
+
+
+def test_pdfdoc_encoding_euro_sign():
+    """PDFDocEncoding 0xA0 is EURO SIGN (ISO 32000 Annex D), not the
+    Latin-1 no-break space."""
+    from ocr_service_spark.extraction.pdf_text import _pdf_text_string
+
+    assert _pdf_text_string(b"Price \xa010") == "Price €10"
+    assert _pdf_text_string(b"Caf\xe9") == "Café"  # plain Latin-1 range

@@ -390,3 +390,13 @@ def test_nonidr_reference_ipcm_slice_decodes():
     out = decode_ipcm_picture([nal], sps, pps)
     assert out is not None
     assert out == luma_mb
+
+
+def test_strip_emulation_keeps_non_escape_03():
+    """Spec 7.4.1: 00 00 03 is an escape only when the next byte is
+    00-03; crawled junk with 00 00 03 F0 must keep the 03 as data."""
+    from ocr_service_spark.extraction.h264_codec import _strip_emulation
+
+    assert _strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+    assert _strip_emulation(b"\x00\x00\x03\xf0") == b"\x00\x00\x03\xf0"
+    assert _strip_emulation(b"\x00\x00\x03") == b"\x00\x00"  # trailing escape

@@ -196,3 +196,22 @@ def test_span_start_skips_entity_encoded_leading_whitespace():
     src2 = f"<p>&amp; {body}</p>".encode()
     (_, a2, b2, _t2), = extract_content_spans(src2)
     assert src2.decode()[a2:b2] == f"&amp; {body}"
+
+
+def test_link_density_survives_anchor_with_dropped_svg_inside():
+    """</a> inside a dropped subtree (svg icon in an anchor) must not
+    zero the link accounting — otherwise a 100%-link block slips past
+    the link-density filter."""
+    from ocr_service_spark.extraction.main_content import html_blocks
+
+    body = (
+        '<p><a href="x">spam spam <svg><a></a></svg> fifty more chars of '
+        "pure link text to make this block long enough</a></p>"
+    )
+    blocks = [b for b in html_blocks(body.encode()) if b.text]
+    assert len(blocks) == 1
+    b = blocks[0]
+    # essentially every visible char is inside the outer anchor (the
+    # per-chunk trim can undercount a boundary space or two)
+    assert b.n_link_chars >= len(b.text) - 2
+    assert not b.keep()

@@ -157,3 +157,15 @@ def test_block_elements_inside_li_stay_in_the_list():
     assert (
         html_to_markdown("<ul><li>a<ul><li>n</li></ul></li></ul>") == "- a\n- n"
     )
+
+
+def test_empty_anchor_and_unclosed_nested_list():
+    from ocr_service_spark.extraction.markdown import html_to_markdown
+
+    # image-only anchor (logo link) must not emit a stray [](url)
+    assert (
+        html_to_markdown('<p>x</p><a href="/"><img src="l.png"></a><p>y</p>')
+        == "x\n\ny"
+    )
+    # input truncated mid-list: document order preserved (outer first)
+    assert html_to_markdown("<ul><li>outer<ul><li>inner</li>") == "- outer\n- inner"
