@@ -32,7 +32,16 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     jvm = spark._jvm
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    location = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    # managed location: <warehouse>/<db>.db/<table> for a qualified
+    # name — 'analytics.results' does NOT live at <warehouse>/
+    # analytics.results, and checking the wrong path would leave the
+    # real orphan in place (saveAsTable then fails on non-empty dir)
+    if "." in table:
+        db, tbl = table.lower().rsplit(".", 1)
+        rel = f"{db}.db/{tbl}"
+    else:
+        rel = table.lower()
+    location = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
     fs = location.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(location):
         fs.delete(location, True)

@@ -79,11 +79,18 @@ def run_extraction(
     ``repartition`` spreads the single-pass branch by url hash;
     ``repartition_by_size=True`` uses repartitionByRange on payload
     byte-size instead — range partitioning clusters similar-sized
-    payloads, so the heavy tail lands in dedicated partitions that AQE
-    can split instead of hiding one giant doc inside a random hash
-    partition. Prefer it when the size distribution is long-tailed
-    BELOW the salt threshold (above it the salted page-bucket path
-    already dissolves the skew)."""
+    payloads, which makes per-task MEMORY predictable (an Arrow batch
+    of uniformly-sized payloads, no one giant doc inside a small-doc
+    batch). The tradeoff is WALL-CLOCK skew: equal-row ranges put the
+    heaviest sub-threshold docs together in the last partitions, and
+    AQE does NOT split user-specified repartitions (skew splitting
+    applies to joins/rebalance only) — so when per-doc cost scales
+    with size, plain hash repartition balances better and is the
+    default. Above the salt threshold the salted page-bucket path
+    dissolves the true giants either way. Requires ``repartition`` to
+    be set (the range needs an explicit width)."""
+    if repartition_by_size and not repartition:
+        raise ValueError("repartition_by_size requires an explicit repartition count")
     if mode != "NO_OCR":
         # OCR tier: per-document engine recognition; the page-image
         # fan-out lives in operators/ocr.py for pre-rendered pages

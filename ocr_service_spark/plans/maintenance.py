@@ -40,12 +40,49 @@ def _n_files(path: str) -> int:
     )
 
 
+def recover_interrupted_swap(path: str, suffix: str) -> None:
+    """Heal a crash inside a two-rename swap: a backup dir with NO
+    primary means the crash hit between the renames (restore the
+    backup — the operation simply didn't happen); a backup alongside a
+    primary means the crash hit after the swap (the leftover is stale:
+    delete it so the next swap's rename doesn't collide)."""
+    backup = path.rstrip("/") + suffix
+    if os.path.isdir(backup):
+        if not os.path.isdir(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)
+
+
+def _partition_cols(path: str) -> list[str]:
+    """Hive-style partition columns of a parquet dir, outermost first
+    (['part_hash'] for a run_with_checkpoint results table)."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subs = [
+            d
+            for d in sorted(os.listdir(cur))
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_mb: int = 256
 ) -> tuple[int, int]:
-    """Rewrite ``path`` into ceil(bytes/target_mb) files; returns
+    """Rewrite ``path`` into ~ceil(bytes/target_mb) files; returns
     (files_before, files_after). Row content is preserved exactly —
-    compaction only changes the file layout."""
+    compaction only changes the file layout. A hive-partitioned table
+    (the run_with_checkpoint results layout, partitionBy part_hash) is
+    rewritten WITH its partitioning: flattening it would break the
+    resume path's dynamic partition overwrite and read_as_of's
+    partition pruning, and leave the next run unable to mix flat files
+    with partition dirs."""
+    recover_interrupted_swap(path, "__precompact")
     before = _n_files(path)
     n_out = max(1, math.ceil(_dir_bytes(path) / (target_mb * 1024 * 1024)))
     if before <= n_out:
@@ -53,11 +90,21 @@ def compact_parquet(
 
     staging = path.rstrip("/") + "__compacting"
     backup = path.rstrip("/") + "__precompact"
+    part_cols = _partition_cols(path)
     df = spark.read.parquet(path)
-    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    if part_cols:
+        # group each partition's rows into one task -> one file per
+        # partition dir (n_out caps the task count when parts are many)
+        writer = df.repartition(max(n_out, 1), *part_cols).write.partitionBy(
+            *part_cols
+        )
+    else:
+        writer = df.repartition(n_out).write
+    writer.mode("overwrite").parquet(staging)
     # two renames: old table stays readable until the instant of swap,
     # and a crash between them leaves either the old or the new dir
-    # plus a clearly-named leftover — never a half-written table
+    # plus a clearly-named leftover that recover_interrupted_swap heals
+    # on the next maintenance call — never a half-written table
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -58,9 +58,18 @@ def input_snapshot_id(pages_path: str, n_parts: int = DEFAULT_N_PARTS) -> str:
 def completed_parts(
     spark: SparkSession, manifest_path: str, snapshot_id: str
 ) -> DataFrame | None:
+    """None only when no manifest table exists yet (first run). A
+    transient IO failure must PROPAGATE — treating it as 'no history'
+    would silently recompute the entire input (a multi-day job at the
+    design scale) and append duplicate lineage rows."""
+    from pyspark.errors import AnalysisException
+
+    from ocr_service_spark.plans.snapshots import recover_manifest_swaps
+
+    recover_manifest_swaps(manifest_path)
     try:
         manifest = spark.read.parquet(manifest_path)
-    except Exception:
+    except AnalysisException:
         return None
     return (
         manifest.filter(F.col("input_snapshot_id") == snapshot_id)
@@ -111,7 +120,10 @@ def manifest_from_results(results: DataFrame, snapshot_id: str) -> DataFrame:
             ).alias("conf_histogram"),
         )
         .withColumn("input_snapshot_id", F.lit(snapshot_id))
-        .withColumn("completed_ts", F.lit(dt.datetime.now()))
+        # aware-UTC now: a naive local datetime would be reinterpreted
+        # as UTC by the session's pinned timeZone and skew completed_ts
+        # by the host's offset (non-monotone across drivers)
+        .withColumn("completed_ts", F.lit(dt.datetime.now(dt.timezone.utc)))
     )
 
 
@@ -142,11 +154,18 @@ def run_with_checkpoint(
         .parquet(results_path)
     )
 
-    # lineage is aggregated from what actually landed on storage
+    # lineage is aggregated from what actually landed on storage; the
+    # already-manifested parts are excluded with a LITERAL NOT-IN on
+    # the partition column (the done set is <= n_parts values) so the
+    # scan PRUNES their directories — an anti-join cannot prune, and
+    # would re-read every part's text payloads on each incremental
+    # resume
     written = spark.read.parquet(results_path)
     done = completed_parts(spark, manifest_path, snapshot_id)
     if done is not None:
-        written = written.join(F.broadcast(done), "part_hash", "left_anti")
+        done_list = [r["part_hash"] for r in done.collect()]
+        if done_list:
+            written = written.filter(~F.col("part_hash").isin(done_list))
     from ocr_service_spark.plans.snapshots import latest_commit
 
     commit_seq = latest_commit(spark, manifest_path) + 1

@@ -38,6 +38,17 @@ from pyspark.sql import functions as F
 AS_OF_MAX_INLINE_PARTS = 10_000
 
 
+def recover_manifest_swaps(manifest_path: str) -> None:
+    """Heal an interrupted rollback/compaction swap before any read:
+    a crash between the two renames leaves a backup dir and NO
+    manifest, which a blind read would misinterpret as 'no history'
+    (silent full recompute + commit_seq restart)."""
+    from ocr_service_spark.plans.maintenance import recover_interrupted_swap
+
+    for suffix in ("__prerollback", "__precompact"):
+        recover_interrupted_swap(manifest_path, suffix)
+
+
 def _read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     """Schema-migrating manifest read: manifests written before the
     snapshot layer lack ``commit_seq``, and a plain parquet read of a
@@ -45,6 +56,7 @@ def _read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     column — so read with mergeSchema and coalesce the pre-snapshot
     rows to commit 0 (the "before history began" snapshot, readable
     by every as-of query)."""
+    recover_manifest_swaps(manifest_path)
     manifest = spark.read.option("mergeSchema", "true").parquet(manifest_path)
     if "commit_seq" not in manifest.columns:
         return manifest.withColumn("commit_seq", F.lit(0).cast("long"))
@@ -54,12 +66,19 @@ def _read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
 
 
 def latest_commit(spark: SparkSession, manifest_path: str) -> int:
-    """Highest commit_seq in the manifest (0 when absent/empty)."""
+    """Highest commit_seq in the manifest (0 when absent/empty).
+
+    Only a MISSING/unreadable-as-a-table manifest (AnalysisException:
+    path not found / no parquet to infer from) maps to 0. A transient
+    IO error must PROPAGATE: swallowing it would restart commit_seq at
+    1 and append duplicate lineage rows under a reused snapshot id."""
+    from pyspark.errors import AnalysisException
+
     try:
         manifest = _read_manifest(spark, manifest_path)
         row = manifest.agg(F.max("commit_seq").alias("m")).collect()[0]
         return int(row["m"]) if row["m"] is not None else 0
-    except Exception:
+    except AnalysisException:
         return 0
 
 
@@ -126,6 +145,11 @@ def rollback(spark: SparkSession, manifest_path: str, commit_seq: int) -> int:
         return 0
     staging = manifest_path.rstrip("/") + "__rollback"
     backup = manifest_path.rstrip("/") + "__prerollback"
+    # keep must be MATERIALIZED before the source renames away (the
+    # staging write below does that); a crash between the two renames
+    # leaves backup-without-manifest, which recover_manifest_swaps
+    # (run by every manifest read) restores — the rollback simply
+    # didn't happen, rather than history silently vanishing
     keep.coalesce(1).write.mode("overwrite").parquet(staging)
     os.rename(manifest_path, backup)
     os.rename(staging, manifest_path)

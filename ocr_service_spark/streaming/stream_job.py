@@ -69,10 +69,15 @@ def stream_dedup_first_seen(pages_stream: DataFrame) -> DataFrame:
     def dedup(key, frames, state) -> "pd.DataFrame":
         first_rows = []
         seen = state.get[0] if state.exists else 0
+        # collect across ALL Arrow chunks before sorting: sorting per
+        # chunk would make which url gets first_seen depend on chunk
+        # boundaries (maxRecordsPerBatch), not on the data
+        urls: list = []
         for frame in frames:
-            for url in sorted(frame["url"]):  # deterministic within a batch
-                first_rows.append((key[0], url, seen == 0))
-                seen += 1
+            urls.extend(frame["url"])
+        for url in sorted(urls):  # deterministic within a batch
+            first_rows.append((key[0], url, seen == 0))
+            seen += 1
         state.update((seen,))
         return iter([pd.DataFrame(first_rows, columns=["content_hash", "url", "first_seen"])])
 
@@ -143,7 +148,15 @@ def stream_user_sessions(events_stream: DataFrame, watermark: str = "10 seconds"
             elif t - last_us > gap_us:
                 closed.append((key[0], start_us, last_us, n, False))
                 start_us, last_us, n = t, t, 1
+            elif start_us - t > gap_us:
+                # a straggler older than the open session by more than
+                # the gap: it can no longer extend anything — emit it
+                # as its own already-closed one-event session
+                closed.append((key[0], t, t, 1, False))
             else:
+                # late-but-in-gap events EXTEND the session backwards
+                # too (batch q06 would report the earlier start)
+                start_us = min(start_us, t)
                 last_us, n = max(last_us, t), n + 1
         state.update((start_us, last_us, n))
         # wake up when the watermark passes the gap after the last event

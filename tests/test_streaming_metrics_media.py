@@ -728,3 +728,64 @@ def test_q101_stream_dedup_holds_state_across_micro_batches(spark):
     )
     commits = [f for f in os.listdir(commits_dir) if not f.startswith(".")]
     assert len(commits) >= 2, "dedup never crossed a micro-batch boundary"
+
+
+def test_stream_sessions_late_event_extends_start_backwards(spark, tmp_path):
+    """A late-but-within-watermark event older than the open session's
+    start (but inside the gap) must extend session_start backwards —
+    batch q06 over the same events reports the earlier start (round-5
+    review fix: the else branch only max'ed the end)."""
+    import datetime as dt
+
+    from ocr_service_spark.streaming.stream_job import stream_user_sessions
+
+    events_path = str(tmp_path / "events")
+    out_path = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    us = lambda m: int((mins(m) - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp_ntz, user_id bigint"
+        ).coalesce(1).write.mode("append").parquet(events_path)
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp_ntz, user_id bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_path)
+        )
+        q = (
+            stream_user_sessions(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r.user_id, r.session_start_us): r
+            for r in spark.read.parquet(out_path).collect()
+        }
+
+    # file 1 (batch 1): user 7 opens at +20; file 2 (batch 2): a LATE
+    # event at +10 (inside the 2h watermark, gap 10min < 30min) plus a
+    # far-future event at +600 that gap-closes the session inline
+    _write([(1, mins(20), 7)])
+    _write([(2, mins(10), 7), (3, mins(600), 7)])
+    out = _drain()
+    s = out[(7, us(10))]
+    assert (s.session_end_us, s.n_events, s.closed_by_timeout) == (us(20), 2, False)
+
+    # an ancient straggler (older than start by more than the gap)
+    # emits as its own one-event closed session
+    _write([(4, mins(500), 7)])
+    out = _drain()
+    s2 = out[(7, us(500))]
+    assert (s2.session_end_us, s2.n_events) == (us(500), 1)
