@@ -158,13 +158,25 @@ def run_with_checkpoint(
     # already-manifested parts are excluded with a LITERAL NOT-IN on
     # the partition column (the done set is <= n_parts values) so the
     # scan PRUNES their directories — an anti-join cannot prune, and
-    # would re-read every part's text payloads on each incremental
-    # resume
+    # would re-read every part's row groups on each incremental
+    # resume. Past AS_OF_MAX_INLINE_PARTS distinct parts the literal
+    # list would bloat the compiled plan (same failure mode as
+    # snapshots.read_as_of), so the exclusion switches to a broadcast
+    # left-anti join: no directory pruning, but the downstream
+    # manifest aggregation projects only the lineage columns, so
+    # parquet column pruning keeps the re-read to metadata-sized
+    # columns rather than text payloads.
+    from ocr_service_spark.plans.snapshots import AS_OF_MAX_INLINE_PARTS
+
     written = spark.read.parquet(results_path)
     done = completed_parts(spark, manifest_path, snapshot_id)
     if done is not None:
-        done_list = [r["part_hash"] for r in done.collect()]
-        if done_list:
+        done_list = [
+            r["part_hash"] for r in done.limit(AS_OF_MAX_INLINE_PARTS + 1).collect()
+        ]
+        if len(done_list) > AS_OF_MAX_INLINE_PARTS:
+            written = written.join(F.broadcast(done), "part_hash", "left_anti")
+        elif done_list:
             written = written.filter(~F.col("part_hash").isin(done_list))
     from ocr_service_spark.plans.snapshots import latest_commit
 

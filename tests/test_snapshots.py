@@ -160,3 +160,35 @@ def test_as_of_large_part_list_uses_broadcast_semi_join(spark, paths, monkeypatc
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = semi._jdf.queryExecution().explainString(mode)
     assert "LeftSemi" in plan and "Broadcast" in plan, plan
+
+
+def test_manifest_append_large_done_list_uses_broadcast_anti_join(
+    spark, paths, monkeypatch
+):
+    # the manifest-append twin of the read_as_of cap: past
+    # AS_OF_MAX_INLINE_PARTS completed parts the literal NOT-IN on
+    # part_hash would bloat the compiled plan, so the exclusion
+    # switches to a broadcast left-anti join — and the lineage rows
+    # appended for the incremental commit must be identical either
+    # way (exactly the NEW parts, no duplicates of commit-1 parts)
+    from ocr_service_spark.plans import snapshots as snap
+
+    results_path, manifest_path = paths
+    pages = _pages(spark)
+    run_with_checkpoint(spark, _half(pages), "src", results_path, manifest_path, N_PARTS)
+
+    monkeypatch.setattr(snap, "AS_OF_MAX_INLINE_PARTS", 2)
+    run_with_checkpoint(spark, pages, "src", results_path, manifest_path, N_PARTS)
+
+    manifest = spark.read.parquet(manifest_path)
+    c1_parts = {
+        r["part_hash"]
+        for r in manifest.filter(F.col("commit_seq") == 1).select("part_hash").collect()
+    }
+    c2_parts = {
+        r["part_hash"]
+        for r in manifest.filter(F.col("commit_seq") == 2).select("part_hash").collect()
+    }
+    assert c1_parts == {0, 1, 2, 3}
+    assert c2_parts == {4, 5, 6, 7}, c2_parts  # no re-manifested commit-1 parts
+    assert read_as_of(spark, results_path, manifest_path).count() == 120
