@@ -523,19 +523,39 @@ def _q102_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # the generation stage is compute-bound (~1.6 ms/doc of pure-Python
+    # JPEG encoding), so don't let the input's file count set its
+    # parallelism: the doc_id projection is 8 bytes/row, a repartition
+    # shuffle is free relative to the encode it parallelizes
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         from ocr_service_spark.extraction.exif import build_exif_blob, splice_app1
         from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray
 
+        # the 8x8 luma block only depends on doc_id % 256, so at most
+        # 256 distinct JPEG encodes exist per task — memoize them
+        # (byte-identical payloads, ~99% of the encode cost gone)
+        jpeg_cache: dict = {}
+
+        def jpeg_for(i):
+            k = i % 256
+            j = jpeg_cache.get(k)
+            if j is None:
+                luma = bytes((k + p) % 256 for p in range(64))
+                j = jpeg_cache.setdefault(k, encode_jpeg_gray(8, 8, luma))
+            return j
+
         for batch in batches:
             rows = []
             for doc_id in batch["doc_id"]:
                 i = int(doc_id)
-                luma = bytes((i + p) % 256 for p in range(64))
                 if i % 7 == 0:
-                    payload = encode_jpeg_gray(8, 8, luma)
+                    payload = jpeg_for(i)
                 else:
                     blob = build_exif_blob(
                         f"Cam{i % 5}",
@@ -544,9 +564,7 @@ def _q102_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"2026:08:{i % 28 + 1:02d} 12:{i % 60:02d}:00",
                         big_endian=(i % 2 == 1),
                     )
-                    payload = (
-                        blob if i % 3 == 0 else splice_app1(encode_jpeg_gray(8, 8, luma), blob)
-                    )
+                    payload = blob if i % 3 == 0 else splice_app1(jpeg_for(i), blob)
                 rows.append({"doc_id": i, "payload": payload})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -607,7 +625,14 @@ def _q103_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # compute-bound generation (PDF build + parse per doc): parallelism
+    # must come from a repartition of the 8-byte doc_id rows, not from
+    # the input's file count (same rationale as q102)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         def minimal_pdf(page_texts, info=None):
