@@ -239,6 +239,7 @@ def _q60_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .filter(F.col("doc_id") < 300)  # deterministic subset (limit() is not)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def gen(batches):
@@ -282,6 +283,7 @@ def _q61_mp4_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .filter(F.col("doc_id") < 300)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def gen(batches):
@@ -749,6 +751,7 @@ def _q105_media_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .filter(F.col("doc_id") < 300)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def gen(batches):
@@ -825,6 +828,7 @@ def _q104_avc1_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .filter(F.col("doc_id") < 240)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def gen(batches):
