@@ -333,3 +333,26 @@ def test_span_dedup_tokens_shuffle_once(spark):
     assert "BroadcastHashJoin" in plan
     doc_exchanges = re.findall(r"hashpartitioning\(doc_id", plan)
     assert len(doc_exchanges) == 1, plan
+
+
+def test_generation_fanouts_repartition_before_python(spark):
+    """The synthesize-then-parse metadata/media queries are
+    compute-bound in their GENERATION mapInPandas stage, so their
+    parallelism must come from an explicit round-robin repartition of
+    the doc_id projection — not from the input's file count (one file
+    at bench scale = one core of pure-Python encoding). Pin the
+    Exchange RoundRobinPartitioning upstream of the Python fan-out."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in (
+        "q102_exif_metadata",
+        "q103_pdf_metadata",
+        "q104_avc1_streams",
+        "q105_media_route",
+        "q60_frame_sampling",
+        "q61_mp4_frame_sampling",
+    ):
+        plan = _formatted_plan(qs[name](spark, SF_DIR))
+        assert "RoundRobinPartitioning" in plan, name
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
