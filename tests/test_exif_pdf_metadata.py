@@ -193,3 +193,29 @@ def test_pdfdoc_encoding_euro_sign():
 
     assert _pdf_text_string(b"Price \xa010") == "Price €10"
     assert _pdf_text_string(b"Caf\xe9") == "Café"  # plain Latin-1 range
+
+
+# -- fuzz: parse_exif is total over untrusted bytes ---------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_parse_exif_fuzz_junk_never_raises(junk: bytes):
+    out = parse_exif(junk)
+    assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9), st.binary(min_size=1, max_size=8))
+def test_parse_exif_fuzz_corrupted_blob_never_raises(offset: int, patch: bytes):
+    # a VALID blob with bytes stomped anywhere: the parser may salvage
+    # fields or give up (None / partial dict), but never raise and
+    # never loop — pointer cycles are offset-tracked in _walk_ifd
+    blob = build_exif_blob("CamX", "M9", 3, "2026:08:19 12:00:00", big_endian=False)
+    pos = offset % len(blob)
+    mutated = blob[:pos] + patch + blob[pos + len(patch):]
+    for payload in (mutated, splice_app1(encode_jpeg_gray(8, 8, bytes(64)), mutated)):
+        out = parse_exif(payload)
+        assert out is None or isinstance(out, dict)

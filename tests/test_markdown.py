@@ -169,3 +169,34 @@ def test_empty_anchor_and_unclosed_nested_list():
     )
     # input truncated mid-list: document order preserved (outer first)
     assert html_to_markdown("<ul><li>outer<ul><li>inner</li>") == "- outer\n- inner"
+
+
+# -- fuzz: html_to_markdown is total and deterministic ------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=2048))
+def test_html_to_markdown_fuzz_text_never_raises(s: str):
+    out = html_to_markdown(s)
+    assert isinstance(out, str)
+    assert html_to_markdown(s) == out  # deterministic
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_html_to_markdown_fuzz_bytes_never_raises(b: bytes):
+    out = html_to_markdown(b)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["<p>", "</p>", "<li>", "<td>", "<h1>", "</h1>", "<table>", "</ul>",
+     "<a href='x'>", "</a>", "<pre>", "</pre>", "<blockquote>", "x & < > \"']]>",
+     "<![CDATA[", "<!--", "-->", "<br>", "<img src=y>", "&#x41;", "&amp;", "\x00"]
+), max_size=40))
+def test_html_to_markdown_fuzz_tag_soup_never_raises(parts: list):
+    out = html_to_markdown("".join(parts))
+    assert isinstance(out, str)
