@@ -142,3 +142,28 @@ def test_fetch_policy_no_rules_host_is_fetchable(spark):
     )
     row = fetch_policy(pages, robots_rules_table(robots, "bot")).collect()[0]
     assert row["fetchable"] is True and row["winning_rule"] is None
+
+
+# -- fuzz: the policy parser is total over untrusted text ---------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=2048))
+def test_robots_fuzz_never_raises(s: str):
+    rules = rules_for_agent(s, "graftbot")
+    assert isinstance(rules, list)
+    assert isinstance(is_allowed(rules, "/any/path"), bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["User-agent: *", "user-agent:", "Disallow: /a*", "Allow: /a/b$",
+     "Disallow:", "Crawl-delay: x", "Sitemap: :::", "Disallow: /%%%",
+     "#c", ":", "User-agent: graftbot", "Disallow: /$$$^[("]
+), max_size=30))
+def test_robots_fuzz_directive_soup_never_raises(lines: list):
+    text = "\n".join(lines)
+    rules = rules_for_agent(text, "graftbot")
+    assert isinstance(is_allowed(rules, "/a/b"), bool)

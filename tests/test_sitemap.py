@@ -110,3 +110,15 @@ def test_fetch_schedule_per_host_spacing(spark) -> None:
     # hosts schedule independently; missing delay defaults to 1s
     assert out["https://b.example/only"]["slot_s"] == 0
     assert (out["https://c.example/nodelay"]["rank"], out["https://c.example/nodelay"]["slot_s"]) == (1, 0)
+
+
+# -- fuzz: the sitemap parser is total over untrusted text --------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=2048))
+def test_sitemap_fuzz_never_raises(s: str):
+    for e in parse_sitemap(s):
+        assert isinstance(e, dict)
