@@ -147,3 +147,27 @@ def test_extract_links_unchanged_by_anchor_capture() -> None:
     links, noindex = _links(html)
     assert links == ["https://other.org/x", "https://www.example.com/root/y"]
     assert noindex is False
+
+
+# -- fuzz: the outlink extractor is total over untrusted bytes ----------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_links_fuzz_bytes_never_raises(b: bytes):
+    links, nofollow = extract_links(b, "https://h.test/a/b")
+    assert isinstance(links, list) and isinstance(nofollow, bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(
+    ['<a href="', '">', "</a>", "http://x/", "//y/", "?q=1#f", "javascript:",
+     "mailto:z", " ", "\x00", "%zz", "<base href='ftp://b/'>", "data:text/x,1",
+     '<meta name="robots" content="nofollow">', "../..", "HTTPS://UP.TEST/P"]
+), max_size=30))
+def test_extract_links_fuzz_markup_soup_never_raises(parts: list):
+    links, _ = extract_links("".join(parts), "https://h.test/")
+    for u in links:
+        assert isinstance(u, str)
