@@ -218,3 +218,28 @@ def test_mojibake_writer_rejects_unrepairable():
     # writer must refuse rather than emit an unrepairable fixture
     with _pytest.raises(UnicodeDecodeError):
         mojibake("curly ”")
+
+
+# -- fuzz: decode + mojibake repair are total over untrusted input ------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_service_spark.extraction.charset import decode_payload, repair_mojibake
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_decode_payload_fuzz_never_raises(b: bytes):
+    for markup in (True, False):
+        text, enc = decode_payload(b, markup=markup)
+        assert isinstance(text, str) and isinstance(enc, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=1024))
+def test_repair_mojibake_fuzz_never_raises(s: str):
+    out, iters = repair_mojibake(s)
+    assert isinstance(out, str) and iters >= 0
+    # repair is a fixpoint: repairing repaired text changes nothing
+    again, extra = repair_mojibake(out)
+    assert again == out and extra == 0
