@@ -71,3 +71,23 @@ def test_rtf_never_crashes_on_ascii(text: str):
 def test_rtf_plain_words_roundtrip(words: list[str]):
     body = " ".join(words)
     assert rtf_to_text("{\\rtf1\\ansi " + body + "}") == body
+
+
+MAGIC_PREFIXES = (
+    b"{\\rtf1", b"<?xml version='1.0'?>", b"%PDF-1.4\n", b"<!DOCTYPE html>",
+    b"\xff\xd8\xff\xe0", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"II*\x00",
+    b"MM\x00*", b"PK\x03\x04", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",
+    b"\x1f\x8b\x08", b"RIFF1234WAVE", b"\x00\x00\x00\x18ftypisom",
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.sampled_from(MAGIC_PREFIXES), st.binary(max_size=1536))
+def test_extract_document_total_behind_every_magic(prefix: bytes, junk: bytes):
+    """Arbitrary-byte fuzz rarely ROUTES past the sniffer, so force every
+    dispatch branch: each magic prefix + junk must still yield a
+    well-formed row (the per-format parsers, not just the sniffer, see
+    hostile bytes at crawl scale)."""
+    row = extract_document(prefix + junk, "https://x.test/doc")
+    assert isinstance(row["extracted_text"], str)
+    assert isinstance(row["success"], bool)
