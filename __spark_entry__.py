@@ -61,6 +61,7 @@ from ocr_service_spark.operators import (  # noqa: E402
     roundtrip,
     similarity,
     stream_queries,
+    structure,
     temporal,
     text_stats,
     weburl,
@@ -1265,6 +1266,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracles.py + test_entry_oracle
     for name, fn in retrieval.QUERIES.items():
         out[name] = fn
+    # tail by design from birth (round 5): the document-structure tier —
+    # q120 (table cells) and q123 (heading outline) are the same
+    # capped-explode-inside-mapInPandas shape that in-window q106 runs
+    # (span table over the identical fixture-page construction), and
+    # q122 (sentence segmentation) is a pure codegen mark->split->
+    # posexplode projection (the q96 line-explode family); each dialect
+    # is pinned by its own DuckDB oracle under tools/check_oracles.py +
+    # test_entry_oracle, the same local gates as the rest of the tail
+    for name, fn in structure.QUERIES.items():
+        out[name] = _wrap(fn)
     return out
 
 
@@ -1283,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(markdown_ops.ORACLES)
     out.update(stream_queries.ORACLES)
     out.update(retrieval.ORACLES)
+    out.update(structure.ORACLES)
     # q40-q43 are deterministic end-to-end in this environment (NO_OCR
     # tier + the deterministic glyph OCR engine); their expected outputs
     # are committed, reviewed golden tables the oracle reads back. q40's

@@ -112,6 +112,10 @@ HEADLINE_QUERIES = [
     "q118_hist_quantiles",
     "q119_host_quality_report",
     "q121_collocations",
+    # round 5 structure tier — table cells, sentence table, outline
+    "q120_table_extract",
+    "q122_sentence_segmentation",
+    "q123_section_outline",
 ]
 
 

@@ -1,0 +1,338 @@
+"""Document-structure tier: HTML table extraction, heading outlines,
+sentence segmentation — each as an oracle-twinned query.
+
+Structured signals a training-data pipeline mines on top of the flat
+extracted text (reference ``converter.py:70-106`` produces only the
+flat text): table cells for table-to-text / QA mining, section
+breadcrumbs for structure-aware chunking, sentence tables for
+sentence-level dedup and packing. All three are roundtrip queries in
+the q35/q96 house pattern: the fixture page/text is synthesized in
+closed form from ``documents``, the operator recovers the structure,
+and DuckDB recomputes the expected structure from the same closed form
+— so the driver hash-checks the full dialect, including the
+nested-table and breadcrumb-pop rules.
+
+100 TB shape: q120/q123 are one Arrow-batched mapInPandas over
+(url, payload) — zero shuffles, the explode happens inside the UDF and
+is capped (MAX_CELLS / MAX_HEADINGS) so a pathological page bounds its
+own fan-out; q122 is pure whole-stage-codegen (regexp mark + split +
+posexplode), no Python at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CELLS_SCHEMA = (
+    "url string, table_idx bigint, row_idx bigint, col_idx bigint, "
+    "is_header boolean, cell_text string"
+)
+
+OUTLINE_SCHEMA = (
+    "url string, heading_idx bigint, level int, heading_text string, "
+    "section_path string"
+)
+
+
+def extract_table_cells(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages(url, <payload_col> binary) -> one row per table cell:
+    (url, table_idx, row_idx, col_idx, is_header, cell_text) per the
+    dialect pinned in extraction/html_tables.py."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_service_spark.extraction.html_tables import extract_tables
+
+        for batch in batches:
+            urls, tbls, rows, cols, hdrs, texts = [], [], [], [], [], []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                for tbl, row, col, hdr, text in extract_tables(bytes(payload)):
+                    urls.append(url)
+                    tbls.append(tbl)
+                    rows.append(row)
+                    cols.append(col)
+                    hdrs.append(hdr)
+                    texts.append(text)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "table_idx": pd.Series(tbls, dtype="int64"),
+                    "row_idx": pd.Series(rows, dtype="int64"),
+                    "col_idx": pd.Series(cols, dtype="int64"),
+                    "is_header": pd.Series(hdrs, dtype="bool"),
+                    "cell_text": texts,
+                }
+            )
+
+    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=CELLS_SCHEMA)
+
+
+def extract_outline_table(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages(url, <payload_col> binary) -> one row per h1-h6 heading:
+    (url, heading_idx, level, heading_text, section_path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_service_spark.extraction.html_tables import extract_outline
+
+        for batch in batches:
+            urls, idxs, lvls, texts, paths = [], [], [], [], []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                for idx, level, text, path in extract_outline(bytes(payload)):
+                    urls.append(url)
+                    idxs.append(idx)
+                    lvls.append(level)
+                    texts.append(text)
+                    paths.append(path)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "heading_idx": pd.Series(idxs, dtype="int64"),
+                    "level": pd.Series(lvls, dtype="int32"),
+                    "heading_text": texts,
+                    "section_path": paths,
+                }
+            )
+
+    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=OUTLINE_SCHEMA)
+
+
+def segment_sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per sentence: every non-key column is replaced by
+    (sent_idx bigint, sentence string). Pinned dialect: a sentence
+    boundary is one of ``. ! ?`` followed by one or more SPACES (the
+    terminator stays with its sentence; other whitespace is not a
+    boundary); empty/whitespace-only fragments are dropped. Pure
+    codegen: regexp mark -> split -> posexplode, no Python."""
+    marked = F.regexp_replace(F.col(text_col), r"([.!?]) +", "$1\x01")
+    keys = [c for c in df.columns if c != text_col]
+    exploded = df.select(
+        *keys, F.posexplode(F.split(marked, "\x01")).alias("pos", "sentence")
+    )
+    return exploded.where(F.length(F.trim("sentence")) > 0).select(
+        *keys, F.col("pos").cast("bigint").alias("sent_idx"), "sentence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120: table extraction roundtrip
+# ---------------------------------------------------------------------------
+
+# every doc renders one 4x2 table; cell (1,1) carries inline markup the
+# extractor must strip, and every 10th doc nests a second table inside
+# that cell (its text must NOT leak into the parent cell)
+_TABLE_HEAD = (
+    "<html><body><p>preamble outside any table</p>"
+    "<table><tr><th>field</th><th>value</th></tr><tr><td>doc</td><td>"
+)
+_TABLE_TAIL_FMT = (
+    "</td></tr><tr><td>chars</td><td>%s</td></tr>"
+    "<tr><td>text</td><td>%s</td></tr></table>"
+    "<p>postamble outside any table</p></body></html>"
+)
+
+
+def q120_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML ``<table>`` -> typed cell rows, hash-checked cell by cell.
+    The fixture pins the whole dialect: th/td header flag, positional
+    row/col indices, inline-markup stripping inside cells (``<b>``),
+    nested-table isolation (every 10th doc nests a table inside a cell:
+    the inner text forms table_idx 1 and the parent cell keeps only its
+    own character data), and text outside tables contributing nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    id_s = F.col("doc_id").cast("string")
+    doc_cell = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.format_string(
+            "<b>%s</b><table><tr><td>inner %s</td></tr></table> tail", id_s, id_s
+        ),
+    ).otherwise(F.format_string("<b>%s</b>", id_s))
+    page = F.concat(
+        F.lit(_TABLE_HEAD),
+        doc_cell,
+        F.format_string(
+            _TABLE_TAIL_FMT, F.col("n_chars").cast("string"), F.trim("text")
+        ),
+    )
+    pages = docs.select(
+        F.format_string("doc://%s.html", id_s).alias("url"),
+        F.encode(page, "utf-8").alias("html"),
+    )
+    out = extract_table_cells(pages)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return out.select(
+        doc_id.alias("doc_id"),
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        "is_header",
+        "cell_text",
+    )
+
+
+_Q120_ORACLE = """
+    WITH d AS (SELECT doc_id, n_chars, trim(text) AS txt FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, CAST(0 AS BIGINT) AS row_idx,
+           CAST(0 AS BIGINT) AS col_idx, true AS is_header, 'field' AS cell_text
+    FROM d
+    UNION ALL
+    SELECT doc_id, 0, 0, 1, true, 'value' FROM d
+    UNION ALL
+    SELECT doc_id, 0, 1, 0, false, 'doc' FROM d
+    UNION ALL
+    SELECT doc_id, 0, 1, 1, false,
+           CASE WHEN doc_id % 10 = 0
+                THEN CAST(doc_id AS VARCHAR) || ' tail'
+                ELSE CAST(doc_id AS VARCHAR) END
+    FROM d
+    UNION ALL
+    SELECT doc_id, 0, 2, 0, false, 'chars' FROM d
+    UNION ALL
+    SELECT doc_id, 0, 2, 1, false, CAST(n_chars AS VARCHAR) FROM d
+    UNION ALL
+    SELECT doc_id, 0, 3, 0, false, 'text' FROM d
+    UNION ALL
+    SELECT doc_id, 0, 3, 1, false, txt FROM d
+    UNION ALL
+    SELECT doc_id, 1, 0, 0, false, 'inner ' || CAST(doc_id AS VARCHAR)
+    FROM d WHERE doc_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q122: sentence segmentation roundtrip
+# ---------------------------------------------------------------------------
+
+
+def q122_sentence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation over prose built in closed form: each
+    doc's tokens are grouped into sentences of (2 + doc_id % 3) words
+    with terminators cycling ``. ! ?`` by sentence index, joined with
+    single spaces; the segmenter must recover exactly those groups
+    (terminator kept with its sentence). Both the construction and the
+    split are whole-stage codegen."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    w = (F.col("doc_id") % 3 + 2).cast("int")
+    n_sent = F.ceil(F.size(toks) / w).cast("int")
+    sent = lambda i: F.concat(  # noqa: E731
+        F.array_join(F.slice(toks, i * w + 1, w), " "),
+        F.when(i % 3 == 0, ".").when(i % 3 == 1, "!").otherwise("?"),
+    )
+    prose = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_sent - 1), sent), " "
+    )
+    built = docs.select("doc_id", prose.alias("text"))
+    return segment_sentences(built, "text")
+
+
+_Q122_ORACLE = r"""
+    WITH s AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS t,
+               2 + doc_id % 3 AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           unnest(range(0, (len(t) + w - 1) // w)) AS sent_idx,
+           unnest(list_transform(
+               range(0, (len(t) + w - 1) // w),
+               i -> array_to_string(list_slice(t, i * w + 1, (i + 1) * w), ' ')
+                    || CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END
+           )) AS sentence
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q123: heading outline roundtrip
+# ---------------------------------------------------------------------------
+
+_OUTLINE_FMT = (
+    "<html><body><h1>Doc <em>%s</em></h1><p>intro prose</p>"
+    "<h2>Section %s</h2><p>body prose</p>"
+    "%s<p>more prose</p>"
+    "<h2>End %s</h2><p>closing prose</p></body></html>"
+)
+
+
+def q123_section_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline with breadcrumb paths. The fixture pins the
+    stack rule from both directions: even docs' third heading is an h2
+    (pops the previous h2 — path shortens), odd docs' is an h3 (nests
+    under the open h2 — path deepens), and the final h2 pops everything
+    back to the h1. Inline markup inside ``<h1>`` pins tag stripping."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    id_s = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 5).cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    third = F.when(
+        F.col("doc_id") % 2 == 0, F.format_string("<h2>Part %s</h2>", id_s)
+    ).otherwise(F.format_string("<h3>Sub %s</h3>", k))
+    page = F.format_string(_OUTLINE_FMT, id_s, m, third, id_s)
+    pages = docs.select(
+        F.format_string("doc://%s.html", id_s).alias("url"),
+        F.encode(page, "utf-8").alias("html"),
+    )
+    out = extract_outline_table(pages)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return out.select(
+        doc_id.alias("doc_id"), "heading_idx", "level", "heading_text",
+        "section_path",
+    )
+
+
+_Q123_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS h1,
+               'Section ' || CAST(doc_id % 5 AS VARCHAR) AS h2,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'Part ' || CAST(doc_id AS VARCHAR)
+                    ELSE 'Sub ' || CAST(doc_id % 7 AS VARCHAR) END AS h3rd,
+               'End ' || CAST(doc_id AS VARCHAR) AS h4th
+        FROM documents
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS heading_idx, CAST(1 AS INT) AS level,
+           h1 AS heading_text, h1 AS section_path
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 2, h2, h1 || ' > ' || h2 FROM d
+    UNION ALL
+    SELECT doc_id, 2,
+           CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END,
+           h3rd,
+           CASE WHEN doc_id % 2 = 0
+                THEN h1 || ' > ' || h3rd
+                ELSE h1 || ' > ' || h2 || ' > ' || h3rd END
+    FROM d
+    UNION ALL
+    SELECT doc_id, 3, 2, h4th, h1 || ' > ' || h4th FROM d
+"""
+
+
+QUERIES = {
+    "q120_table_extract": q120_table_extract,
+    "q122_sentence_segmentation": q122_sentence_segmentation,
+    "q123_section_outline": q123_section_outline,
+}
+
+ORACLES: dict[str, str] = {
+    "q120_table_extract": _Q120_ORACLE,
+    "q122_sentence_segmentation": _Q122_ORACLE,
+    "q123_section_outline": _Q123_ORACLE,
+}
