@@ -1226,6 +1226,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q81/q93; the cross-multiplied PMI verdict is pinned by its
         # own DuckDB oracle
         "q121_collocations",
+        # tail by design from birth (round 5): q124 (Broder containment
+        # pairs) is q14's rare-shingle inverted-index pair explode
+        # (in-window via q14) followed by q34's exact-verify join-back;
+        # only the scoring rule (containment vs resemblance) differs,
+        # and that dialect is pinned by its own DuckDB oracle under
+        # tools/check_oracles.py + test_entry_oracle
+        "q124_containment_pairs",
+        # tail by design from birth (round 5): q125 (measured LSH
+        # recall S-curve) runs q34's exact capped-band candidate
+        # pipeline (in-window via q34/q100) over planted twins whose
+        # construction is the q90 closed-form synthesis shape
+        # (in-window via q90); the decile rollup is pinned by its own
+        # DuckDB oracle
+        "q125_lsh_recall",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

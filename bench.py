@@ -116,6 +116,10 @@ HEADLINE_QUERIES = [
     "q120_table_extract",
     "q122_sentence_segmentation",
     "q123_section_outline",
+    # round 5 dedup-evaluation tier — Broder containment + measured
+    # LSH recall S-curve under the live bucket cap
+    "q124_containment_pairs",
+    "q125_lsh_recall",
 ]
 
 

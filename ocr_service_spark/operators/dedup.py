@@ -1086,6 +1086,315 @@ _Q114_ORACLE = f"""
 
 ORACLES["q114_paragraph_dedup"] = _Q114_ORACLE
 
+
+# -- q124: containment pairs (Broder containment, not resemblance) ---------------
+# A syndicated article wrapped in site chrome has LOW Jaccard against
+# its source (the chrome dilutes the union) but containment
+# |S(A) & S(B)| / |S(A)| ~ 1.0 — resemblance-threshold dedup (q34)
+# structurally misses wrapper/quote pages, which is why production
+# pipelines (Broder 1997 "On the resemblance and containment of
+# documents") track both. Wrapper twins are planted closed-form (the
+# q90/q100 synthesis pattern): every doc_id % WRAP_MOD == 0 doc gets a
+# WRAP_OFFSET twin of fixed site chrome around the intact original.
+WRAP_OFFSET = 3_000_000
+WRAP_MOD = 5
+WRAP_PRE = "home about contact subscribe newsletter follow us on social media"
+WRAP_POST = "all rights reserved terms of service privacy policy cookie settings"
+CONTAINMENT_MIN = 0.8
+
+
+def _wrapped_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) of originals plus their planted wrapper twins."""
+    wrappers = docs.filter(F.col("doc_id") % WRAP_MOD == 0).select(
+        (F.col("doc_id") + WRAP_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.lit(WRAP_PRE), F.trim("text"), F.lit(WRAP_POST)).alias(
+            "text"
+        ),
+    )
+    return docs.select("doc_id", "text").unionByName(wrappers)
+
+
+def q124_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup over originals + planted wrapper twins:
+    candidates from the rare-shingle inverted index (df <= cap — the
+    shared chrome shingles exceed the cap and generate nothing, which
+    is exactly the selectivity argument for the cap: what's common to
+    every wrapper identifies none of them), then exact containment of
+    the smaller shingle set in the larger on candidates only. At 100 TB
+    this is q14's linear shape — the chrome never fans out; only the
+    rare article-body shingles carry pairs. Output keeps Jaccard
+    alongside to show the separation: at sf0.01 the planted wrapper
+    pairs measure containment ~1.0 with Jaccard 0.29-0.83 — the short
+    wrapped articles fall BELOW q34's 0.5 resemblance cut and only the
+    containment rule catches them."""
+    docs = _wrapped_docs(_docs(spark, sf_dir))
+    toks = _shingles(docs)
+    posting = (
+        toks.groupBy("tok")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= JACCARD_MAX_DF))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    tok_sets = docs.select("doc_id", _shingle_array().alias("toks"))
+    a = tok_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    sa, sb = F.size("ta"), F.size("tb")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    # inner = the smaller shingle set (tie -> doc_a, the lower id)
+    a_is_inner = sa <= sb
+    containment = F.round(
+        inter.cast("double") / F.least(sa, sb).cast("double"), 4
+    )
+    jac = F.round(inter.cast("double") / F.size(F.array_union("ta", "tb")), 4)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.when(a_is_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "doc_inner"
+            ),
+            F.when(a_is_inner, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "doc_outer"
+            ),
+            containment.alias("containment"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+    )
+
+
+_WRAP_AUG_SQL = f"""
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {WRAP_OFFSET},
+                   '{WRAP_PRE} ' || trim(text) || ' {WRAP_POST}'
+            FROM documents WHERE doc_id % {WRAP_MOD} = 0
+"""
+
+_SHINGLE_LIST_SQL = (
+    "list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]"
+    " || ' ' || w[CAST(i AS INT) + 2]))"
+)
+
+ORACLES["q124_containment_pairs"] = f"""
+    WITH aug AS ({_WRAP_AUG_SQL}),
+    words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM aug
+    ),
+    t AS (SELECT doc_id, {_SHINGLE_LIST_SQL} AS toks FROM words),
+    sh AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    posting AS (
+        SELECT tok, list_sort(list(doc_id)) AS ids FROM sh GROUP BY tok
+        HAVING count(*) BETWEEN 2 AND {JACCARD_MAX_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM sh x JOIN sh y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        WHERE x.tok IN (SELECT tok FROM posting)
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               len(a.toks) AS sa, len(b.toks) AS sb,
+               len(list_intersect(a.toks, b.toks)) AS i,
+               len(list_distinct(a.toks || b.toks)) AS u
+        FROM cand JOIN t a ON a.doc_id = doc_a JOIN t b ON b.doc_id = doc_b
+    )
+    SELECT CASE WHEN sa <= sb THEN doc_a ELSE doc_b END AS doc_inner,
+           CASE WHEN sa <= sb THEN doc_b ELSE doc_a END AS doc_outer,
+           round(CAST(i AS DOUBLE) / least(sa, sb), 4) AS containment,
+           round(CAST(i AS DOUBLE) / u, 4) AS jaccard
+    FROM scored
+    WHERE round(CAST(i AS DOUBLE) / least(sa, sb), 4) >= {CONTAINMENT_MIN}
+"""
+
+
+# -- q125: measured LSH recall S-curve ---------------------------------------------
+# The hot-bucket cap (q34/q19/q100) and the band/row geometry both rest
+# on a recall ARGUMENT; this query turns it into a recall MEASUREMENT —
+# the standard production eval: plant perturbed twins with known exact
+# Jaccard (three perturbation classes spread the pairs across the
+# similarity axis), run the identical capped-LSH candidate generation
+# over originals + twins, and report per-decile how many planted pairs
+# the bands caught. The theoretical S-curve for 4 bands x 4 rows is
+# P(caught) = 1 - (1 - s^4)^4; this reports the measured curve under
+# the real hash, real shingles, and the live LSH_BUCKET_CAP.
+RECALL_OFFSET = 2_000_000
+
+
+def _recall_twins(docs: DataFrame) -> DataFrame:
+    """Perturbed twin per doc, class = doc_id % 3: drop the first word
+    (near-identical), drop every 4th word (moderate — most 3-shingles
+    die), swap halves (near-identical: only seam shingles change)."""
+    d = F.col("doc_id")
+    w = F.split(F.trim("text"), r"\s+")
+    half = F.floor(F.size(w) / 2).cast("int")
+    drop_first = F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1))
+    drop_4th = F.concat_ws(
+        " ", F.filter(w, lambda x, i: (i + 1) % 4 != 0)
+    )
+    swap_halves = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(w, half + 1, F.size(w) - half), F.slice(w, 1, half)
+        ),
+    )
+    return docs.select(
+        (d + RECALL_OFFSET).alias("doc_id"),
+        F.when(d % 3 == 0, drop_first)
+        .when(d % 3 == 1, drop_4th)
+        .otherwise(swap_halves)
+        .alias("text"),
+    )
+
+
+def q125_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the capped MinHash-LSH candidate stage per
+    exact-Jaccard decile. Planted (original, twin) pairs are the ground
+    truth — their exact Jaccard is one 1:1 join (linear, never
+    all-pairs); candidates come from q34's exact pipeline (signatures
+    -> bands -> LSH_BUCKET_CAP -> within-bucket explode) over the
+    union. Buckets are integer deciles (floor(jaccard*10)) so the
+    grouping key is exact. At 100 TB this runs over a sampled eval
+    slice; the shape is unchanged."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = _recall_twins(docs)
+    aug = docs.unionByName(twins)
+    # ground truth: exact shingle Jaccard per planted pair (1:1 join)
+    o = docs.select("doc_id", _shingle_array().alias("ta"))
+    tw = twins.select(
+        (F.col("doc_id") - RECALL_OFFSET).alias("doc_id"),
+        _shingle_array().alias("tb"),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ta", "tb")).cast("double")
+        / F.size(F.array_union("ta", "tb")),
+        4,
+    )
+    truth = (
+        o.join(tw, "doc_id")
+        .filter(F.size(F.array_union("ta", "tb")) > 0)
+        .select("doc_id", jac.alias("jaccard"))
+    )
+    # candidates: q34's capped band pipeline over originals + twins
+    sigs = _shingle_sigs(aug)
+    posting = (
+        _cap_bucket(_band_stack(sigs), ["band_key"], "doc_id")
+        .groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    planted_cand = cand.filter(
+        F.col("doc_b") - F.col("doc_a") == RECALL_OFFSET
+    ).select(F.col("doc_a").alias("doc_id"), F.lit(1).alias("caught"))
+    return (
+        truth.join(planted_cand, "doc_id", "left")
+        .groupBy(F.floor(F.col("jaccard") * 10).alias("jaccard_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(F.sum("caught"), F.lit(0)).cast("bigint").alias("n_caught"),
+        )
+        .select(
+            "jaccard_decile",
+            "n_pairs",
+            "n_caught",
+            F.round(
+                F.col("n_caught").cast("double") / F.col("n_pairs"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _q125_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min({h32_sql('tok', seed)}) AS mh{i}"
+        for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    return f"""
+    WITH w0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    twins AS (
+        SELECT orig_id + {RECALL_OFFSET} AS doc_id,
+               array_to_string(
+                   CASE cls
+                       WHEN 0 THEN w[2:len(w)]
+                       WHEN 1 THEN list_transform(
+                           list_filter(range(1, len(w) + 1),
+                                       i -> (i % 4) != 0),
+                           i -> w[CAST(i AS INT)])
+                       ELSE w[(len(w) // 2 + 1):len(w)] || w[1:(len(w) // 2)]
+                   END, ' ') AS text
+        FROM (SELECT doc_id AS orig_id, doc_id % 3 AS cls, w FROM w0)
+    ),
+    aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM twins
+    ),
+    words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM aug
+    ),
+    t AS (SELECT doc_id, {_SHINGLE_LIST_SQL} AS toks FROM words),
+    truth AS (
+        SELECT a.doc_id,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + {RECALL_OFFSET}
+        WHERE len(list_distinct(a.toks || b.toks)) > 0
+    ),
+    sh AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands0 AS ({_lsh_band_arms_sql()}),
+    bands AS ({_capped_bands_sql('bands0', 'band_key', 'doc_id')}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    caught AS (
+        SELECT doc_a AS doc_id, 1 AS caught FROM cand
+        WHERE doc_b - doc_a = {RECALL_OFFSET}
+    )
+    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS jaccard_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(caught), 0) AS BIGINT) AS n_caught,
+           round(CAST(coalesce(sum(caught), 0) AS DOUBLE) / count(*), 4)
+               AS recall
+    FROM truth LEFT JOIN caught USING (doc_id)
+    GROUP BY 1
+"""
+
+
+ORACLES["q125_lsh_recall"] = _q125_oracle()
+
 QUERIES = {
     "q10_dedup_exact": q10_dedup_exact,
     "q14_jaccard_pairs": q14_jaccard_pairs,
@@ -1099,4 +1408,6 @@ QUERIES = {
     "q90_incremental_neardup": q90_incremental_neardup,
     "q100_split_leakage_guard": q100_split_leakage_guard,
     "q114_paragraph_dedup": q114_paragraph_dedup,
+    "q124_containment_pairs": q124_containment_pairs,
+    "q125_lsh_recall": q125_lsh_recall,
 }
