@@ -1281,7 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, fn in retrieval.QUERIES.items():
         out[name] = fn
     # tail by design from birth (round 5): the document-structure tier —
-    # q120 (table cells) and q123 (heading outline) are the same
+    # q120 (table cells), q123 (heading outline) and q126 (Open Graph /
+    # meta / JSON-LD structured data) are the same
     # capped-explode-inside-mapInPandas shape that in-window q106 runs
     # (span table over the identical fixture-page construction), and
     # q122 (sentence segmentation) is a pure codegen mark->split->

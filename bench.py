@@ -120,6 +120,8 @@ HEADLINE_QUERIES = [
     # LSH recall S-curve under the live bucket cap
     "q124_containment_pairs",
     "q125_lsh_recall",
+    # round 5 structured-data tier — OG/meta/JSON-LD extraction
+    "q126_structured_data",
 ]
 
 

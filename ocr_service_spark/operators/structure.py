@@ -325,14 +325,161 @@ _Q123_ORACLE = """
 """
 
 
+STRUCTURED_SCHEMA = (
+    "url string, field_idx bigint, kind string, field_key string, "
+    "field_value string"
+)
+
+
+def extract_structured_table(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages(url, <payload_col> binary) -> one row per structured-data
+    field: (url, field_idx, kind, field_key, field_value) per the
+    dialect pinned in extraction/structured_data.py. Same 100-TB shape
+    as the other tier members: one Arrow-batched mapInPandas, the
+    explode inside the UDF and capped at MAX_FIELDS."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_service_spark.extraction.structured_data import extract_structured
+
+        for batch in batches:
+            urls, idxs, kinds, keys, vals = [], [], [], [], []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                for idx, kind, key, val in extract_structured(bytes(payload)):
+                    urls.append(url)
+                    idxs.append(idx)
+                    kinds.append(kind)
+                    keys.append(key)
+                    vals.append(val)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "field_idx": pd.Series(idxs, dtype="int64"),
+                    "kind": kinds,
+                    "field_key": keys,
+                    "field_value": vals,
+                }
+            )
+
+    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=STRUCTURED_SCHEMA)
+
+
+_SD_PAGE_HEAD = '<html><head>\n<meta property="og:title" content="Doc %s &amp; friends"/>\n'
+_SD_LOCALE_FMT = "<meta content='%s' property='og:locale'/>\n"
+_SD_META_FMT = (
+    '<meta name="description" content="chars %s"/>\n'
+    '<meta name="viewport" content="width=device-width"/>\n'
+)
+_SD_LD_ARTICLE = (
+    '<script type="application/ld+json">'
+    '{"@type":"Article","name":"doc %s","wordCount":%s}</script>'
+)
+_SD_LD_PRODUCT = (
+    '<script type="application/ld+json">'
+    '{"@type":"Product","name":"doc %s","offers":{"price":1}}</script>'
+)
+_SD_LD_NEWS = (
+    '<script type="APPLICATION/LD+JSON">'
+    '[{"@type":"NewsArticle","headline":"h%s"},{"@type":"BreadcrumbList"}]'
+    "</script>"
+)
+_SD_LD_BROKEN = '<script type="application/ld+json">{not json</script>'
+_SD_PAGE_TAIL = "\n</head><body><p>Body text contributes nothing.</p></body></html>"
+
+
+def q126_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Graph + allowlisted meta + JSON-LD extraction, hash-checked
+    field by field. The fixture pins the whole dialect: entity
+    unescaping in content attributes (``&amp;``), attribute order and
+    quote-style independence (the og:locale meta is single-quoted with
+    content first), the meta allowlist (viewport present on every page
+    and always dropped), case-insensitive ld+json type matching, array
+    and object roots, the scalar-fields-only rule (Product's nested
+    ``offers`` object is skipped), JSON number -> string rendering
+    (wordCount), and the malformed-JSON skip contract (doc_id%4==3's
+    block contributes zero rows to the hash)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    id_s = F.col("doc_id").cast("string")
+    nc_s = F.col("n_chars").cast("string")
+    d = F.col("doc_id")
+    locale = F.when(
+        d % 2 == 0, F.format_string(_SD_LOCALE_FMT, F.col("lang"))
+    ).otherwise(F.lit(""))
+    ld = (
+        F.when(d % 4 == 0, F.format_string(_SD_LD_ARTICLE, id_s, nc_s))
+        .when(d % 4 == 1, F.format_string(_SD_LD_PRODUCT, id_s))
+        .when(d % 4 == 2, F.format_string(_SD_LD_NEWS, id_s))
+        .otherwise(F.lit(_SD_LD_BROKEN))
+    )
+    page = F.concat(
+        F.format_string(_SD_PAGE_HEAD, id_s),
+        locale,
+        F.format_string(_SD_META_FMT, nc_s),
+        ld,
+        F.lit(_SD_PAGE_TAIL),
+    )
+    pages = docs.select(
+        F.format_string("doc://%s.html", id_s).alias("url"),
+        F.encode(page, "utf-8").alias("html"),
+    )
+    out = extract_structured_table(pages)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return out.select(
+        doc_id.alias("doc_id"), "field_idx", "kind", "field_key", "field_value"
+    )
+
+
+_Q126_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS ld_base
+        FROM documents
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS field_idx, 'og' AS kind,
+           'og:title' AS field_key,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS field_value
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'og', 'og:locale', lang FROM d WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, ld_base - 1, 'meta', 'description',
+           'chars ' || CAST(n_chars AS VARCHAR)
+    FROM d
+    UNION ALL
+    SELECT doc_id, ld_base, 'ld', '@type',
+           CASE doc_id % 4 WHEN 0 THEN 'Article'
+                           WHEN 1 THEN 'Product'
+                           ELSE 'NewsArticle' END
+    FROM d WHERE doc_id % 4 < 3
+    UNION ALL
+    SELECT doc_id, ld_base + 1, 'ld',
+           CASE WHEN doc_id % 4 = 2 THEN 'headline' ELSE 'name' END,
+           CASE WHEN doc_id % 4 = 2 THEN 'h' || CAST(doc_id AS VARCHAR)
+                ELSE 'doc ' || CAST(doc_id AS VARCHAR) END
+    FROM d WHERE doc_id % 4 < 3
+    UNION ALL
+    SELECT doc_id, ld_base + 2, 'ld', 'wordCount', CAST(n_chars AS VARCHAR)
+    FROM d WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, ld_base + 2, 'ld', '@type', 'BreadcrumbList'
+    FROM d WHERE doc_id % 4 = 2
+"""
+
+
 QUERIES = {
     "q120_table_extract": q120_table_extract,
     "q122_sentence_segmentation": q122_sentence_segmentation,
     "q123_section_outline": q123_section_outline,
+    "q126_structured_data": q126_structured_data,
 }
 
 ORACLES: dict[str, str] = {
     "q120_table_extract": _Q120_ORACLE,
     "q122_sentence_segmentation": _Q122_ORACLE,
     "q123_section_outline": _Q123_ORACLE,
+    "q126_structured_data": _Q126_ORACLE,
 }
