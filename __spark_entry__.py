@@ -1240,6 +1240,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (in-window via q90); the decile rollup is pinned by its own
         # DuckDB oracle
         "q125_lsh_recall",
+        # tail by design from birth (round 5): q127 (rel=canonical
+        # cluster dedup) is q67's map-only link-parser mapInPandas
+        # (in-window via q67's outlink extraction over the same parser)
+        # followed by q111's single count-window shuffle; the
+        # first-wins/relative-resolution dialect is pinned by its own
+        # DuckDB oracle
+        "q127_canonical_clusters",
+        # tail by design from birth (round 5): q128 (Unicode hygiene —
+        # zero-width strip, bidi-override flag, confusable-token count)
+        # is a pure codegen regexp projection, the q95/q96 map-only
+        # filter family (in-window via both), over the q90-style
+        # closed-form hostile-text synthesis; its class definitions and
+        # scrub fixpoint are pinned by its own DuckDB oracle
+        "q128_unicode_hygiene",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -122,6 +122,9 @@ HEADLINE_QUERIES = [
     "q125_lsh_recall",
     # round 5 structured-data tier — OG/meta/JSON-LD extraction
     "q126_structured_data",
+    # round 5 web-hygiene tier — rel=canonical clusters, Unicode scrub
+    "q127_canonical_clusters",
+    "q128_unicode_hygiene",
 ]
 
 

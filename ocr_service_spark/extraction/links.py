@@ -39,6 +39,7 @@ class _LinkCollector(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.anchors: list[tuple[str, list[str]]] = []  # (href, text parts)
         self.robots: list[str] = []
+        self.canonicals: list[str] = []  # <link rel=canonical> hrefs, in order
         self._open = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -53,6 +54,11 @@ class _LinkCollector(HTMLParser):
             a = dict(attrs)
             if (a.get("name") or "").lower() == "robots":
                 self.robots.append(a.get("content") or "")
+        elif tag == "link":
+            a = {k: v for k, v in attrs if v is not None}
+            rel_tokens = (a.get("rel") or "").lower().split()
+            if "canonical" in rel_tokens and a.get("href"):
+                self.canonicals.append(a["href"])
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "a":
@@ -104,3 +110,36 @@ def extract_links(payload: bytes | str, base_url: str | None = None) -> tuple[li
     """(resolved outlinks in document order, noindex flag)."""
     anchors, noindex = extract_anchors(payload, base_url)
     return [href for href, _ in anchors], noindex
+
+
+def extract_canonical(payload: bytes | str, base_url: str | None = None) -> str | None:
+    """The page's declared canonical URL, or None.
+
+    ``<link rel="canonical" href=...>`` with ``canonical`` matched
+    case-insensitively among the space-separated rel tokens; the FIRST
+    declaration wins (Google's documented tie-break — later ones are
+    ignored); relative hrefs resolve against the page URL; fragment-only
+    and pseudo-scheme hrefs yield None. Total over hostile bytes."""
+    if isinstance(payload, (bytes, bytearray)):
+        from ocr_service_spark.extraction.charset import decode_markup
+
+        text = decode_markup(bytes(payload))[1]
+    else:
+        text = payload
+    parser = _LinkCollector()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass
+    for href in parser.canonicals:
+        h = href.strip()
+        if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
+            return None  # first declaration wins, even when unusable
+        if base_url:
+            try:
+                h = urljoin(base_url, h)
+            except ValueError:
+                return None
+        return h
+    return None

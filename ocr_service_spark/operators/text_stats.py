@@ -935,6 +935,58 @@ def q109_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q128: Unicode hygiene (zero-width strip, bidi flag, confusable spoof) ----
+#
+# The security-cleaning pass next to NFC (q109): real crawls carry
+# zero-width characters that defeat exact dedup and token counting
+# (two visually identical pages hash differently), bidi override
+# controls (the Trojan-Source class — text that renders reversed), and
+# mixed-script confusable tokens (Cyrillic 'а' inside a Latin word, the
+# homograph-spoof signature). All three are planted closed-form and the
+# whole pass is whole-stage codegen: regexp projections, zero Python.
+# escapes, never literals: invisible codepoints in source survive no
+# editor round trip. ZW = zero-width space/joiners + directional marks
+# + word joiner + BOM; BIDI = embeddings/overrides + isolates.
+_ZW_CLASS = "[\\u200b\\u200c\\u200d\\u200e\\u200f\\u2060\\ufeff]"
+_BIDI_CLASS = "[\\u202a-\\u202e\\u2066-\\u2069]"
+_STRIP_CLASS = "[\\u200b-\\u200f\\u2060\\ufeff\\u202a-\\u202e\\u2066-\\u2069]"
+
+
+def q128_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode hygiene report over planted hostile text:
+    doc_id%4==1 gets a zero-width space after every blank (invisible,
+    dedup-defeating), %4==2 is wrapped in an RLO..PDF bidi override
+    pair, %4==3 gains a mixed Latin/Cyrillic spoof token, %4==0 is the
+    clean control. Emits the zero-width count, the bidi flag, the
+    mixed-script token count, and the cleaned text's length + hash
+    (controls must hash to their original text — the scrub is provably
+    a no-op on clean input). Map-only at any scale."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    raw = (
+        F.when(d % 4 == 0, F.col("text"))
+        .when(d % 4 == 1, F.replace(F.col("text"), F.lit(" "), F.lit(" \u200b")))
+        .when(d % 4 == 2, F.concat(F.lit("\u202e"), F.col("text"), F.lit("\u202c")))
+        .otherwise(F.concat(F.col("text"), F.lit(" p\u0430ypal")))
+    )
+    cleaned = F.regexp_replace(raw, _STRIP_CLASS, "")
+    n_zw = F.length(raw) - F.length(F.regexp_replace(raw, _ZW_CLASS, ""))
+    mixed = F.size(
+        F.filter(
+            F.split(cleaned, r"\s+"),
+            lambda t: t.rlike("[A-Za-z]") & t.rlike("[\\u0400-\\u04ff]"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_zw.cast("bigint").alias("n_zero_width"),
+        raw.rlike(_BIDI_CLASS).alias("has_bidi"),
+        mixed.cast("bigint").alias("n_mixed_tokens"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+        h32(cleaned).alias("clean_h"),
+    )
+
+
 # -- q118: mergeable histogram quantile sketch --------------------------------
 #
 # q36 computes EXACT percentiles (sort-based percentile_disc) — correct
@@ -1106,7 +1158,45 @@ QUERIES = {
     "q109_unicode_nfc": q109_unicode_nfc,
     "q118_hist_quantiles": q118_hist_quantiles,
     "q121_collocations": q121_collocations,
+    "q128_unicode_hygiene": q128_unicode_hygiene,
 }
+
+# DuckDB twin of q128: same planted hostile text, same RE2-compatible
+# classes (\x{...} spelling), same integer/hash outputs.
+ORACLES["q128_unicode_hygiene"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN text
+                   WHEN 1 THEN replace(text, ' ', ' ' || chr(8203))
+                   WHEN 2 THEN chr(8238) || text || chr(8236)
+                   ELSE text || ' p' || chr(1072) || 'ypal'
+               END AS raw
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, raw,
+               regexp_replace(raw,
+                   '[\\x{{200b}}-\\x{{200f}}\\x{{2060}}\\x{{feff}}'
+                   || '\\x{{202a}}-\\x{{202e}}\\x{{2066}}-\\x{{2069}}]',
+                   '', 'g') AS cleaned
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(len(raw) - len(regexp_replace(raw,
+               '[\\x{{200b}}-\\x{{200f}}\\x{{2060}}\\x{{feff}}]', '', 'g'))
+               AS BIGINT) AS n_zero_width,
+           regexp_matches(raw,
+               '[\\x{{202a}}-\\x{{202e}}\\x{{2066}}-\\x{{2069}}]')
+               AS has_bidi,
+           CAST(len(list_filter(regexp_split_to_array(cleaned, '\\s+'),
+               t -> regexp_matches(t, '[A-Za-z]')
+                    AND regexp_matches(t, '[\\x{{0400}}-\\x{{04ff}}]')))
+               AS BIGINT) AS n_mixed_tokens,
+           CAST(len(cleaned) AS BIGINT) AS clean_len,
+           {h32_sql('cleaned')} AS clean_h
+    FROM c
+"""
 
 def _q121_oracle() -> str:
     fixture_rows = "\n            UNION ALL ".join(

@@ -1755,6 +1755,122 @@ def q119_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q127: rel=canonical cluster dedup ---------------------------------------------
+def extract_canonicals(
+    pages: DataFrame, url_col: str = "url", payload_col: str = "html"
+) -> DataFrame:
+    """HTML payloads -> (url, canonical_url nullable): the declared
+    ``<link rel=canonical>`` target, relative hrefs resolved against
+    the page URL, first declaration wins. Arrow-batched mapInPandas
+    over the stdlib link parser — map-only, one output row per page."""
+    import pandas as pd
+
+    def gen(batches):
+        from ocr_service_spark.extraction.links import extract_canonical
+
+        for batch in batches:
+            urls, canon = [], []
+            for url, payload in zip(batch[url_col], batch[payload_col]):
+                urls.append(url)
+                canon.append(
+                    extract_canonical(
+                        bytes(payload) if payload is not None else b"", url
+                    )
+                )
+            yield pd.DataFrame({"url": urls, "canonical_url": canon})
+
+    return pages.mapInPandas(gen, schema="url string, canonical_url string")
+
+
+def _canonical_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form capture pages in clusters of 3 sharing a host: the
+    base member (doc_id%3==0) declares nothing (self-canonical), the
+    second declares the base ABSOLUTELY, the third RELATIVELY (pins
+    urljoin resolution); every page carries a rel=stylesheet distractor
+    and doc_id%30==5 pages declare a SECOND canonical that must lose
+    the first-wins tie-break."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    base = d - d % 3
+    host = F.format_string("http://h%s.example.com", (base % 40).cast("string"))
+    url = F.concat(host, F.format_string("/p/%s", d.cast("string")))
+    canon_link = (
+        F.when(d % 3 == 0, F.lit(""))
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="'),
+                host,
+                F.format_string('/p/%s">', base.cast("string")),
+            ),
+        )
+        .otherwise(
+            # attr order + rel case pinned on the relative arm
+            F.format_string(
+                "<link href='/p/%s' rel='CANONICAL'>", base.cast("string")
+            )
+        )
+    )
+    second = F.when(
+        d % 30 == 5, F.lit('<link rel="canonical" href="/p/999999">')
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        canon_link,
+        second,
+        F.lit("</head><body>b</body></html>"),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), F.encode(page, "utf-8").alias("html")
+    )
+
+
+def q127_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical cluster dedup — the publisher-declared duplicate
+    signal crawl pipelines fold in alongside SURT (q111) and content
+    (q10/q34) dedup: pages naming the same canonical target form one
+    cluster and only the target is kept. Per page: the resolved
+    canonical key (own URL when nothing is declared), whether the page
+    is its own canonical, and the cluster size from ONE window shuffle
+    on the canonical key. At 100 TB the extraction stage is map-only
+    (one row per page, no explode) and the single count-window is the
+    q111 shape."""
+    from pyspark.sql import Window
+
+    pages = _canonical_pages(spark, sf_dir)
+    resolved = extract_canonicals(pages)
+    key = F.coalesce("canonical_url", "url")
+    w = Window.partitionBy("canonical_key")
+    doc_id = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint")
+    return (
+        resolved.select(
+            doc_id.alias("doc_id"),
+            key.alias("canonical_key"),
+            F.col("canonical_url").isNull().alias("is_self"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+
+
+ORACLES_Q127 = """
+    WITH d AS (
+        SELECT doc_id, doc_id - doc_id % 3 AS base FROM documents
+    ),
+    k AS (
+        SELECT doc_id,
+               'http://h' || CAST(base % 40 AS VARCHAR)
+                   || '.example.com/p/' || CAST(base AS VARCHAR)
+                   AS canonical_key,
+               doc_id % 3 = 0 AS is_self
+        FROM d
+    )
+    SELECT doc_id, canonical_key, is_self,
+           CAST(count(*) OVER (PARTITION BY canonical_key) AS BIGINT)
+               AS cluster_size
+    FROM k
+"""
+
+
 QUERIES = {
     "q89_bloom_seen_set": q89_bloom_seen_set,
     "q63_url_canonicalize": q63_url_canonicalize,
@@ -1773,6 +1889,7 @@ QUERIES = {
     "q111_surt_dedup": q111_surt_dedup,
     "q113_domain_blocklist": q113_domain_blocklist,
     "q119_host_quality_report": q119_host_quality_report,
+    "q127_canonical_clusters": q127_canonical_clusters,
 }
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
@@ -1901,5 +2018,6 @@ def _q119_oracle() -> str:
 
 
 ORACLES["q111_surt_dedup"] = _Q111_ORACLE
+ORACLES["q127_canonical_clusters"] = ORACLES_Q127
 ORACLES["q113_domain_blocklist"] = _q113_oracle()
 ORACLES["q119_host_quality_report"] = _q119_oracle()

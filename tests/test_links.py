@@ -171,3 +171,45 @@ def test_extract_links_fuzz_markup_soup_never_raises(parts: list):
     links, _ = extract_links("".join(parts), "https://h.test/")
     for u in links:
         assert isinstance(u, str)
+
+
+# -- rel=canonical extraction (q127's dialect) --------------------------------
+from ocr_service_spark.extraction.links import extract_canonical
+
+
+def test_canonical_absolute_relative_and_first_wins():
+    base = "https://www.example.com/dir/page.html"
+    assert extract_canonical(
+        b'<link rel="canonical" href="https://c.example.org/x">', base
+    ) == "https://c.example.org/x"
+    # relative resolves against the page URL
+    assert extract_canonical(
+        b"<link href='/p/1' rel='CANONICAL'>", base
+    ) == "https://www.example.com/p/1"
+    # first declaration wins; rel token list matched, stylesheet ignored
+    html = (
+        b'<link rel="stylesheet" href="/s.css">'
+        b'<link rel="canonical alternate" href="/first">'
+        b'<link rel="canonical" href="/second">'
+    )
+    assert extract_canonical(html, base) == "https://www.example.com/first"
+
+
+def test_canonical_absent_or_unusable_is_none():
+    base = "https://h.test/"
+    assert extract_canonical(b"<html><body>x</body></html>", base) is None
+    assert extract_canonical(b'<link rel="canonical" href="#frag">', base) is None
+    assert extract_canonical(
+        b'<link rel="canonical" href="javascript:void(0)">', base
+    ) is None
+    # no base: absolute kept, nothing to resolve relatives against
+    assert extract_canonical(
+        b'<link rel="canonical" href="http://a.test/x">', None
+    ) == "http://a.test/x"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_canonical_fuzz_never_raises(b: bytes):
+    out = extract_canonical(b, "https://h.test/a/b")
+    assert out is None or isinstance(out, str)
