@@ -1254,6 +1254,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closed-form hostile-text synthesis; its class definitions and
         # scrub fixpoint are pinned by its own DuckDB oracle
         "q128_unicode_hygiene",
+        # tail by design from birth (round 5): q130 (RSS/Atom feed-item
+        # extraction) is the sitemap reader's tolerant tag scan (the
+        # q77 family, in-window via q76/q40's mapInPandas shape) with
+        # the capped explode-inside-the-UDF contract of q120/q126; its
+        # RFC 822 / RFC 3339 UTC-normalization dialect is pinned by its
+        # own DuckDB oracle
+        "q130_feed_items",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,
@@ -1300,9 +1307,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # capped-explode-inside-mapInPandas shape that in-window q106 runs
     # (span table over the identical fixture-page construction), and
     # q122 (sentence segmentation) is a pure codegen mark->split->
-    # posexplode projection (the q96 line-explode family); each dialect
-    # is pinned by its own DuckDB oracle under tools/check_oracles.py +
-    # test_entry_oracle, the same local gates as the rest of the tail
+    # posexplode projection (the q96 line-explode family); q129
+    # (publication-date ladder) is q127's one-row-per-page map-only
+    # mapInPandas shape over the same closed-form page synthesis; each
+    # dialect is pinned by its own DuckDB oracle under
+    # tools/check_oracles.py + test_entry_oracle, the same local gates
+    # as the rest of the tail
     for name, fn in structure.QUERIES.items():
         out[name] = _wrap(fn)
     return out

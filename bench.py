@@ -125,6 +125,9 @@ HEADLINE_QUERIES = [
     # round 5 web-hygiene tier — rel=canonical clusters, Unicode scrub
     "q127_canonical_clusters",
     "q128_unicode_hygiene",
+    # round 5 page-metadata tier — publication-date ladder, feed items
+    "q129_pub_dates",
+    "q130_feed_items",
 ]
 
 

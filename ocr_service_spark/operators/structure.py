@@ -470,11 +470,129 @@ _Q126_ORACLE = """
 """
 
 
+# -- q129: publication-date extraction ---------------------------------------
+#
+# The htmldate-style precedence ladder (meta > <time datetime> > URL
+# path date), dialect pinned in extraction/dates.py. Each doc_id%5
+# class isolates one rung and plants DECOYS on the rungs below it, so
+# the oracle hash proves the ladder order, not just per-rung parsing:
+# class 0 (OG meta with full ISO timestamp) must beat a <time> decoy
+# AND a URL decoy; class 2 (<time>) must beat a URL decoy; class 4
+# plants an out-of-window meta (1492) and a calendar-invalid <time>
+# (Feb 30) that must BOTH be rejected without consuming their rungs.
+PUBDATE_SCHEMA = "url string, pub_date string, date_source string"
+
+_DECOY_TIME = '<time datetime="2001-09-09">then</time>'
+_URL_DECOY_SEG = "2011/11/11"
+
+
+def extract_pub_dates(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages(url, <payload_col> binary) -> (url, pub_date 'YYYY-MM-DD'
+    or null, date_source meta/time/url/none). Map-only: one Arrow
+    batch in, one row per page out, the date ladder entirely inside
+    the UDF — at 100 TB this is a zero-shuffle projection."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_service_spark.extraction.dates import extract_pub_date
+
+        for batch in batches:
+            dates, sources = [], []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                d, src = extract_pub_date(
+                    bytes(payload) if payload is not None else b"", url
+                )
+                dates.append(d.isoformat() if d is not None else None)
+                sources.append(src)
+            yield pd.DataFrame(
+                {"url": batch["url"], "pub_date": dates, "date_source": sources}
+            )
+
+    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=PUBDATE_SCHEMA)
+
+
+def q129_pub_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date ladder over closed-form fixture pages: per doc,
+    the resolved date string and which rung produced it. See the
+    module-level fixture notes above; the true date is closed-form in
+    doc_id (year 2000+id%20, month 1+id%12, day 1+id%28) so DuckDB
+    recomputes it without parsing any HTML."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = F.col("doc_id")
+    iso = F.format_string(
+        "%04d-%02d-%02d",
+        (d % 20 + 2000).cast("int"),
+        (d % 12 + 1).cast("int"),
+        (d % 28 + 1).cast("int"),
+    )
+    cls = d % 5
+    markup = (
+        F.when(
+            cls == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="'),
+                iso,
+                F.lit('T10:30:00+02:00"/>'),
+                F.lit(_DECOY_TIME),
+            ),
+        )
+        # attr order + quote style pinned on the name=date arm
+        .when(cls == 1, F.concat(F.lit("<meta content='"), iso, F.lit("' name='date'>")))
+        .when(cls == 2, F.concat(F.lit('<time datetime="'), iso, F.lit('">posted</time>')))
+        .when(cls == 3, F.lit(""))
+        .otherwise(
+            F.lit(
+                '<meta name="date" content="1492-01-01"/>'
+                '<time datetime="2021-02-30">bad</time>'
+            )
+        )
+    )
+    page = F.concat(
+        F.lit("<html><head>"), markup, F.lit("</head><body>b</body></html>")
+    )
+    seg = (
+        F.when(cls.isin(0, 2), F.lit(_URL_DECOY_SEG + "/"))
+        .when(cls == 3, F.concat(iso.substr(1, 4), F.lit("/"),
+                                 (d % 12 + 1).cast("string"), F.lit("/"),
+                                 (d % 28 + 1).cast("string"), F.lit("/")))
+        .otherwise(F.lit("a/"))
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://news.example.com/"),
+            seg,
+            F.format_string("p%s.html", d.cast("string")),
+        ).alias("url"),
+        F.encode(page, "utf-8").alias("html"),
+    )
+    out = extract_pub_dates(pages)
+    doc_id = F.regexp_extract("url", r"/p(\d+)\.html$", 1).cast("bigint")
+    return out.select(doc_id.alias("doc_id"), "pub_date", "date_source")
+
+
+_Q129_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 <= 3 THEN
+               strftime(make_date(CAST(2000 + doc_id % 20 AS INT),
+                                  CAST(1 + doc_id % 12 AS INT),
+                                  CAST(1 + doc_id % 28 AS INT)), '%Y-%m-%d')
+           END AS pub_date,
+           CASE doc_id % 5
+               WHEN 0 THEN 'meta' WHEN 1 THEN 'meta'
+               WHEN 2 THEN 'time' WHEN 3 THEN 'url'
+               ELSE 'none' END AS date_source
+    FROM documents
+"""
+
+
 QUERIES = {
     "q120_table_extract": q120_table_extract,
     "q122_sentence_segmentation": q122_sentence_segmentation,
     "q123_section_outline": q123_section_outline,
     "q126_structured_data": q126_structured_data,
+    "q129_pub_dates": q129_pub_dates,
 }
 
 ORACLES: dict[str, str] = {
@@ -482,4 +600,5 @@ ORACLES: dict[str, str] = {
     "q122_sentence_segmentation": _Q122_ORACLE,
     "q123_section_outline": _Q123_ORACLE,
     "q126_structured_data": _Q126_ORACLE,
+    "q129_pub_dates": _Q129_ORACLE,
 }

@@ -1871,6 +1871,169 @@ ORACLES_Q127 = """
 """
 
 
+# -- q130: RSS/Atom feed-item extraction --------------------------------------
+FEED_ITEMS_SCHEMA = (
+    "url string, feed_kind string, item_idx bigint, title string, "
+    "link string, pub_utc string"
+)
+
+_RFC822_MONTHS = "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split()
+
+
+def extract_feed_items(feeds: DataFrame, payload_col: str = "html") -> DataFrame:
+    """feeds(url, <payload_col> binary) -> one row per feed item:
+    (url, feed_kind, item_idx, title, link, pub_utc) per the dialect
+    pinned in extraction/feeds.py. Same 100-TB shape as the sitemap
+    and structured-data tiers: one Arrow-batched mapInPandas, the
+    explode inside the UDF and capped at MAX_ITEMS."""
+    import pandas as pd
+
+    def run(batches):
+        from ocr_service_spark.extraction.feeds import parse_feed
+
+        for batch in batches:
+            urls, kinds, idxs, titles, links, pubs = [], [], [], [], [], []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                kind, items = parse_feed(bytes(payload))
+                for it in items:
+                    urls.append(url)
+                    kinds.append(kind)
+                    idxs.append(it["item_idx"])
+                    titles.append(it["title"])
+                    links.append(it["link"])
+                    pubs.append(it["pub_utc"])
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "feed_kind": kinds,
+                    "item_idx": pd.Series(idxs, dtype="int64"),
+                    "title": titles,
+                    "link": links,
+                    "pub_utc": pubs,
+                }
+            )
+
+    narrowed = feeds.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=FEED_ITEMS_SCHEMA)
+
+
+def _feed_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form feeds, one per doc: d%2==0 is RSS 2.0 (pubDate in
+    RFC 822 at +02:00 — the UTC normalization must shift it), d%2==1
+    is Atom (rel=self decoy link BEFORE the alternate one — the rel
+    skip must fire; ``updated`` already in Z time), d%10==7 is garbage
+    bytes that must contribute zero items. Three items per feed with
+    every field closed-form in (doc_id, item_idx)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    months = F.array([F.lit(m) for m in _RFC822_MONTHS])
+
+    def _fields(i: int):
+        y = (d % 10 + 2010).cast("int")
+        m = (d % 12 + 1).cast("int")
+        dd = ((d + i) % 28 + 1).cast("int")
+        hh = ((d + i) % 24).cast("int")
+        mi = ((d * 3 + i) % 60).cast("int")
+        title = F.format_string("Item %s/%d &amp; co", d.cast("string"), F.lit(i))
+        link = F.format_string(
+            "http://f%s.example.com/%s/%d", (d % 40).cast("string"), d.cast("string"), F.lit(i)
+        )
+        return y, m, dd, hh, mi, title, link
+
+    def _rss_item(i: int):
+        y, m, dd, hh, mi, title, link = _fields(i)
+        pub = F.concat(
+            F.lpad(dd.cast("string"), 2, "0"), F.lit(" "),
+            F.element_at(months, m), F.lit(" "),
+            y.cast("string"), F.lit(" "),
+            F.lpad(hh.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(mi.cast("string"), 2, "0"), F.lit(":00 +0200"),
+        )
+        return F.concat(
+            F.lit("<item><title>"), title, F.lit("</title><link>"), link,
+            F.lit("</link><pubDate>"), pub, F.lit("</pubDate></item>"),
+        )
+
+    def _atom_entry(i: int):
+        y, m, dd, hh, mi, title, link = _fields(i)
+        upd = F.format_string(
+            "%04d-%02d-%02dT%02d:%02d:00Z", y, m, dd, hh, mi
+        )
+        return F.concat(
+            F.lit("<entry><title>"), title,
+            F.lit('</title><link rel="self" href="http://x.test/self"/>'
+                  "<link href='"), link, F.lit("'/><updated>"), upd,
+            F.lit("</updated></entry>"),
+        )
+
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>F</title>'),
+        *[_rss_item(i) for i in range(3)],
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+        *[_atom_entry(i) for i in range(3)],
+        F.lit("</feed>"),
+    )
+    body = (
+        F.when(d % 10 == 7, F.lit("\x00\xff not a feed at all"))
+        .when(d % 2 == 0, rss)
+        .otherwise(atom)
+    )
+    return docs.select(
+        F.format_string("http://feeds.example.com/%s.xml", d.cast("string")).alias(
+            "url"
+        ),
+        F.encode(body, "utf-8").alias("html"),
+    )
+
+
+def q130_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-item table over closed-form fixture feeds: per
+    item, the unescaped title, the frontier link (Atom's rel=self
+    decoy skipped), and the publication instant NORMALIZED TO UTC
+    (the RSS arm publishes at +02:00, so cross-engine agreement on
+    pub_utc proves the zone shift, not just the parse). Map-only at
+    any scale — the explode happens inside the UDF, capped at
+    MAX_ITEMS; no shuffle anywhere."""
+    pages = _feed_pages(spark, sf_dir)
+    out = extract_feed_items(pages)
+    doc_id = F.regexp_extract("url", r"/(\d+)\.xml$", 1).cast("bigint")
+    return out.select(
+        doc_id.alias("doc_id"), "feed_kind", "item_idx", "title", "link", "pub_utc"
+    )
+
+
+_Q130_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, i AS item_idx,
+               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+               make_timestamp(
+                   CAST(2010 + doc_id % 10 AS INT),
+                   CAST(1 + doc_id % 12 AS INT),
+                   CAST(1 + (doc_id + i) % 28 AS INT),
+                   CAST((doc_id + i) % 24 AS INT),
+                   CAST((doc_id * 3 + i) % 60 AS INT), 0) AS local_ts
+        FROM documents, (SELECT unnest([0, 1, 2]) AS i)
+        WHERE doc_id % 10 <> 7
+    )
+    SELECT doc_id, feed_kind, CAST(item_idx AS BIGINT) AS item_idx,
+           'Item ' || CAST(doc_id AS VARCHAR) || '/' || CAST(item_idx AS VARCHAR)
+               || ' & co' AS title,
+           'http://f' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/'
+               || CAST(doc_id AS VARCHAR) || '/' || CAST(item_idx AS VARCHAR)
+               AS link,
+           strftime(CASE WHEN feed_kind = 'rss'
+                         THEN local_ts - INTERVAL 2 HOUR
+                         ELSE local_ts END,
+                    '%Y-%m-%d %H:%M:%S') AS pub_utc
+    FROM d
+"""
+
+
 QUERIES = {
     "q89_bloom_seen_set": q89_bloom_seen_set,
     "q63_url_canonicalize": q63_url_canonicalize,
@@ -1890,6 +2053,7 @@ QUERIES = {
     "q113_domain_blocklist": q113_domain_blocklist,
     "q119_host_quality_report": q119_host_quality_report,
     "q127_canonical_clusters": q127_canonical_clusters,
+    "q130_feed_items": q130_feed_items,
 }
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
@@ -2019,5 +2183,6 @@ def _q119_oracle() -> str:
 
 ORACLES["q111_surt_dedup"] = _Q111_ORACLE
 ORACLES["q127_canonical_clusters"] = ORACLES_Q127
+ORACLES["q130_feed_items"] = _Q130_ORACLE
 ORACLES["q113_domain_blocklist"] = _q113_oracle()
 ORACLES["q119_host_quality_report"] = _q119_oracle()
