@@ -1261,6 +1261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFC 822 / RFC 3339 UTC-normalization dialect is pinned by its
         # own DuckDB oracle
         "q130_feed_items",
+        # tail by design from birth (round 5): q131 (CCNet-style
+        # per-paragraph language segmentation) is q13's codegen
+        # marker-argmax scorer (in-window via q13) applied inside array
+        # expressions with a posexplode fan-out (the q96/q122 explode
+        # family) — zero shuffles; the paragraph split, scorer, and
+        # majority election are pinned by its own DuckDB oracle
+        "q131_paragraph_langs",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -128,6 +128,8 @@ HEADLINE_QUERIES = [
     # round 5 page-metadata tier — publication-date ladder, feed items
     "q129_pub_dates",
     "q130_feed_items",
+    # round 5 multilingual tier — per-paragraph language segmentation
+    "q131_paragraph_langs",
 ]
 
 

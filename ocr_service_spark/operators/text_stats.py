@@ -987,6 +987,107 @@ def q128_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q131: per-paragraph language segmentation (CCNet shape) ------------------
+#
+# CCNet (Wenzek et al. 2020) runs language-ID per PARAGRAPH, not per
+# document, because real web pages are multilingual (navigation in one
+# language, body in another, quotes in a third) and a doc-level call
+# either discards the page or pollutes the corpus with the minority
+# paragraphs. q131 is q13's marker-argmax scorer applied at paragraph
+# granularity plus the majority election CCNet keys its keep rule on.
+#
+# 100-TB shape: ZERO shuffles. The paragraph split, per-paragraph
+# scoring, and the majority election all happen inside array
+# expressions on the document row (transform/filter/array_max over the
+# paragraph array), so the majority label is already attached when
+# posexplode fans out to paragraph rows — no doc_id window, no regroup.
+_SEG_LANGS = tuple(LANG_MARKERS)  # ('en', 'es', 'de', 'fr')
+
+
+def _para_lang(para):
+    """Column expr: q13's argmax-with-und rule for ONE paragraph."""
+    hits = {
+        lang: F.regexp_count(para, F.lit(_marker_pattern(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    top = F.greatest(*hits.values())
+    out = F.when(top == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        out = out.when(hits[lang] == top, F.lit(lang))
+    return out
+
+
+def q131_paragraph_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-paragraph language table over planted multilingual docs:
+    each doc is four \\n\\n-paragraphs — two in lang A (doc_id%4 of the
+    marker table), one in lang B ((doc_id+1)%4), one digits-only that
+    must score 'und' — so the majority election (most paragraphs; ties
+    break to the struct-max, i.e. largest lang string — unexercised by
+    this fixture) is provably 2-of-4 lang A. Emits (doc_id, para_idx,
+    para_lang, majority_lang, in_majority); the oracle replays every
+    label closed-form from the planting, so cross-engine agreement
+    pins the splitter, the scorer, and the election."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    langs_arr = F.array([F.lit(lang) for lang in _SEG_LANGS])
+    marker_text = F.array(
+        [F.lit(" ".join(m)) for m in LANG_MARKERS.values()]
+    )
+    para_a = F.concat(
+        F.element_at(marker_text, (d % 4 + 1).cast("int")),
+        F.format_string(" w%s", d.cast("string")),
+    )
+    para_b = F.concat(
+        F.element_at(marker_text, ((d + 1) % 4 + 1).cast("int")),
+        F.format_string(" w%s", d.cast("string")),
+    )
+    text = F.concat_ws(
+        "\n\n", para_a, para_a, para_b, F.format_string("1234 %s 5678", d.cast("string"))
+    )
+    paras = F.split(text, "\n\n")
+    para_langs = F.transform(paras, _para_lang)
+    majority = F.array_max(
+        F.transform(
+            F.array_distinct(para_langs),
+            # named_struct: .alias() does not survive on lambda-bound
+            # columns inside transform (fields come out positional)
+            lambda lang: F.named_struct(
+                F.lit("cnt"), F.size(F.filter(para_langs, lambda x: x == lang)),
+                F.lit("lang"), lang,
+            ),
+        )
+    )["lang"]
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(para_langs).alias("para_idx", "para_lang"),
+            majority.alias("majority_lang"),
+        )
+        .select(
+            "doc_id",
+            F.col("para_idx").cast("bigint").alias("para_idx"),
+            "para_lang",
+            "majority_lang",
+            (F.col("para_lang") == F.col("majority_lang")).alias("in_majority"),
+        )
+    )
+
+
+_Q131_ORACLE = """
+    WITH p AS (
+        SELECT doc_id, i AS para_idx,
+               CASE WHEN i = 3 THEN 'und'
+                    WHEN i = 2 THEN (['en','es','de','fr'])[1 + (doc_id+1) % 4]
+                    ELSE (['en','es','de','fr'])[1 + doc_id % 4] END AS para_lang,
+               (['en','es','de','fr'])[1 + doc_id % 4] AS majority_lang
+        FROM documents, (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx, para_lang,
+           majority_lang, para_lang = majority_lang AS in_majority
+    FROM p
+"""
+
+
 # -- q118: mergeable histogram quantile sketch --------------------------------
 #
 # q36 computes EXACT percentiles (sort-based percentile_disc) — correct
@@ -1159,7 +1260,10 @@ QUERIES = {
     "q118_hist_quantiles": q118_hist_quantiles,
     "q121_collocations": q121_collocations,
     "q128_unicode_hygiene": q128_unicode_hygiene,
+    "q131_paragraph_langs": q131_paragraph_langs,
 }
+
+ORACLES["q131_paragraph_langs"] = _Q131_ORACLE
 
 # DuckDB twin of q128: same planted hostile text, same RE2-compatible
 # classes (\x{...} spelling), same integer/hash outputs.
