@@ -1268,6 +1268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family) — zero shuffles; the paragraph split, scorer, and
         # majority election are pinned by its own DuckDB oracle
         "q131_paragraph_langs",
+        # tail by design from birth (round 5): q132 (public-suffix
+        # eTLD+1 registrable domains) is a pure codegen array
+        # expression against a literal suffix table — the q63/q97
+        # map-only URL-projection family (in-window via both), zero
+        # joins; the PSL longest-match / private-beats-TLD / implicit-*
+        # dialect is pinned by its own DuckDB oracle
+        "q132_registrable_domains",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

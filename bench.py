@@ -130,6 +130,8 @@ HEADLINE_QUERIES = [
     "q130_feed_items",
     # round 5 multilingual tier — per-paragraph language segmentation
     "q131_paragraph_langs",
+    # round 5 host-identity tier — public-suffix registrable domains
+    "q132_registrable_domains",
 ]
 
 

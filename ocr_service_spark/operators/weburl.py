@@ -1871,6 +1871,120 @@ ORACLES_Q127 = """
 """
 
 
+# -- q132: public-suffix (eTLD+1) registrable domains -------------------------
+#
+# Host-level corpus controls (q64 rollups, q84 quotas, q113 blocklists,
+# q119 reports) group by RAW host, but the published filters key on the
+# REGISTRABLE domain: FineWeb's per-domain quota and RefinedWeb's
+# blocklists treat a.blogspot.com and b.blogspot.com as different
+# publishers while x.example.com and y.example.com are one. The
+# boundary between "one label is the site" and "two labels are the
+# site" is the Public Suffix List (publicsuffix.org) — co.uk and
+# github.io are suffixes, example.com is a site.
+#
+# PSL semantics implemented (the ones the list's algorithm specifies):
+# longest listed suffix matching on label boundaries wins (so the
+# PRIVATE-section suffix github.io beats io, blogspot.com beats com);
+# registrable = suffix + one preceding label; a host that IS a suffix
+# has no registrable domain; a host whose TLD is unlisted falls back
+# to the implicit "*" rule (last label is the suffix).
+#
+# 100-TB shape: the PSL is a bounded literal table (~10k entries in
+# the real list; an embedded representative subset here — swapping in
+# the full list is the same literal array), so matching is a pure
+# whole-stage-codegen array expression per row: build the last-K-label
+# candidate suffixes, filter against the literal set, take the
+# longest. ZERO joins, ZERO shuffles — where a naive design
+# suffix-explodes every host through a join against a suffix table.
+PUBLIC_SUFFIXES = (
+    # ICANN section (subset)
+    "com", "org", "net", "io", "de", "fr", "jp",
+    "uk", "co.uk", "org.uk", "au", "com.au",
+    # PRIVATE section (subset) — these beat their parent TLDs
+    "github.io", "blogspot.com",
+)
+_PSL_MAX_LABELS = max(s.count(".") + 1 for s in PUBLIC_SUFFIXES)
+
+
+def with_registrable_domain(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """Adds ``public_suffix`` and ``registrable`` columns (nullable:
+    a host that IS a suffix registers nothing)."""
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    psl = F.array([F.lit(s) for s in PUBLIC_SUFFIXES])
+    # candidate suffixes from the last 1.._PSL_MAX_LABELS labels, built
+    # shortest-first so the LAST listed match is the longest one
+    cands = F.array(
+        *[
+            F.when(n >= k, F.array_join(F.slice(labels, -k, k), "."))
+            for k in range(1, _PSL_MAX_LABELS + 1)
+        ]
+    )
+    listed = F.filter(cands, lambda c: F.array_contains(psl, c))
+    # implicit "*" rule: unlisted TLD -> the last label is the suffix
+    # (try_element_at: `listed` is EMPTY for unlisted TLDs and plain
+    # element_at(-1) raises on empty arrays under ANSI semantics)
+    suffix = F.coalesce(
+        F.try_element_at(listed, F.lit(-1)), F.element_at(labels, -1)
+    )
+    suffix_n = F.size(F.split(suffix, r"\."))
+    registrable = F.when(
+        n > suffix_n, F.array_join(F.slice(labels, -(suffix_n + 1), suffix_n + 1), ".")
+    )
+    return df.withColumn("public_suffix", suffix).withColumn(
+        "registrable", registrable
+    )
+
+
+def q132_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain table over closed-form hosts exercising every
+    PSL rule: plain gTLD, two-label ccTLD suffix (co.uk), PRIVATE
+    suffixes that must beat their parent TLD (github.io over io,
+    blogspot.com over com), the implicit-* fallback for an unlisted
+    TLD, and a host that IS a suffix (registers nothing). Map-only,
+    zero shuffles at any scale (plan pinned in tests)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = (
+        F.when(d % 6 == 0, F.format_string("a%s.b%s.com", ds, ds))
+        .when(d % 6 == 1, F.format_string("a%s.b%s.co.uk", ds, ds))
+        .when(d % 6 == 2, F.format_string("u%s.github.io", ds))
+        .when(d % 6 == 3, F.format_string("b%s.blogspot.com", ds))
+        .when(d % 6 == 4, F.format_string("s%s.x%s.zz%s", ds, ds, (d % 7).cast("string")))
+        .otherwise(F.lit("co.uk"))
+    )
+    return with_registrable_domain(docs.select("doc_id", host.alias("host"))).select(
+        "doc_id", "host", "public_suffix", "registrable"
+    )
+
+
+_Q132_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 6
+               WHEN 0 THEN 'a' || ds || '.b' || ds || '.com'
+               WHEN 1 THEN 'a' || ds || '.b' || ds || '.co.uk'
+               WHEN 2 THEN 'u' || ds || '.github.io'
+               WHEN 3 THEN 'b' || ds || '.blogspot.com'
+               WHEN 4 THEN 's' || ds || '.x' || ds || '.zz' || zs
+               ELSE 'co.uk' END AS host,
+           CASE doc_id % 6
+               WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+               WHEN 2 THEN 'github.io' WHEN 3 THEN 'blogspot.com'
+               WHEN 4 THEN 'zz' || zs ELSE 'co.uk' END AS public_suffix,
+           CASE doc_id % 6
+               WHEN 0 THEN 'b' || ds || '.com'
+               WHEN 1 THEN 'b' || ds || '.co.uk'
+               WHEN 2 THEN 'u' || ds || '.github.io'
+               WHEN 3 THEN 'b' || ds || '.blogspot.com'
+               WHEN 4 THEN 'x' || ds || '.zz' || zs
+               ELSE NULL END AS registrable
+    FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                 CAST(doc_id % 7 AS VARCHAR) AS zs
+          FROM documents)
+"""
+
+
 # -- q130: RSS/Atom feed-item extraction --------------------------------------
 FEED_ITEMS_SCHEMA = (
     "url string, feed_kind string, item_idx bigint, title string, "
@@ -2054,6 +2168,7 @@ QUERIES = {
     "q119_host_quality_report": q119_host_quality_report,
     "q127_canonical_clusters": q127_canonical_clusters,
     "q130_feed_items": q130_feed_items,
+    "q132_registrable_domains": q132_registrable_domains,
 }
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
@@ -2184,5 +2299,6 @@ def _q119_oracle() -> str:
 ORACLES["q111_surt_dedup"] = _Q111_ORACLE
 ORACLES["q127_canonical_clusters"] = ORACLES_Q127
 ORACLES["q130_feed_items"] = _Q130_ORACLE
+ORACLES["q132_registrable_domains"] = _Q132_ORACLE
 ORACLES["q113_domain_blocklist"] = _q113_oracle()
 ORACLES["q119_host_quality_report"] = _q119_oracle()
