@@ -967,7 +967,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus; demoted round 4 for q101 (stateful streaming dedup, first
     # driver check). q33 is four-round driver hash-green and keeps the
     # tools/check_oracles.py + test_entry_oracle gates.
-    roundtrip_late_tail = {"q33_payload_ladder_roundtrip"}
+    # q133 (EPUB roundtrip) tail by design from birth (round 5): the
+    # build-payload-then-REAL-pipeline mapInPandas shape runs in-window
+    # via q40/q41/q66; the spine-order/manifest-skip/title dialect is
+    # pinned by its own DuckDB oracle
+    roundtrip_late_tail = {"q33_payload_ladder_roundtrip", "q133_epub_roundtrip"}
     for name, fn in roundtrip.QUERIES.items():  # q30 q62 q66 q44 q48 q33
         if name not in roundtrip_tail and name not in roundtrip_late_tail:
             out[name] = _wrap(fn)

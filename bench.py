@@ -132,6 +132,8 @@ HEADLINE_QUERIES = [
     "q131_paragraph_langs",
     # round 5 host-identity tier — public-suffix registrable domains
     "q132_registrable_domains",
+    # round 5 book tier — EPUB spine extraction through the real pipeline
+    "q133_epub_roundtrip",
 ]
 
 

@@ -25,7 +25,7 @@ from ocr_service_spark.extraction.sniff import DOCUMENT_EXTS, IMAGE_EXTS, FileTy
 
 @dataclass(frozen=True)
 class Classification:
-    doc_class: str  # encrypted_office|pdf|xml|html|rtf|office|image|media|plain|unknown
+    doc_class: str  # encrypted_office|pdf|xml|html|rtf|office|epub|image|media|plain|unknown
     content_type: str  # initial resolve (converter.py:52-56); branches override later
     ext: str | None  # effective extension ("docx"/"odt"/... or None)
     is_html: bool
@@ -124,6 +124,12 @@ def classify(stream: bytes, url: str | None = None) -> Classification:
 
     if is_pdf:
         doc_class = "pdf"
+    elif ft_ext == "epub":
+        # container magic is definitive and must OUTRANK the content
+        # sniffs: a STORED (uncompressed) epub leaks raw <html>/<...>
+        # member bytes into the stream, so is_html/is_xml would
+        # misclaim it (deflated books dodge this only by accident)
+        doc_class = "epub"
     elif is_xml:
         doc_class = "xml"
     elif is_html:

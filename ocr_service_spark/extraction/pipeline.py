@@ -145,6 +145,18 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
         # OCR mode: LO conversion absent -> no PDF -> T4 fallback below
     elif cls.doc_class == "office":
         pdf_stream = b""  # LO conversion structurally absent -> no PDF produced
+    elif cls.doc_class == "epub":
+        # beyond-reference book rung: spine-ordered chapter extraction
+        # through the house HTML extractor (extraction/epub_text.py);
+        # a structurally broken book degrades to empty text -> the
+        # normal no-text failure row, never an exception
+        from ocr_service_spark.extraction.epub_text import extract_epub
+
+        title, chapters = extract_epub(stream)
+        output_text = "\n\n".join(chapters)
+        meta["pages"] = len(chapters)
+        if title:
+            meta["epub_title"] = title
     elif cls.doc_class == "media":
         # beyond-reference web-corpus rung (the reference has no media
         # route at all): audio/video payloads are never text-extracted —

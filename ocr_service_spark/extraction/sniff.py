@@ -82,6 +82,9 @@ MIME_BY_EXT: dict[str, str] = {
     # the reference's filetype.guess would also type both)
     "mp4": "video/mp4",
     "wav": "audio/x-wav",
+    # book container (beyond-reference: routine in web corpora and
+    # disproportionately valuable training prose)
+    "epub": "application/epub+zip",
 }
 
 # Extension groups mirroring filetype.types.DOCUMENT / IMAGE membership
@@ -287,6 +290,13 @@ def detect_file_type(stream: bytes) -> FileType | None:
         ext = infer_zip_office_extension(b)
         if ext and ext in MIME_BY_EXT:
             return FileType(ext, MIME_BY_EXT[ext])
+        # non-office zip: EPUB declares itself in the mimetype member
+        # (OCF spec) — checked AFTER the office refinement so the
+        # reference-pinned office dialect is untouched
+        from ocr_service_spark.extraction.epub_text import is_epub
+
+        if is_epub(b):
+            return FileType("epub", MIME_BY_EXT["epub"])
         return FileType("zip", MIME_BY_EXT["zip"])
     if b.startswith(OLE_SIGNATURE):
         ext = infer_ole_office_extension(b)

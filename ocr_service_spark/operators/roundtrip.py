@@ -566,7 +566,106 @@ _CS_PHRASE_CASE = " ".join(
     f"WHEN {r} THEN '{CS_RUNGS[r][3]}'" for r in range(len(CS_RUNGS))
 )
 
+# -- q133: EPUB roundtrip through the real pipeline ---------------------------
+def q133_epub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB book extraction under an oracle: each doc becomes a real
+    ZIP/OCF book (built with the stdlib writer in the generation UDF)
+    with three XHTML chapters whose ZIP ORDER is c0,c1,c2 but whose
+    SPINE order is c2,c0,c1 — so the extracted text proves the reader
+    walks the spine, not the archive — plus a cover page and a
+    stylesheet in the manifest but NOT in the spine (must not leak),
+    an entity-escaped dc:title, and (doc_id%8==5) a book with no
+    container.xml that must degrade to the normal no-text failure row.
+    Runs through the REAL dispatch (sniff -> classify epub ->
+    extraction/epub_text.py); the oracle rebuilds text, title, pages
+    and the success rule closed-form."""
+    import io as _io
+    import zipfile as _zipfile
+
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                buf = _io.BytesIO()
+                with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as z:
+                    z.writestr("mimetype", "application/epub+zip")
+                    if i % 8 != 5:
+                        z.writestr(
+                            "META-INF/container.xml",
+                            '<?xml version="1.0"?><container><rootfiles>'
+                            '<rootfile full-path="OEBPS/content.opf" '
+                            'media-type="application/oebps-package+xml"/>'
+                            "</rootfiles></container>",
+                        )
+                    items = "".join(
+                        f'<item id="c{j}" href="ch{j}.xhtml" '
+                        'media-type="application/xhtml+xml"/>'
+                        for j in range(3)
+                    )
+                    z.writestr(
+                        "OEBPS/content.opf",
+                        '<?xml version="1.0"?><package><metadata>'
+                        f"<dc:title>Book {i} &amp; co</dc:title></metadata>"
+                        f"<manifest>{items}"
+                        '<item id="css" href="style.css" media-type="text/css"/>'
+                        '<item id="cover" href="cover.xhtml" '
+                        'media-type="application/xhtml+xml"/></manifest>'
+                        '<spine><itemref idref="c2"/><itemref idref="c0"/>'
+                        '<itemref idref="c1"/></spine></package>',
+                    )
+                    for j in range(3):
+                        z.writestr(
+                            f"OEBPS/ch{j}.xhtml",
+                            '<?xml version="1.0"?>'
+                            '<html xmlns="http://www.w3.org/1999/xhtml">'
+                            f"<body><p>Chapter {j} of book {i}.</p></body></html>",
+                        )
+                    z.writestr(
+                        "OEBPS/cover.xhtml",
+                        "<html><body><p>COVER MUST NOT APPEAR</p></body></html>",
+                    )
+                    z.writestr("OEBPS/style.css", "p{}")
+                rows.append({"url": f"doc://{i}.epub", "html": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, schema="url string, html binary")
+    results = extract_documents(pages)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)\.", 1).cast("bigint")
+    return results.select(
+        doc_id.alias("doc_id"),
+        "extracted_text",
+        F.col("metadata")["epub_title"].alias("epub_title"),
+        "content_type",
+        "pages",
+        "success",
+        "doc_class",
+    )
+
+
+_Q133_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 8 = 5 THEN ''
+                ELSE 'Chapter 2 of book ' || ds || '.' || nl || nl
+                  || 'Chapter 0 of book ' || ds || '.' || nl || nl
+                  || 'Chapter 1 of book ' || ds || '.' END AS extracted_text,
+           CASE WHEN doc_id % 8 = 5 THEN NULL
+                ELSE 'Book ' || ds || ' & co' END AS epub_title,
+           'application/epub+zip' AS content_type,
+           CASE WHEN doc_id % 8 = 5 THEN 0 ELSE 3 END AS pages,
+           doc_id % 8 <> 5 AS success,
+           'epub' AS doc_class
+    FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds, chr(10) AS nl
+          FROM documents)
+"""
+
+
 ORACLES: dict[str, str] = {
+    "q133_epub_roundtrip": _Q133_ORACLE,
     # charset ladder: the phrase a rung injects only survives the decode
     # that rung's sniff selects (see q62 docstring)
     "q62_charset_roundtrip": f"""
@@ -897,4 +996,5 @@ QUERIES = {
     "q31_extract_rtf_roundtrip": q31_extract_rtf_roundtrip,
     "q32_extract_xml_roundtrip": q32_extract_xml_roundtrip,
     "q33_payload_ladder_roundtrip": q33_payload_ladder_roundtrip,
+    "q133_epub_roundtrip": q133_epub_roundtrip,
 }
