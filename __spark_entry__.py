@@ -1279,6 +1279,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins; the PSL longest-match / private-beats-TLD / implicit-*
         # dialect is pinned by its own DuckDB oracle
         "q132_registrable_domains",
+        # tail by design from birth (round 5): q134 (feed
+        # autodiscovery) and q135 (robots Sitemap records) are the
+        # q127/q67 map-only link-parser mapInPandas shape (in-window
+        # via q67) feeding the fetch-side parsers (q130 feeds, q77
+        # sitemaps); their discovery dialects are pinned by their own
+        # DuckDB oracles
+        "q134_feed_discovery",
+        "q135_sitemap_discovery",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

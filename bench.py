@@ -134,6 +134,9 @@ HEADLINE_QUERIES = [
     "q132_registrable_domains",
     # round 5 book tier — EPUB spine extraction through the real pipeline
     "q133_epub_roundtrip",
+    # round 5 discovery tier — feed autodiscovery, robots Sitemap records
+    "q134_feed_discovery",
+    "q135_sitemap_discovery",
 ]
 
 

@@ -25,6 +25,13 @@ from html.parser import HTMLParser
 from urllib.parse import urljoin
 
 SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+# <link rel=alternate> MIME types that announce a feed (the
+# autodiscovery convention every browser/reader implements)
+FEED_TYPES = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
 MAX_LINKS = 1000
 
 
@@ -40,6 +47,8 @@ class _LinkCollector(HTMLParser):
         self.anchors: list[tuple[str, list[str]]] = []  # (href, text parts)
         self.robots: list[str] = []
         self.canonicals: list[str] = []  # <link rel=canonical> hrefs, in order
+        # <link rel=alternate type=rss/atom>: (href, kind, title), in order
+        self.feeds: list[tuple[str, str, str | None]] = []
         self._open = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -59,6 +68,10 @@ class _LinkCollector(HTMLParser):
             rel_tokens = (a.get("rel") or "").lower().split()
             if "canonical" in rel_tokens and a.get("href"):
                 self.canonicals.append(a["href"])
+            elif "alternate" in rel_tokens and a.get("href"):
+                kind = FEED_TYPES.get((a.get("type") or "").lower().strip())
+                if kind:
+                    self.feeds.append((a["href"], kind, a.get("title")))
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "a":
@@ -143,3 +156,41 @@ def extract_canonical(payload: bytes | str, base_url: str | None = None) -> str 
                 return None
         return h
     return None
+
+
+def extract_feed_links(
+    payload: bytes | str, base_url: str | None = None
+) -> list[tuple[str, str, str | None]]:
+    """Feed autodiscovery: (resolved feed URL, 'rss'|'atom', title or
+    None) per ``<link rel=alternate>`` whose type is a feed MIME type
+    (:data:`FEED_TYPES`), in document order. Other alternates
+    (hreflang variants, AMP pages) are excluded by the type gate;
+    unusable hrefs are dropped (unlike canonical there is no
+    first-wins contest — every declared feed is a discovery). Total
+    over hostile bytes."""
+    if isinstance(payload, (bytes, bytearray)):
+        from ocr_service_spark.extraction.charset import decode_markup
+
+        text = decode_markup(bytes(payload))[1]
+    else:
+        text = payload
+    parser = _LinkCollector()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass
+    out: list[tuple[str, str, str | None]] = []
+    for href, kind, title in parser.feeds:
+        h = href.strip()
+        if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
+            continue
+        if base_url:
+            try:
+                h = urljoin(base_url, h)
+            except ValueError:
+                continue
+        out.append((h, kind, title))
+        if len(out) >= MAX_LINKS:
+            break
+    return out

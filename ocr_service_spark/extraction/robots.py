@@ -132,3 +132,25 @@ def is_allowed(rules: list[RobotsRule], path: str) -> bool:
             if best is None or key > best:
                 best = key
     return True if best is None else bool(best[1])
+
+
+def sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` declarations, in file order — RFC 9309 §2.3 "other
+    records": group-independent (they belong to no user-agent group and
+    may appear anywhere), field name case-insensitive, value an
+    ABSOLUTE URL per sitemaps.org (non-absolute values are dropped —
+    there is no base to resolve a robots.txt-relative path against).
+    The discovery rung feeding sitemap ingest (q77): robots.txt is
+    where a crawler learns the sitemap locations in the first place."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if value.lower().startswith(("http://", "https://")):
+            out.append(value)
+    return out

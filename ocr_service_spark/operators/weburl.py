@@ -1985,6 +1985,215 @@ _Q132_ORACLE = """
 """
 
 
+# -- q134/q135: discovery tier -------------------------------------------------
+#
+# The two rungs that FEED the fetch-side parsers: q134 finds feeds
+# (HTML <link rel=alternate type=rss/atom> autodiscovery -> q130's
+# parser), q135 finds sitemaps (robots.txt ``Sitemap:`` records ->
+# q77's parser). Both map-only, one Arrow-batched mapInPandas with the
+# explode inside the UDF — zero shuffles at any scale.
+FEED_LINKS_SCHEMA = (
+    "url string, feed_idx bigint, feed_url string, feed_kind string, "
+    "feed_title string"
+)
+
+
+def discover_feed_links(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages(url, <payload_col> binary) -> one row per declared feed
+    per the autodiscovery dialect in extraction/links.py."""
+    import pandas as pd
+
+    def run(batches):
+        from ocr_service_spark.extraction.links import extract_feed_links
+
+        for batch in batches:
+            urls, idxs, furls, kinds, titles = [], [], [], [], []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                for i, (furl, kind, title) in enumerate(
+                    extract_feed_links(bytes(payload), url)
+                ):
+                    urls.append(url)
+                    idxs.append(i)
+                    furls.append(furl)
+                    kinds.append(kind)
+                    titles.append(title)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "feed_idx": pd.Series(idxs, dtype="int64"),
+                    "feed_url": furls,
+                    "feed_kind": kinds,
+                    "feed_title": titles,
+                }
+            )
+
+    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=FEED_LINKS_SCHEMA)
+
+
+def q134_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery over closed-form pages: doc_id%4==0 declares
+    one absolute RSS feed next to an hreflang distractor (alternate
+    but NOT a feed type — must be excluded), %4==1 declares an RSS
+    (RELATIVE href + entity-escaped title) then an Atom (absolute, no
+    title) — two rows, document order pinned by feed_idx — %4==2 has
+    only distractors (hreflang + a text/html AMP alternate) — zero
+    rows — and %4==3 pins case/quote robustness (REL/TYPE uppercase,
+    single quotes, relative href)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    page_url = F.format_string("http://h%s.example.com/p%s.html", (d % 40).cast("string"), ds)
+    distractors = (
+        '<link rel="alternate" hreflang="de" href="/de/">'
+        '<link rel="alternate" type="text/html" href="/amp/">'
+    )
+    markup = (
+        F.when(
+            d % 4 == 0,
+            F.format_string(
+                '<link rel="alternate" type="application/rss+xml" '
+                'href="http://feeds.example.com/%s.xml">' + distractors, ds,
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.format_string(
+                '<link rel="alternate" type="application/rss+xml" '
+                'title="Feed %s &amp; co" href="/feed%s.xml">'
+                '<link rel="alternate" type="application/atom+xml" '
+                'href="http://feeds.example.com/a%s.atom">', ds, ds, ds,
+            ),
+        )
+        .when(d % 4 == 2, F.lit(distractors))
+        .otherwise(
+            F.format_string(
+                "<link rel='ALTERNATE' type='Application/Rss+Xml' href='rss%s'>", ds
+            )
+        )
+    )
+    pages = docs.select(
+        page_url.alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><head>"), markup, F.lit("</head><body>b</body></html>")),
+            "utf-8",
+        ).alias("html"),
+    )
+    out = discover_feed_links(pages)
+    doc_id = F.regexp_extract("url", r"/p(\d+)\.html$", 1).cast("bigint")
+    return out.select(
+        doc_id.alias("doc_id"), "feed_idx", "feed_url", "feed_kind", "feed_title"
+    )
+
+
+_Q134_ORACLE = """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                      CAST(doc_id % 40 AS VARCHAR) AS hs
+               FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS feed_idx,
+           'http://feeds.example.com/' || ds || '.xml' AS feed_url,
+           'rss' AS feed_kind, NULL AS feed_title
+    FROM d WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id, 0, 'http://h' || hs || '.example.com/feed' || ds || '.xml',
+           'rss', 'Feed ' || ds || ' & co'
+    FROM d WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, 1, 'http://feeds.example.com/a' || ds || '.atom',
+           'atom', NULL
+    FROM d WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT doc_id, 0, 'http://h' || hs || '.example.com/rss' || ds,
+           'rss', NULL
+    FROM d WHERE doc_id % 4 = 3
+"""
+
+
+SITEMAP_DECL_SCHEMA = "url string, sitemap_idx bigint, sitemap_url string"
+
+
+def discover_sitemaps(robots: DataFrame, text_col: str = "robots_txt") -> DataFrame:
+    """robots(url, <text_col> string) -> one row per Sitemap record
+    per the RFC 9309 §2.3 dialect in extraction/robots.py."""
+    import pandas as pd
+
+    def run(batches):
+        from ocr_service_spark.extraction.robots import sitemap_urls
+
+        for batch in batches:
+            urls, idxs, surls = [], [], []
+            for url, text in zip(batch["url"], batch["txt"]):
+                for i, s in enumerate(sitemap_urls(text or "")):
+                    urls.append(url)
+                    idxs.append(i)
+                    surls.append(s)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "sitemap_idx": pd.Series(idxs, dtype="int64"),
+                    "sitemap_url": surls,
+                }
+            )
+
+    narrowed = robots.select("url", F.col(text_col).alias("txt"))
+    return narrowed.mapInPandas(run, schema=SITEMAP_DECL_SCHEMA)
+
+
+def q135_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from closed-form robots.txt files: doc_id%3==0
+    declares two sitemaps (one with an UPPERCASE field name, one with a
+    trailing comment — both must parse), %3==1 declares one absolute
+    sitemap next to a RELATIVE one that must be dropped (no base to
+    resolve against) and ordinary allow/disallow noise, %3==2 declares
+    none. The group-independence rule is pinned: %3==0's second record
+    sits INSIDE a user-agent group and must still be found."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    robots_txt = (
+        F.when(
+            d % 3 == 0,
+            F.format_string(
+                "SITEMAP: http://h%s.test/s1.xml\n"
+                "User-agent: *\nDisallow: /private\n"
+                "Sitemap: http://h%s.test/s2.xml # nightly\n", ds, ds,
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.format_string(
+                "User-agent: *\nAllow: /\n"
+                "Sitemap: /relative-dropped.xml\n"
+                "Sitemap: https://h%s.test/only.xml\n", ds,
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    )
+    robots = docs.select(
+        F.format_string("http://r%s.test/robots.txt", ds).alias("url"),
+        robots_txt.alias("robots_txt"),
+    )
+    out = discover_sitemaps(robots)
+    doc_id = F.regexp_extract("url", r"//r(\d+)\.test/", 1).cast("bigint")
+    return out.select(doc_id.alias("doc_id"), "sitemap_idx", "sitemap_url")
+
+
+_Q135_ORACLE = """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS sitemap_idx,
+           'http://h' || ds || '.test/s1.xml' AS sitemap_url
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 1, 'http://h' || ds || '.test/s2.xml'
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 0, 'https://h' || ds || '.test/only.xml'
+    FROM d WHERE doc_id % 3 = 1
+"""
+
+
 # -- q130: RSS/Atom feed-item extraction --------------------------------------
 FEED_ITEMS_SCHEMA = (
     "url string, feed_kind string, item_idx bigint, title string, "
@@ -2169,6 +2378,8 @@ QUERIES = {
     "q127_canonical_clusters": q127_canonical_clusters,
     "q130_feed_items": q130_feed_items,
     "q132_registrable_domains": q132_registrable_domains,
+    "q134_feed_discovery": q134_feed_discovery,
+    "q135_sitemap_discovery": q135_sitemap_discovery,
 }
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
@@ -2300,5 +2511,7 @@ ORACLES["q111_surt_dedup"] = _Q111_ORACLE
 ORACLES["q127_canonical_clusters"] = ORACLES_Q127
 ORACLES["q130_feed_items"] = _Q130_ORACLE
 ORACLES["q132_registrable_domains"] = _Q132_ORACLE
+ORACLES["q134_feed_discovery"] = _Q134_ORACLE
+ORACLES["q135_sitemap_discovery"] = _Q135_ORACLE
 ORACLES["q113_domain_blocklist"] = _q113_oracle()
 ORACLES["q119_host_quality_report"] = _q119_oracle()

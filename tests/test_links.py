@@ -213,3 +213,35 @@ def test_canonical_absent_or_unusable_is_none():
 def test_extract_canonical_fuzz_never_raises(b: bytes):
     out = extract_canonical(b, "https://h.test/a/b")
     assert out is None or isinstance(out, str)
+
+
+# -- feed autodiscovery (q134's dialect) ---------------------------------------
+from ocr_service_spark.extraction.links import extract_feed_links
+
+
+def test_feed_links_type_gate_resolution_and_order():
+    base = "https://www.example.com/dir/page.html"
+    html = (
+        b'<link rel="alternate" hreflang="de" href="/de/">'
+        b'<link rel="alternate" type="application/rss+xml" title="A &amp; B" href="/f.xml">'
+        b'<link rel="alternate" type="text/html" href="/amp/">'
+        b"<link rel='ALTERNATE' type='Application/Atom+XML' href='a.atom'>"
+    )
+    assert extract_feed_links(html, base) == [
+        ("https://www.example.com/f.xml", "rss", "A & B"),
+        ("https://www.example.com/dir/a.atom", "atom", None),
+    ]
+    # unusable hrefs drop without ending discovery (no first-wins rule)
+    html2 = (
+        b'<link rel="alternate" type="application/rss+xml" href="javascript:x">'
+        b'<link rel="alternate" type="application/rss+xml" href="http://x.test/f">'
+    )
+    assert extract_feed_links(html2, base) == [("http://x.test/f", "rss", None)]
+    assert extract_feed_links(b"<p>no feeds</p>", base) == []
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_feed_links_fuzz_never_raises(b: bytes):
+    for furl, kind, title in extract_feed_links(b, "https://h.test/"):
+        assert kind in ("rss", "atom") and isinstance(furl, str)

@@ -167,3 +167,30 @@ def test_robots_fuzz_directive_soup_never_raises(lines: list):
     text = "\n".join(lines)
     rules = rules_for_agent(text, "graftbot")
     assert isinstance(is_allowed(rules, "/a/b"), bool)
+
+
+# -- Sitemap records (q135's dialect) ------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_service_spark.extraction.robots import sitemap_urls
+
+
+def test_sitemap_records_dialect():
+    text = (
+        "SITEMAP: https://h.test/s1.xml  # nightly\n"
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: http://h.test/s2.xml\n"  # inside a group: still found
+        "Sitemap: /relative-dropped\n"
+        "Sitemap:\n"
+        "NotSitemap: https://h.test/nope\n"
+    )
+    assert sitemap_urls(text) == ["https://h.test/s1.xml", "http://h.test/s2.xml"]
+    assert sitemap_urls("") == []
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=2048))
+def test_sitemap_urls_fuzz_never_raises(t: str):
+    for u in sitemap_urls(t):
+        assert u.lower().startswith(("http://", "https://"))
