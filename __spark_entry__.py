@@ -1287,6 +1287,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB oracles
         "q134_feed_discovery",
         "q135_sitemap_discovery",
+        # tail by design from birth (round 5): q136 (hreflang
+        # reciprocity audit) is the q134 extraction shape plus ONE
+        # edge-keyed self-join — the AQE-decided equi-join family that
+        # runs in-window via q51/q53; the bidirectional-confirmation
+        # rule is pinned by its own DuckDB oracle
+        "q136_hreflang_reciprocity",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -137,6 +137,8 @@ HEADLINE_QUERIES = [
     # round 5 discovery tier — feed autodiscovery, robots Sitemap records
     "q134_feed_discovery",
     "q135_sitemap_discovery",
+    # round 5 language-edition tier — hreflang reciprocity audit
+    "q136_hreflang_reciprocity",
 ]
 
 

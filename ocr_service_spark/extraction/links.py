@@ -49,6 +49,8 @@ class _LinkCollector(HTMLParser):
         self.canonicals: list[str] = []  # <link rel=canonical> hrefs, in order
         # <link rel=alternate type=rss/atom>: (href, kind, title), in order
         self.feeds: list[tuple[str, str, str | None]] = []
+        # <link rel=alternate hreflang=...>: (hreflang, href), in order
+        self.hreflangs: list[tuple[str, str]] = []
         self._open = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -72,6 +74,10 @@ class _LinkCollector(HTMLParser):
                 kind = FEED_TYPES.get((a.get("type") or "").lower().strip())
                 if kind:
                     self.feeds.append((a["href"], kind, a.get("title")))
+                elif a.get("hreflang"):
+                    self.hreflangs.append(
+                        (a["hreflang"].strip().lower(), a["href"])
+                    )
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "a":
@@ -191,6 +197,43 @@ def extract_feed_links(
             except ValueError:
                 continue
         out.append((h, kind, title))
+        if len(out) >= MAX_LINKS:
+            break
+    return out
+
+
+def extract_hreflangs(
+    payload: bytes | str, base_url: str | None = None
+) -> list[tuple[str, str]]:
+    """hreflang alternates: (language tag lowercased, resolved target
+    URL) per ``<link rel=alternate hreflang=...>``, in document order —
+    the language-edition graph (Google's hreflang convention; a feed
+    MIME type on the same tag wins the feed interpretation instead).
+    Unusable hrefs drop; capped at MAX_LINKS; total over hostile
+    bytes."""
+    if isinstance(payload, (bytes, bytearray)):
+        from ocr_service_spark.extraction.charset import decode_markup
+
+        text = decode_markup(bytes(payload))[1]
+    else:
+        text = payload
+    parser = _LinkCollector()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass
+    out: list[tuple[str, str]] = []
+    for lang, href in parser.hreflangs:
+        h = href.strip()
+        if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
+            continue
+        if base_url:
+            try:
+                h = urljoin(base_url, h)
+            except ValueError:
+                continue
+        out.append((lang, h))
         if len(out) >= MAX_LINKS:
             break
     return out

@@ -2194,6 +2194,150 @@ _Q135_ORACLE = """
 """
 
 
+# -- q136: hreflang reciprocity audit ------------------------------------------
+HREFLANG_SCHEMA = "url string, hreflang string, target_url string"
+
+
+def extract_hreflang_edges(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages(url, <payload_col> binary) -> one row per hreflang
+    declaration: (url, hreflang, target_url), per the dialect in
+    extraction/links.py. Map-only, explode inside the UDF."""
+    import pandas as pd
+
+    def run(batches):
+        from ocr_service_spark.extraction.links import extract_hreflangs
+
+        for batch in batches:
+            urls, langs, targets = [], [], []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                for lang, target in extract_hreflangs(bytes(payload), url):
+                    urls.append(url)
+                    langs.append(lang)
+                    targets.append(target)
+            yield pd.DataFrame(
+                {"url": urls, "hreflang": langs, "target_url": targets}
+            )
+
+    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=HREFLANG_SCHEMA)
+
+
+_HREFLANG_LANGS = ("en", "de", "fr")
+
+
+def _hreflang_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-edition clusters of 3 (base = doc_id - doc_id%3, member
+    m is the _HREFLANG_LANGS[m] edition): every member declares the
+    OTHER two editions — except in lame clusters (base%5==0) where the
+    fr member declares NOTHING, breaking reciprocity for every edge
+    pointing at it. A feed-alternate distractor rides on every page
+    (must not parse as hreflang)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    base = d - d % 3
+    member = d % 3
+
+    def edition_url(doc):
+        return F.format_string(
+            "http://hl%s.example.com/%s",
+            ((doc - doc % 3) % 40).cast("string"),
+            doc.cast("string"),
+        )
+
+    def decl(m: int):
+        # declare member m's edition (skipped when we ARE member m)
+        return F.when(
+            member != m,
+            F.concat(
+                F.lit(f'<link rel="alternate" hreflang="{_HREFLANG_LANGS[m]}" href="'),
+                edition_url(base + m),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit(""))
+    lame = (base % 5 == 0) & (member == 2)
+    markup = F.when(lame, F.lit("")).otherwise(
+        F.concat(decl(0), decl(1), decl(2))
+    )
+    page = F.concat(
+        F.lit('<html><head><link rel="alternate" type="application/rss+xml" href="/f.xml">'),
+        markup,
+        F.lit("</head><body>b</body></html>"),
+    )
+    return docs.select(
+        edition_url(d).alias("url"), F.encode(page, "utf-8").alias("html")
+    )
+
+
+def q136_hreflang_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hreflang reciprocity audit crawl pipelines run before
+    trusting language-edition clusters: Google's documented rule is
+    that an hreflang pair counts only when BOTH pages confirm it, so
+    every declared edge (source -> target) is checked for a return
+    edge (target -> source). One map-only extraction plus ONE
+    edge-keyed self-join (AQE picks the strategy; at 10^12 edges both
+    sides partition on the same composite key). Lame clusters
+    (base%5==0: the fr edition declares nothing) and the corpus-edge
+    partial cluster make both verdicts reachable at every SF."""
+    pages = _hreflang_pages(spark, sf_dir)
+    edges = extract_hreflang_edges(pages)
+    doc_of = lambda c: F.regexp_extract(c, r"/(\d+)$", 1).cast("bigint")
+    e = edges.select(
+        doc_of("url").alias("src_doc"),
+        "hreflang",
+        doc_of("target_url").alias("dst_doc"),
+    )
+    # self-join: alias BOTH sides explicitly — joining a DataFrame with
+    # a projection of itself lets the analyzer resolve the bare columns
+    # against either lineage (silently wrong matches, not an error)
+    # the bare EDGE SET (src, dst), renamed once; the reversal happens
+    # in the join condition only (reversing in both places matches
+    # every edge against itself and reports universal reciprocity)
+    back = (
+        e.select(F.col("src_doc").alias("r_src"), F.col("dst_doc").alias("r_dst"))
+        .distinct()
+        .alias("b")
+    )
+    fwd = e.alias("f")
+    return fwd.join(
+        back,
+        (F.col("f.src_doc") == F.col("b.r_dst"))
+        & (F.col("f.dst_doc") == F.col("b.r_src")),
+        "left",
+    ).select(
+        F.col("f.src_doc").alias("doc_id"),
+        F.col("f.hreflang").alias("hreflang"),
+        F.col("f.dst_doc").alias("dst_doc"),
+        F.col("b.r_src").isNotNull().alias("reciprocal"),
+    )
+
+
+_Q136_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, doc_id - doc_id % 3 AS base, doc_id % 3 AS member
+        FROM documents
+    ),
+    e AS (
+        -- each existing member declares the other two editions,
+        -- except the fr member of a lame (base%5==0) cluster
+        SELECT m.doc_id AS src_doc,
+               (['en','de','fr'])[1 + t.m] AS hreflang,
+               m.base + t.m AS dst_doc
+        FROM m, (SELECT unnest([0, 1, 2]) AS m) t
+        WHERE t.m <> m.member
+          AND NOT (m.base % 5 = 0 AND m.member = 2)
+    )
+    SELECT e.src_doc AS doc_id, e.hreflang, e.dst_doc,
+           -- reciprocal iff the target EXISTS in the corpus and is not
+           -- itself a lame fr member (those declare nothing)
+           (d.doc_id IS NOT NULL
+            AND NOT (e.dst_doc % 3 = 2 AND (e.dst_doc - e.dst_doc % 3) % 5 = 0))
+               AS reciprocal
+    FROM e LEFT JOIN m d ON d.doc_id = e.dst_doc
+"""
+
+
 # -- q130: RSS/Atom feed-item extraction --------------------------------------
 FEED_ITEMS_SCHEMA = (
     "url string, feed_kind string, item_idx bigint, title string, "
@@ -2380,6 +2524,7 @@ QUERIES = {
     "q132_registrable_domains": q132_registrable_domains,
     "q134_feed_discovery": q134_feed_discovery,
     "q135_sitemap_discovery": q135_sitemap_discovery,
+    "q136_hreflang_reciprocity": q136_hreflang_reciprocity,
 }
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
@@ -2513,5 +2658,6 @@ ORACLES["q130_feed_items"] = _Q130_ORACLE
 ORACLES["q132_registrable_domains"] = _Q132_ORACLE
 ORACLES["q134_feed_discovery"] = _Q134_ORACLE
 ORACLES["q135_sitemap_discovery"] = _Q135_ORACLE
+ORACLES["q136_hreflang_reciprocity"] = _Q136_ORACLE
 ORACLES["q113_domain_blocklist"] = _q113_oracle()
 ORACLES["q119_host_quality_report"] = _q119_oracle()

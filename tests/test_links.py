@@ -245,3 +245,31 @@ def test_feed_links_type_gate_resolution_and_order():
 def test_extract_feed_links_fuzz_never_raises(b: bytes):
     for furl, kind, title in extract_feed_links(b, "https://h.test/"):
         assert kind in ("rss", "atom") and isinstance(furl, str)
+
+
+# -- hreflang alternates (q136's dialect) ---------------------------------------
+from ocr_service_spark.extraction.links import extract_hreflangs
+
+
+def test_hreflang_extraction_dialect():
+    base = "https://www.example.com/en/page"
+    html = (
+        b'<link rel="alternate" hreflang="DE" href="/de/page">'
+        b'<link rel="alternate" type="application/rss+xml" hreflang="en" href="/f.xml">'
+        b'<link rel="alternate" hreflang="x-default" href="https://www.example.com/">'
+        b'<link rel="alternate" hreflang="fr" href="javascript:x">'
+    )
+    # feed-typed alternates win the feed interpretation; tags lowercase;
+    # relative resolves; pseudo-scheme drops
+    assert extract_hreflangs(html, base) == [
+        ("de", "https://www.example.com/de/page"),
+        ("x-default", "https://www.example.com/"),
+    ]
+    assert extract_hreflangs(b"<p>none</p>", base) == []
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_hreflangs_fuzz_never_raises(b: bytes):
+    for lang, target in extract_hreflangs(b, "https://h.test/"):
+        assert isinstance(lang, str) and isinstance(target, str)
