@@ -1293,6 +1293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs in-window via q51/q53; the bidirectional-confirmation
         # rule is pinned by its own DuckDB oracle
         "q136_hreflang_reciprocity",
+        # tail by design from birth (round 5): q137 (recrawl priority
+        # from measured churn) is one lag-window + regroup on url —
+        # the q59/q50 ordered-window family (in-window via both); the
+        # change-count closed form and integer bucket rule are pinned
+        # by its own DuckDB oracle
+        "q137_recrawl_priority",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

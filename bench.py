@@ -139,6 +139,8 @@ HEADLINE_QUERIES = [
     "q135_sitemap_discovery",
     # round 5 language-edition tier — hreflang reciprocity audit
     "q136_hreflang_reciprocity",
+    # round 5 crawl-economics tier — recrawl priority from measured churn
+    "q137_recrawl_priority",
 ]
 
 

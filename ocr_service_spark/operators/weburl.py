@@ -2338,6 +2338,85 @@ _Q136_ORACLE = """
 """
 
 
+# -- q137: recrawl priority from measured churn --------------------------------
+N_SNAPSHOTS = 4  # t = 0..3; changes measured over the 3 consecutive pairs
+
+
+def q137_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-economics rung (Cho & Garcia-Molina's freshness insight:
+    recrawl budget should follow each page's OBSERVED change rate):
+    per URL, count content-hash changes across consecutive crawl
+    snapshots and bucket into hot/warm/cold fetch priorities. Connects
+    q71 (two-snapshot churn READ) to q78 (the scheduler that consumes
+    priorities).
+
+    Fixture: doc d changes every k=1+d%4 snapshots (its content hash is
+    md5 of doc_id#version with version = t div k), so across t=0..3
+    the change count is closed-form: k=1 -> 3 changes (hot), k=2 or
+    k=3 -> 1 (warm), k=4 -> 0 (cold). 100-TB shape: snapshots arrive
+    date-partitioned; ONE window shuffle on url orders each URL's
+    `N_SNAPSHOTS` rows (lag + conditional count — no self-joins, no
+    K-way union of full-table comparisons); rates kept integer (basis
+    points) so the oracle replays them exactly."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    k = (d % 4 + 1).cast("bigint")
+    snaps = docs.select(
+        "doc_id",
+        F.format_string("http://c%s.test/p%s", (d % 40).cast("string"), d.cast("string")).alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(N_SNAPSHOTS - 1))).alias("t"),
+    ).select(
+        "doc_id",
+        "url",
+        "t",
+        F.md5(
+            F.concat_ws("#", F.col("doc_id").cast("string"),
+                        (F.col("t").cast("bigint") / k).cast("bigint").cast("string"))
+        ).alias("content_hash"),
+    )
+    w = Window.partitionBy("url").orderBy("t")
+    changed = (
+        F.lag("content_hash").over(w).isNotNull()
+        & (F.col("content_hash") != F.lag("content_hash").over(w))
+    ).cast("bigint")
+    per_url = (
+        snaps.withColumn("chg", changed)
+        .groupBy("doc_id", "url")
+        .agg(F.sum("chg").alias("n_changes"))
+    )
+    rate_bp = (F.col("n_changes") * 10000 / (N_SNAPSHOTS - 1)).cast("bigint")
+    bucket = (
+        F.when(F.col("n_changes") >= 2, "hot")
+        .when(F.col("n_changes") == 1, "warm")
+        .otherwise("cold")
+    )
+    return per_url.select(
+        "doc_id",
+        "url",
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+        rate_bp.alias("change_rate_bp"),
+        bucket.alias("priority"),
+    )
+
+
+_Q137_ORACLE = """
+    SELECT doc_id,
+           'http://c' || CAST(doc_id % 40 AS VARCHAR) || '.test/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+           n_changes,
+           CAST(n_changes * 10000 / 3 AS BIGINT) AS change_rate_bp,
+           CASE WHEN n_changes >= 2 THEN 'hot'
+                WHEN n_changes = 1 THEN 'warm'
+                ELSE 'cold' END AS priority
+    FROM (SELECT doc_id,
+                 CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 3 THEN 0
+                      ELSE 1 END AS BIGINT) AS n_changes
+          FROM documents)
+"""
+
+
 # -- q130: RSS/Atom feed-item extraction --------------------------------------
 FEED_ITEMS_SCHEMA = (
     "url string, feed_kind string, item_idx bigint, title string, "
@@ -2525,6 +2604,7 @@ QUERIES = {
     "q134_feed_discovery": q134_feed_discovery,
     "q135_sitemap_discovery": q135_sitemap_discovery,
     "q136_hreflang_reciprocity": q136_hreflang_reciprocity,
+    "q137_recrawl_priority": q137_recrawl_priority,
 }
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
@@ -2659,5 +2739,6 @@ ORACLES["q132_registrable_domains"] = _Q132_ORACLE
 ORACLES["q134_feed_discovery"] = _Q134_ORACLE
 ORACLES["q135_sitemap_discovery"] = _Q135_ORACLE
 ORACLES["q136_hreflang_reciprocity"] = _Q136_ORACLE
+ORACLES["q137_recrawl_priority"] = _Q137_ORACLE
 ORACLES["q113_domain_blocklist"] = _q113_oracle()
 ORACLES["q119_host_quality_report"] = _q119_oracle()
