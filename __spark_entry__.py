@@ -1299,6 +1299,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # change-count closed form and integer bucket rule are pinned
         # by its own DuckDB oracle
         "q137_recrawl_priority",
+        # tail by design from birth (round 5): q138 (crawler-trap
+        # detection) is a codegen URL-templating projection (the
+        # q63/q97 family, in-window via both) + one groupBy + one
+        # window over the aggregated template table (the q111/q127
+        # count-window shape); the templating dialect and integer trap
+        # rule are pinned by its own DuckDB oracle
+        "q138_trap_detection",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -141,6 +141,8 @@ HEADLINE_QUERIES = [
     "q136_hreflang_reciprocity",
     # round 5 crawl-economics tier — recrawl priority from measured churn
     "q137_recrawl_priority",
+    # round 5 frontier-protection tier — crawler-trap detection
+    "q138_trap_detection",
 ]
 
 

@@ -2417,6 +2417,108 @@ _Q137_ORACLE = """
 """
 
 
+# -- q138: crawler-trap detection by URL templating ----------------------------
+#
+# Infinite URL spaces (calendars, session ids, faceted search) are the
+# classic frontier killer: a single host manufactures unbounded
+# distinct URLs under one PATH TEMPLATE. The standard defense is to
+# template every URL (variable segments abstracted) and flag
+# (host, template) groups that dominate their host's URL population —
+# those are machine-generated spaces, not content.
+#
+# Pinned templating dialect (pure codegen — transform over the split
+# path, no Python): a path segment that is all digits -> "<d>"; a
+# segment of >=8 hex chars -> "<h>" (session ids/hashes); others kept
+# verbatim (lowercased); a query string collapses to "?*".
+# Trap rule (integer, SF-independent): a template is a trap when it
+# holds TRAP_MIN+ distinct URLs AND more than half the host's URLs.
+TRAP_MIN = 2
+
+
+def with_url_template(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``host`` and ``template`` columns per the dialect above."""
+    host = F.lower(F.regexp_extract(url_col, r"^[a-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract(url_col, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    segs = F.filter(F.split(F.lower(path), "/"), lambda s: s != "")
+    templ_segs = F.transform(
+        segs,
+        lambda s: F.when(s.rlike("^[0-9]+$"), F.lit("<d>"))
+        .when(s.rlike("^[0-9a-f]{8,}$"), F.lit("<h>"))
+        .otherwise(s),
+    )
+    has_query = F.col(url_col).contains("?")
+    template = F.concat(
+        F.lit("/"),
+        F.array_join(templ_segs, "/"),
+        F.when(has_query, F.lit("?*")).otherwise(F.lit("")),
+    )
+    return df.withColumn("host", host).withColumn("template", template)
+
+
+def q138_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trap detection over closed-form URLs: trap hosts (doc_id%20<5)
+    put every page under ONE calendar-style template (/cal/<d>/ —
+    all-digit segment abstracted), normal hosts give every page its
+    own literal template (/page/p<id>, not abstractable), and every
+    5th URL carries a query string (its own ?* template — must NOT
+    merge with the clean one). Shapes: one groupBy on (host, template)
+    plus one host-total window over the ALREADY-AGGREGATED template
+    table (sketch-sized, not URL-sized) — the only URL-sized shuffle
+    is the first agg's."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.format_string("t%s.test", (d % 20).cast("string"))
+    url = F.when(
+        d % 20 < 5, F.format_string("http://t%s.test/cal/%s/", (d % 20).cast("string"), ds)
+    ).otherwise(
+        F.concat(
+            F.format_string("http://t%s.test/page/p%s", (d % 20).cast("string"), ds),
+            F.when(d % 5 == 0, F.lit("?sid=1")).otherwise(F.lit("")),
+        )
+    )
+    urls = docs.select(url.alias("url"))
+    per_template = (
+        with_url_template(urls)
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    w = Window.partitionBy("host")
+    host_urls = F.sum("n_urls").over(w)
+    return per_template.select(
+        "host",
+        "template",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        host_urls.cast("bigint").alias("host_urls"),
+        (
+            (F.col("n_urls") >= TRAP_MIN) & (F.col("n_urls") * 2 > host_urls)
+        ).alias("is_trap"),
+    )
+
+
+_Q138_ORACLE = f"""
+    WITH u AS (
+        SELECT 't' || CAST(doc_id % 20 AS VARCHAR) || '.test' AS host,
+               CASE WHEN doc_id % 20 < 5 THEN '/cal/<d>'
+                    ELSE '/page/p' || CAST(doc_id AS VARCHAR)
+                         || CASE WHEN doc_id % 5 = 0 THEN '?*' ELSE '' END
+               END AS template
+        FROM documents
+    ),
+    t AS (
+        SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+        FROM u GROUP BY host, template
+    )
+    SELECT host, template, n_urls,
+           CAST(sum(n_urls) OVER (PARTITION BY host) AS BIGINT) AS host_urls,
+           n_urls >= {TRAP_MIN}
+               AND n_urls * 2 > sum(n_urls) OVER (PARTITION BY host) AS is_trap
+    FROM t
+"""
+
+
 # -- q130: RSS/Atom feed-item extraction --------------------------------------
 FEED_ITEMS_SCHEMA = (
     "url string, feed_kind string, item_idx bigint, title string, "
@@ -2605,6 +2707,7 @@ QUERIES = {
     "q135_sitemap_discovery": q135_sitemap_discovery,
     "q136_hreflang_reciprocity": q136_hreflang_reciprocity,
     "q137_recrawl_priority": q137_recrawl_priority,
+    "q138_trap_detection": q138_trap_detection,
 }
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
@@ -2740,5 +2843,6 @@ ORACLES["q134_feed_discovery"] = _Q134_ORACLE
 ORACLES["q135_sitemap_discovery"] = _Q135_ORACLE
 ORACLES["q136_hreflang_reciprocity"] = _Q136_ORACLE
 ORACLES["q137_recrawl_priority"] = _Q137_ORACLE
+ORACLES["q138_trap_detection"] = _Q138_ORACLE
 ORACLES["q113_domain_blocklist"] = _q113_oracle()
 ORACLES["q119_host_quality_report"] = _q119_oracle()
