@@ -34,6 +34,7 @@ import posixpath
 import re
 import zipfile
 from io import BytesIO
+from urllib.parse import unquote
 
 MAX_CHAPTERS = 500
 
@@ -50,14 +51,8 @@ _ATTR = {
     for name in ("id", "href", "media-type")
 }
 
-_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-             ("&quot;", '"'), ("&apos;", "'"))
-
-
-def _unescape(value: str) -> str:
-    for ent, ch in _ENTITIES:
-        value = value.replace(ent, ch)
-    return value
+# one XML-entity table for the whole container-format family
+from ocr_service_spark.extraction.sitemap import unescape_xml_entities as _unescape
 
 
 def _attr(tag: str, name: str) -> str | None:
@@ -67,8 +62,33 @@ def _attr(tag: str, name: str) -> str | None:
     return _unescape(m.group(2) or m.group(3) or "")
 
 
+_OCF_MIMETYPE = b"application/epub+zip"
+
+
+def ocf_prefix_is_epub(stream: bytes) -> bool:
+    """Cheap OCF probe for the sniff hot path: the OCF spec REQUIRES
+    ``mimetype`` to be the FIRST zip member, STORED (uncompressed), so
+    a conforming book is recognizable from the first local-file-header
+    bytes — no central-directory parse, no second archive open per
+    non-office zip at corpus scale. Non-conforming books (deflated or
+    non-first mimetype) sniff as generic zip, the documented dialect
+    (every epub toolchain and epubcheck enforce stored-first)."""
+    import struct
+
+    if len(stream) < 58 or not stream.startswith(b"PK\x03\x04"):
+        return False
+    method, = struct.unpack_from("<H", stream, 8)
+    name_len, extra_len = struct.unpack_from("<HH", stream, 26)
+    if method != 0 or name_len != 8 or stream[30:38] != b"mimetype":
+        return False
+    start = 38 + extra_len
+    return stream[start : start + len(_OCF_MIMETYPE)] == _OCF_MIMETYPE
+
+
 def is_epub(stream: bytes) -> bool:
-    """ZIP whose ``mimetype`` member declares application/epub+zip."""
+    """ZIP whose ``mimetype`` member declares application/epub+zip —
+    the authoritative (archive-opening) check for library callers; the
+    sniffer uses :func:`ocf_prefix_is_epub` instead."""
     if not stream.startswith(b"PK\x03\x04"):
         return False
     try:
@@ -113,6 +133,10 @@ def extract_epub(stream: bytes) -> tuple[str | None, list[str]]:
                 href, media_type = manifest.get(idref, (None, ""))
                 if href is None or media_type != "application/xhtml+xml":
                     continue
+                # manifest hrefs are URIs (OPF spec): strip any fragment
+                # and percent-decode before the ZIP member lookup, or a
+                # book whose files have spaces loses those chapters
+                href = unquote(href.split("#", 1)[0])
                 member = posixpath.normpath(posixpath.join(opf_dir, href))
                 try:
                     chapters.append(html_to_text(archive.read(member)))

@@ -88,13 +88,9 @@ class _LinkCollector(HTMLParser):
             self.anchors[-1][1].append(data)
 
 
-def extract_anchors(
-    payload: bytes | str, base_url: str | None = None
-) -> tuple[list[tuple[str, str]], bool]:
-    """((resolved outlink, whitespace-normalized anchor text) in
-    document order, noindex flag). Same hygiene as ``extract_links``;
-    anchor text is the text content of the ``<a>`` element with runs
-    of whitespace collapsed to single spaces."""
+def _parse(payload: bytes | str) -> _LinkCollector:
+    """Decode + tokenize one payload into a collector; total over
+    hostile bytes (parser exceptions leave a partial collect)."""
     if isinstance(payload, (bytes, bytearray)):
         from ocr_service_spark.extraction.charset import decode_markup
 
@@ -107,17 +103,36 @@ def extract_anchors(
         parser.close()
     except Exception:
         pass
+    return parser
 
+
+def _resolve(href: str, base_url: str | None) -> str | None:
+    """Shared link hygiene: strip, drop fragment-only and pseudo-scheme
+    hrefs, resolve relatives against the page URL. None = unusable."""
+    h = href.strip()
+    if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
+        return None
+    if base_url:
+        try:
+            h = urljoin(base_url, h)
+        except ValueError:
+            return None
+    return h
+
+
+def extract_anchors(
+    payload: bytes | str, base_url: str | None = None
+) -> tuple[list[tuple[str, str]], bool]:
+    """((resolved outlink, whitespace-normalized anchor text) in
+    document order, noindex flag). Same hygiene as ``extract_links``;
+    anchor text is the text content of the ``<a>`` element with runs
+    of whitespace collapsed to single spaces."""
+    parser = _parse(payload)
     out: list[tuple[str, str]] = []
     for href, parts in parser.anchors:
-        h = href.strip()
-        if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
+        h = _resolve(href, base_url)
+        if h is None:
             continue
-        if base_url:
-            try:
-                h = urljoin(base_url, h)
-            except ValueError:
-                continue
         out.append((h, " ".join("".join(parts).split())))
         if len(out) >= MAX_LINKS:
             break
@@ -139,28 +154,10 @@ def extract_canonical(payload: bytes | str, base_url: str | None = None) -> str 
     declaration wins (Google's documented tie-break — later ones are
     ignored); relative hrefs resolve against the page URL; fragment-only
     and pseudo-scheme hrefs yield None. Total over hostile bytes."""
-    if isinstance(payload, (bytes, bytearray)):
-        from ocr_service_spark.extraction.charset import decode_markup
-
-        text = decode_markup(bytes(payload))[1]
-    else:
-        text = payload
-    parser = _LinkCollector()
-    try:
-        parser.feed(text)
-        parser.close()
-    except Exception:
-        pass
+    parser = _parse(payload)
     for href in parser.canonicals:
-        h = href.strip()
-        if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
-            return None  # first declaration wins, even when unusable
-        if base_url:
-            try:
-                h = urljoin(base_url, h)
-            except ValueError:
-                return None
-        return h
+        # first declaration wins, even when unusable
+        return _resolve(href, base_url)
     return None
 
 
@@ -174,28 +171,11 @@ def extract_feed_links(
     unusable hrefs are dropped (unlike canonical there is no
     first-wins contest — every declared feed is a discovery). Total
     over hostile bytes."""
-    if isinstance(payload, (bytes, bytearray)):
-        from ocr_service_spark.extraction.charset import decode_markup
-
-        text = decode_markup(bytes(payload))[1]
-    else:
-        text = payload
-    parser = _LinkCollector()
-    try:
-        parser.feed(text)
-        parser.close()
-    except Exception:
-        pass
     out: list[tuple[str, str, str | None]] = []
-    for href, kind, title in parser.feeds:
-        h = href.strip()
-        if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
+    for href, kind, title in _parse(payload).feeds:
+        h = _resolve(href, base_url)
+        if h is None:
             continue
-        if base_url:
-            try:
-                h = urljoin(base_url, h)
-            except ValueError:
-                continue
         out.append((h, kind, title))
         if len(out) >= MAX_LINKS:
             break
@@ -211,28 +191,11 @@ def extract_hreflangs(
     MIME type on the same tag wins the feed interpretation instead).
     Unusable hrefs drop; capped at MAX_LINKS; total over hostile
     bytes."""
-    if isinstance(payload, (bytes, bytearray)):
-        from ocr_service_spark.extraction.charset import decode_markup
-
-        text = decode_markup(bytes(payload))[1]
-    else:
-        text = payload
-    parser = _LinkCollector()
-    try:
-        parser.feed(text)
-        parser.close()
-    except Exception:
-        pass
     out: list[tuple[str, str]] = []
-    for lang, href in parser.hreflangs:
-        h = href.strip()
-        if not h or h.startswith("#") or h.lower().startswith(SKIP_SCHEMES):
+    for lang, href in _parse(payload).hreflangs:
+        h = _resolve(href, base_url)
+        if h is None:
             continue
-        if base_url:
-            try:
-                h = urljoin(base_url, h)
-            except ValueError:
-                continue
         out.append((lang, h))
         if len(out) >= MAX_LINKS:
             break

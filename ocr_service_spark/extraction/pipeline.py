@@ -149,7 +149,12 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
         # beyond-reference book rung: spine-ordered chapter extraction
         # through the house HTML extractor (extraction/epub_text.py);
         # a structurally broken book degrades to empty text -> the
-        # normal no-text failure row, never an exception
+        # normal no-text failure row, never an exception. EARLY RETURN
+        # (the encrypted_office shape): a STORED epub's raw member
+        # bytes look text-like to the sniffs (is_html fires on the
+        # uncompressed XHTML members), so falling through would hand a
+        # broken book to the T4 raw-text fallback, which would emit
+        # the ZIP container bytes as a success=True "text" row.
         from ocr_service_spark.extraction.epub_text import extract_epub
 
         title, chapters = extract_epub(stream)
@@ -157,6 +162,7 @@ def _process(stream: bytes, url: str, mode: str = "NO_OCR") -> tuple[str, dict[s
         meta["pages"] = len(chapters)
         if title:
             meta["epub_title"] = title
+        return output_text, meta
     elif cls.doc_class == "media":
         # beyond-reference web-corpus rung (the reference has no media
         # route at all): audio/video payloads are never text-extracted —

@@ -46,16 +46,24 @@ def _find_tag(text: str, tag: str, pos: int) -> tuple[int, int, int]:
         return i, gt + 1, end
 
 
+XML_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                ("&quot;", '"'), ("&apos;", "'"))
+
+
+def unescape_xml_entities(value: str) -> str:
+    """The five predefined XML entities (shared by the sitemap, feed
+    and epub readers — one table, one dialect)."""
+    for ent, ch in XML_ENTITIES:
+        value = value.replace(ent, ch)
+    return value
+
+
 def _text_of(block: str, tag: str) -> str | None:
     _, cs, ce = _find_tag(block, tag, 0)
     if cs < 0:
         return None
     # sitemap locs are frequently entity-escaped (& in query strings)
-    val = block[cs:ce].strip()
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&apos;", "'")):
-        val = val.replace(ent, ch)
-    return val or None
+    return unescape_xml_entities(block[cs:ce].strip()) or None
 
 
 def parse_sitemap(xml_text: str) -> list[dict[str, Any]]:

@@ -290,12 +290,14 @@ def detect_file_type(stream: bytes) -> FileType | None:
         ext = infer_zip_office_extension(b)
         if ext and ext in MIME_BY_EXT:
             return FileType(ext, MIME_BY_EXT[ext])
-        # non-office zip: EPUB declares itself in the mimetype member
-        # (OCF spec) — checked AFTER the office refinement so the
-        # reference-pinned office dialect is untouched
-        from ocr_service_spark.extraction.epub_text import is_epub
+        # non-office zip: EPUB declares itself in the FIRST, STORED
+        # ``mimetype`` member (OCF spec) — a prefix probe, so the hot
+        # path never opens the archive a second time; checked AFTER
+        # the office refinement so the reference-pinned office dialect
+        # is untouched
+        from ocr_service_spark.extraction.epub_text import ocf_prefix_is_epub
 
-        if is_epub(b):
+        if ocf_prefix_is_epub(b):
             return FileType("epub", MIME_BY_EXT["epub"])
         return FileType("zip", MIME_BY_EXT["zip"])
     if b.startswith(OLE_SIGNATURE):

@@ -593,7 +593,13 @@ def q133_epub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(doc_id)
                 buf = _io.BytesIO()
                 with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as z:
-                    z.writestr("mimetype", "application/epub+zip")
+                    # OCF conformance: mimetype FIRST and STORED (what
+                    # every epub toolchain writes; the sniffer's cheap
+                    # prefix probe keys on exactly this)
+                    z.writestr(
+                        "mimetype", "application/epub+zip",
+                        compress_type=_zipfile.ZIP_STORED,
+                    )
                     if i % 8 != 5:
                         z.writestr(
                             "META-INF/container.xml",

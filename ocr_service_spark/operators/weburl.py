@@ -2437,8 +2437,12 @@ TRAP_MIN = 2
 
 def with_url_template(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``host`` and ``template`` columns per the dialect above."""
-    host = F.lower(F.regexp_extract(url_col, r"^[a-z]+://([^/?#]+)", 1))
-    path = F.regexp_extract(url_col, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    # scheme matched case-insensitively (RFC 3986: schemes are; real
+    # crawl URLs carry HTTP:// spellings and must not collapse into
+    # one host=''/template='/' group)
+    _scheme = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+    host = F.lower(F.regexp_extract(url_col, _scheme + r"([^/?#]+)", 1))
+    path = F.regexp_extract(url_col, _scheme + r"[^/?#]+([^?#]*)", 1)
     segs = F.filter(F.split(F.lower(path), "/"), lambda s: s != "")
     templ_segs = F.transform(
         segs,

@@ -25,7 +25,8 @@ from ocr_service_spark.extraction.sniff import detect_file_type
 def _book(members: dict[str, str], mimetype: str = "application/epub+zip") -> bytes:
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("mimetype", mimetype)
+        # OCF conformance: mimetype first and STORED
+        z.writestr("mimetype", mimetype, compress_type=zipfile.ZIP_STORED)
         for name, data in members.items():
             z.writestr(name, data)
     return buf.getvalue()
@@ -102,6 +103,57 @@ def test_stored_zip_routes_epub_not_html():
 
     r = extract_document(buf.getvalue(), "http://b.test/x.epub")
     assert (r["extracted_text"], r["doc_class"]) == ("stored book", "epub")
+
+
+def test_broken_book_fails_closed_never_leaks_container_bytes():
+    # a structurally broken epub (no container.xml) must produce the
+    # normal no-text FAILURE row — never fall through to the raw-text
+    # fallback, which would emit the ZIP container bytes as
+    # success=True "text" (stored members look html-ish to the sniffs)
+    from ocr_service_spark.extraction.pipeline import extract_document
+
+    for comp in (zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", comp) as z:
+            z.writestr("mimetype", "application/epub+zip",
+                       compress_type=zipfile.ZIP_STORED)
+            z.writestr("OEBPS/c.xhtml", "<html><body><p>x</p></body></html>")
+        r = extract_document(buf.getvalue(), "http://b.test/broken.epub")
+        assert r["doc_class"] == "epub"
+        assert r["success"] is False and (r["extracted_text"] or "") == ""
+        assert r["pages"] == 0
+
+
+def test_manifest_href_uri_decoding():
+    # hrefs are URIs: percent-encoding decodes, fragments strip
+    book = _book(
+        {
+            "META-INF/container.xml": (
+                '<container><rootfiles><rootfile full-path="p.opf"/></rootfiles></container>'
+            ),
+            "p.opf": (
+                "<package><manifest>"
+                '<item id="a" href="My%20Chapter.xhtml#sec1" media-type="application/xhtml+xml"/>'
+                "</manifest><spine>"
+                '<itemref idref="a"/></spine></package>'
+            ),
+            "My Chapter.xhtml": "<html><body><p>spaced</p></body></html>",
+        }
+    )
+    assert extract_epub(book) == (None, ["spaced"])
+
+
+def test_ocf_prefix_probe():
+    from ocr_service_spark.extraction.epub_text import ocf_prefix_is_epub
+
+    assert ocf_prefix_is_epub(_book({"META-INF/container.xml": CONTAINER}))
+    # a DEFLATED mimetype is non-conforming: probe says no, generic zip
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/epub+zip")  # deflated
+    assert not ocf_prefix_is_epub(buf.getvalue())
+    assert detect_file_type(buf.getvalue()).ext == "zip"
+    assert not ocf_prefix_is_epub(b"PK\x03\x04 not long enough")
 
 
 def test_sniffer_precedence_epub_vs_office_vs_zip():
