@@ -1306,6 +1306,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-window shape); the templating dialect and integer trap
         # rule are pinned by its own DuckDB oracle
         "q138_trap_detection",
+        # tail by design from birth (round 5): q139 (Count-Min
+        # frequency sketch) is the q28/q118 mergeable-sketch family —
+        # a fixed-cell explode->groupBy whose map-side combine runs
+        # in-window via every partial agg, plus the broadcast
+        # sketch-probe join (the q93/q99 broadcast family); its
+        # cell/hash dialect is pinned by its own DuckDB oracle under
+        # tools/check_oracles.py + test_entry_oracle
+        "q139_count_min_tokens",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -110,6 +110,7 @@ HEADLINE_QUERIES = [
     "q116_bm25_topk",
     "q117_wet_export",
     "q118_hist_quantiles",
+    "q139_count_min_tokens",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

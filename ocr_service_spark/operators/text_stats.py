@@ -9,7 +9,7 @@ engines evaluate the same IEEE-double operations on the same operands.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_service_spark.functions.hashing import h32, h32_sql
@@ -216,6 +216,73 @@ def q29_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_TERMS_K)
         .select("lang", "tok", "n", "rank")
+    )
+
+
+# -- q139: Count-Min frequency sketch (cross-engine exact) --------------------------
+#
+# The third member of the sketch family (q28 HLL = distinct counts,
+# q118 histogram = quantiles, this = point frequencies / heavy
+# hitters). Fixed CM_DEPTH x CM_WIDTH counter grid; every counter is a
+# plain sum, so per-partition partial sketches combine associatively —
+# the same mergeable-across-shards/days argument as q118. Hashing goes
+# through the md5-derived h32 (functions/hashing.py) so DuckDB
+# reproduces every cell bit-for-bit.
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 128  # counters per row; the whole sketch is 512 cells
+
+
+def _cm_cells(tok: Column) -> Column:
+    """array<struct<r,c>> of the CM_DEPTH (row, column) cells a token
+    hashes into — shared by the sketch build and the probe side so the
+    two can never drift."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("r"),
+                F.pmod(h32(tok, f"cm{j}"), F.lit(CM_WIDTH)).cast("bigint").alias("c"),
+            )
+            for j in range(CM_DEPTH)
+        ]
+    )
+
+
+def q139_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the
+    whitespace token stream, cross-checked against exact counts: per
+    distinct token, the exact frequency, the sketch's min-over-rows
+    estimate, and the measured overcount (>= 0 by construction — CM
+    never undercounts).
+
+    100-TB shape: the build is one explode (CM_DEPTH cells per token)
+    into a groupBy over a 512-key space — partial aggregation does
+    virtually all the work map-side and the shuffle moves at most 512
+    rows per map task; sketches for different days/shards merge by
+    adding counters. The probe side joins the 512-row sketch broadcast
+    against the distinct-token table. The exact-count side exists here
+    only to MEASURE the sketch's error — at production scale the
+    sketch replaces it; that is the point."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split(F.trim("text"), TOKEN_RE)).alias("tok"))
+    sketch = (
+        toks.select(F.explode(_cm_cells(F.col("tok"))).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    probe = exact.select(
+        "tok", "exact_n", F.explode(_cm_cells(F.col("tok"))).alias("cell")
+    ).select("tok", "exact_n", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+    return (
+        probe.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("est"))
+        .select(
+            "tok",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("est").cast("bigint").alias("cm_est"),
+            (F.col("est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
     )
 
 
@@ -694,6 +761,33 @@ ORACLES: dict[str, str] = {
         ex AS (SELECT lang, count(DISTINCT tok) AS exact_distinct FROM toks GROUP BY 1)
         SELECT lang, exact_distinct, hll_estimate, n_registers
         FROM ex JOIN sk USING (lang)
+    """,
+    # q139: replay the CM grid cell-for-cell — 'cm{j}' || tok through the
+    # same md5-derived h32, min over the CM_DEPTH rows.
+    "q139_count_min_tokens": f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '{TOKEN_RE}')) AS tok
+            FROM documents
+        ),
+        cells AS (
+            SELECT j AS r,
+                   CAST(('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || tok), 1, 8))
+                        AS BIGINT) % {CM_WIDTH} AS c
+            FROM toks, LATERAL unnest(range({CM_DEPTH})) AS t(j)
+        ),
+        sketch AS (SELECT r, c, count(*) AS n FROM cells GROUP BY 1, 2),
+        exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY 1),
+        probe AS (
+            SELECT tok, exact_n, j AS r,
+                   CAST(('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || tok), 1, 8))
+                        AS BIGINT) % {CM_WIDTH} AS c
+            FROM exact, LATERAL unnest(range({CM_DEPTH})) AS t(j)
+        )
+        SELECT tok, CAST(exact_n AS BIGINT) AS exact_n,
+               CAST(min(n) AS BIGINT) AS cm_est,
+               CAST(min(n) - exact_n AS BIGINT) AS overcount
+        FROM probe JOIN sketch USING (r, c)
+        GROUP BY tok, exact_n
     """,
     "q29_top_terms": f"""
         SELECT lang, tok, n, rank FROM (
@@ -1250,6 +1344,7 @@ QUERIES = {
     "q27_stratified_sample": q27_stratified_sample,
     "q28_hll_distinct_tokens": q28_hll_distinct_tokens,
     "q29_top_terms": q29_top_terms,
+    "q139_count_min_tokens": q139_count_min_tokens,
     "q36_token_percentiles": q36_token_percentiles,
     "q39_repetition_stats": q39_repetition_stats,
     "q81_lm_familiarity": q81_lm_familiarity,
