@@ -1314,6 +1314,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cell/hash dialect is pinned by its own DuckDB oracle under
         # tools/check_oracles.py + test_entry_oracle
         "q139_count_min_tokens",
+        # tail by design from birth (round 5): q140 (frontier BFS
+        # discovery depth) is q69's unrolled join-per-round graph shape
+        # (in-window via q69's PageRank over the same host-key joins)
+        # accumulating min-depth instead of rank mass; its horizon/-1
+        # dialect is pinned by a recursive-CTE DuckDB oracle under
+        # tools/check_oracles.py + test_entry_oracle
+        "q140_crawl_depth",
+        # tail by design from birth (round 5): q141 (HITS hubs &
+        # authorities) is the same two-shuffle-per-round q69 family
+        # plus the 1-row totals crossJoin normalizer that q99/q121 run
+        # in-window; its integer sum-normalization dialect is pinned by
+        # its own DuckDB oracle under the same local gates
+        "q141_hits_scores",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

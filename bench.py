@@ -111,6 +111,8 @@ HEADLINE_QUERIES = [
     "q117_wet_export",
     "q118_hist_quantiles",
     "q139_count_min_tokens",
+    "q140_crawl_depth",
+    "q141_hits_scores",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

@@ -320,6 +320,176 @@ def q69_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(edges).select("host", F.col("pr").alias("pr_scaled"))
 
 
+# -- q141: HITS hubs & authorities (Kleinberg) --------------------------------
+#
+# PageRank's sibling signal: a page that LINKS TO many good pages is a
+# hub (a directory/portal — often boilerplate a corpus wants to
+# downweight), a page LINKED FROM many good hubs is an authority.
+# Fixed-point arithmetic like host_pagerank: scores are bigints scaled
+# by HITS_SCALE, each half-round renormalizes by the global raw sum
+# with truncating integer division (sum-normalization, the integer-
+# exact stand-in for the textbook L2 norm), so the oracle replays
+# every value exactly. Conventions pinned here and mirrored by the
+# oracle: DISTINCT edges (adjacency, not multiplicity), self-edges
+# kept, nodes outside the updated side score 0.
+HITS_SCALE = 1_000_000
+HITS_ITERS = 2
+
+
+def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(host, hub_scaled, auth_scaled) after ``iters`` HITS rounds over
+    a distinct (src, dst) edge list.
+
+    Each half-round is one hash equi-join on the host key plus a
+    groupBy sum — the q69 two-shuffle shape — and the normalizer is a
+    1-row total crossJoin broadcast (the q99/q121 pattern; the nested
+    loop against one row is the intended plan). Unrolled lazily; a
+    10^8-node production run would checkpoint per round."""
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    hub = nodes.withColumn("s", F.lit(HITS_SCALE).cast("bigint"))
+    auth = None
+    for _ in range(iters):
+        araw = (
+            edges.join(hub.withColumnRenamed("host", "h"), edges["src"] == F.col("h"))
+            .groupBy("dst")
+            .agg(F.sum("s").alias("raw"))
+        )
+        atot = araw.agg(F.sum("raw").alias("tot"))
+        auth = (
+            nodes.join(araw, nodes["host"] == araw["dst"], "left")
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "host",
+                F.expr(f"(coalesce(raw, 0L) * {HITS_SCALE}) div tot").alias("s"),
+            )
+        )
+        hraw = (
+            edges.join(auth.withColumnRenamed("host", "h"), edges["dst"] == F.col("h"))
+            .groupBy("src")
+            .agg(F.sum("s").alias("raw"))
+        )
+        htot = hraw.agg(F.sum("raw").alias("tot"))
+        hub = (
+            nodes.join(hraw, nodes["host"] == hraw["src"], "left")
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "host",
+                F.expr(f"(coalesce(raw, 0L) * {HITS_SCALE}) div tot").alias("s"),
+            )
+        )
+    return (
+        hub.withColumnRenamed("s", "hub_scaled")
+        .join(auth.withColumnRenamed("s", "auth_scaled"), "host")
+        .select("host", "hub_scaled", "auth_scaled")
+    )
+
+
+def q141_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the same synthetic link graph as q69 (the real
+    extract_outlinks parser builds the edges end-to-end), deduplicated
+    to an adjacency list per the module convention; two integer-exact
+    rounds the oracle replays verbatim."""
+    links = extract_outlinks(_link_pages(spark, sf_dir)).filter(
+        F.col("outlink").isNotNull()
+    )
+    edges = links.select(
+        F.regexp_extract("url", _RE_HOSTPORT, 1).alias("src"),
+        F.regexp_extract("outlink", _RE_HOSTPORT, 1).alias("dst"),
+    ).distinct()
+    return hits_scores(edges)
+
+
+# -- q140: crawl discovery depth (frontier BFS from seeds) --------------------
+#
+# Depth-limited crawling needs each host's DISCOVERY DEPTH — the
+# minimum number of link hops from the seed list. This is frontier
+# BFS over the host graph: the same unrolled join-per-round shape as
+# host_pagerank (q69), but accumulating min-depth instead of rank
+# mass. Hosts not reached within BFS_MAX_DEPTH hops report -1 (the
+# "beyond the crawl horizon" verdict a frontier scheduler acts on).
+BFS_MAX_DEPTH = 8
+_BFS_HOSTS = 64  # planted graph size (doc_id % 64 — SF-independent
+#                  once the table holds >= 64 docs; sf0.001 has 500)
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame, max_depth: int = BFS_MAX_DEPTH) -> DataFrame:
+    """Min hop-distance from any seed, capped at ``max_depth``.
+
+    ``edges`` is (src, dst); ``seeds`` is (host). Each round joins the
+    depth table against the edge list on the source key and folds the
+    discovered hosts back in with a groupBy-min — at web scale all
+    rounds hash-partition on the same host key, so AQE reuses the
+    exchange, and a production run at 10^8 hosts would checkpoint per
+    round instead of unrolling one lazy plan (the q69 note). Parallel
+    edges are harmless for min-depth but multiply join output, so the
+    caller deduplicates; seeds are depth 0 by definition."""
+    dist = seeds.select("host", F.lit(0).cast("bigint").alias("depth"))
+    for _ in range(max_depth):
+        step = (
+            edges.join(dist, edges["src"] == dist["host"])
+            .select(F.col("dst").alias("host"), (F.col("depth") + 1).alias("depth"))
+        )
+        dist = (
+            dist.union(step).groupBy("host").agg(F.min("depth").alias("depth"))
+        )
+    return dist
+
+
+def q140_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery depth over a planted 64-host graph: host g<k> links to
+    g<(2k+1)%64> always and to g<(3k+2)%64> when k is even; the seed
+    is g0. Closed-form in doc_id, so the DuckDB twin rebuilds the
+    exact edge list and walks it with a recursive CTE — the SQL-native
+    expression of the same BFS, min-depth over all paths of length <=
+    BFS_MAX_DEPTH. Depths 0..8 all occur; 37 of the 64 hosts sit
+    beyond the horizon and report -1."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    k = (F.col("doc_id") % _BFS_HOSTS).cast("bigint")
+    ghost = lambda expr: F.format_string("g%s.test", expr.cast("string"))  # noqa: E731
+    e_a = docs.select(ghost(k).alias("src"), ghost((2 * k + 1) % _BFS_HOSTS).alias("dst"))
+    e_b = docs.filter(k % 2 == 0).select(
+        ghost(k).alias("src"), ghost((3 * k + 2) % _BFS_HOSTS).alias("dst")
+    )
+    edges = e_a.union(e_b).distinct()
+    nodes = docs.select(ghost(k).alias("host")).distinct()
+    seeds = nodes.filter(F.col("host") == "g0.test")
+    reached = bfs_depths(edges, seeds)
+    return nodes.join(reached, "host", "left").select(
+        "host", F.coalesce("depth", F.lit(-1)).cast("bigint").alias("depth")
+    )
+
+
+_Q140_ORACLE = f"""
+    WITH RECURSIVE ks AS (
+        SELECT DISTINCT doc_id % {_BFS_HOSTS} AS k FROM documents
+    ),
+    e AS (
+        SELECT 'g' || CAST(k AS VARCHAR) || '.test' AS src,
+               'g' || CAST((2 * k + 1) % {_BFS_HOSTS} AS VARCHAR) || '.test' AS dst
+        FROM ks
+        UNION
+        SELECT 'g' || CAST(k AS VARCHAR) || '.test',
+               'g' || CAST((3 * k + 2) % {_BFS_HOSTS} AS VARCHAR) || '.test'
+        FROM ks WHERE k % 2 = 0
+    ),
+    walk(host, depth) AS (
+        SELECT 'g0.test', 0
+        UNION ALL
+        SELECT e.dst, w.depth + 1
+        FROM walk w JOIN e ON e.src = w.host
+        WHERE w.depth < {BFS_MAX_DEPTH}
+    ),
+    best AS (SELECT host, min(depth) AS depth FROM walk GROUP BY 1),
+    nodes AS (SELECT DISTINCT 'g' || CAST(k AS VARCHAR) || '.test' AS host FROM ks)
+    SELECT n.host, CAST(coalesce(b.depth, -1) AS BIGINT) AS depth
+    FROM nodes n LEFT JOIN best b ON n.host = b.host
+"""
+
+
 # -- q71: crawl snapshot churn (delta detection) -----------------------------
 
 
@@ -2712,7 +2882,73 @@ QUERIES = {
     "q136_hreflang_reciprocity": q136_hreflang_reciprocity,
     "q137_recrawl_priority": q137_recrawl_priority,
     "q138_trap_detection": q138_trap_detection,
+    "q140_crawl_depth": q140_crawl_depth,
+    "q141_hits_scores": q141_hits_scores,
 }
+
+ORACLES["q140_crawl_depth"] = _Q140_ORACLE
+
+# q141: q69's closed-form edge list deduplicated to adjacency, then two
+# HITS rounds replayed value-for-value (sum-normalization, truncating
+# integer division, coalesce-to-0 for nodes outside the updated side).
+ORACLES["q141_hits_scores"] = f"""
+    WITH e AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT 'www.src' || (doc_id % 5) || '.example.com' AS src,
+                   'news' || (doc_id % 7) || '.example.com' AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'www.src' || (doc_id % 5) || '.example.com',
+                   'www.src' || (doc_id % 5) || '.example.com'
+            FROM documents
+        )
+    ),
+    nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e
+                                         UNION ALL SELECT dst FROM e)),
+    hub0 AS (SELECT host, CAST({HITS_SCALE} AS BIGINT) AS s FROM nodes),
+    a1raw AS (
+        SELECT e.dst, sum(hub0.s) AS raw FROM e JOIN hub0 ON e.src = hub0.host
+        GROUP BY e.dst
+    ),
+    auth1 AS (
+        SELECT n.host,
+               CAST(coalesce(r.raw, 0) * {HITS_SCALE}
+                    // (SELECT sum(raw) FROM a1raw) AS BIGINT) AS s
+        FROM nodes n LEFT JOIN a1raw r ON n.host = r.dst
+    ),
+    h1raw AS (
+        SELECT e.src, sum(auth1.s) AS raw FROM e JOIN auth1 ON e.dst = auth1.host
+        GROUP BY e.src
+    ),
+    hub1 AS (
+        SELECT n.host,
+               CAST(coalesce(r.raw, 0) * {HITS_SCALE}
+                    // (SELECT sum(raw) FROM h1raw) AS BIGINT) AS s
+        FROM nodes n LEFT JOIN h1raw r ON n.host = r.src
+    ),
+    a2raw AS (
+        SELECT e.dst, sum(hub1.s) AS raw FROM e JOIN hub1 ON e.src = hub1.host
+        GROUP BY e.dst
+    ),
+    auth2 AS (
+        SELECT n.host,
+               CAST(coalesce(r.raw, 0) * {HITS_SCALE}
+                    // (SELECT sum(raw) FROM a2raw) AS BIGINT) AS s
+        FROM nodes n LEFT JOIN a2raw r ON n.host = r.dst
+    ),
+    h2raw AS (
+        SELECT e.src, sum(auth2.s) AS raw FROM e JOIN auth2 ON e.dst = auth2.host
+        GROUP BY e.src
+    ),
+    hub2 AS (
+        SELECT n.host,
+               CAST(coalesce(r.raw, 0) * {HITS_SCALE}
+                    // (SELECT sum(raw) FROM h2raw) AS BIGINT) AS s
+        FROM nodes n LEFT JOIN h2raw r ON n.host = r.src
+    )
+    SELECT hub2.host, hub2.s AS hub_scaled, auth2.s AS auth_scaled
+    FROM hub2 JOIN auth2 ON hub2.host = auth2.host
+"""
 
 # DuckDB mirror of _capture_urls (closed-form in doc_id).
 _CAPTURE_SQL = """

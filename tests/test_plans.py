@@ -275,7 +275,10 @@ def test_plan_hygiene_all_driver_queries(spark):
                    # 1-row totals crossJoin (mixture rate denominators)
                    "q99_corpus_mixture",
                    # 1-row N/M totals crossJoins (PMI denominators)
-                   "q121_collocations"}
+                   "q121_collocations",
+                   # 1-row raw-sum normalizer crossJoins (HITS
+                   # sum-normalization, 4 per two rounds)
+                   "q141_hits_scores"}
     for name, fn in em.queries().items():
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
