@@ -1327,6 +1327,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window; its integer sum-normalization dialect is pinned by
         # its own DuckDB oracle under the same local gates
         "q141_hits_scores",
+        # tail by design from birth (round 5): q142 (serving-state
+        # classification: soft-404 / parked / login-wall) is a pure
+        # codegen marker projection — the q95/q96 map-only filter
+        # family (in-window via both) over closed-form planted pages;
+        # its marker list and precedence are pinned by its own DuckDB
+        # oracle under tools/check_oracles.py + test_entry_oracle
+        "q142_serving_state",
+        # tail by design from birth (round 5): q143 (Heaps-law
+        # vocabulary growth) is two hash aggs over the q11/q28 token
+        # stream (in-window via q36's consumption of q11 and the dozen
+        # in-window aggs) plus running windows over the 16-row shard
+        # table — the q118 sketch-sized-window discipline; pinned by
+        # its own DuckDB oracle under the same local gates
+        "q143_vocab_growth",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -113,6 +113,8 @@ HEADLINE_QUERIES = [
     "q139_count_min_tokens",
     "q140_crawl_depth",
     "q141_hits_scores",
+    "q142_serving_state",
+    "q143_vocab_growth",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

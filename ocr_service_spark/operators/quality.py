@@ -585,14 +585,119 @@ def _q112_oracle() -> str:
     """
 
 
+# -- q142: page serving-state classification ----------------------------------
+#
+# A 200-status response is not necessarily content: soft-404s ("not
+# found" served as 200), parked-domain placeholders, and login walls
+# are the classic junk classes a crawl corpus filters before any
+# quality scoring. The classifier is a pure codegen projection —
+# lowercase the page, test pinned marker substrings, apply a fixed
+# precedence (soft404 > parked > login_wall, the cheap-to-expensive
+# triage order) — so at 100 TB it rides the scan with zero shuffles.
+# Markers are matched with contains() on lowered text (no regex —
+# byte-identical semantics in any engine).
+SOFT404_MARKERS = (
+    "404 not found",
+    "page not found",
+    "page does not exist",
+    "no longer available",
+)
+PARKED_MARKERS = ("domain is for sale", "buy this domain", "domain parking")
+LOGIN_MARKERS = (
+    "log in to continue",
+    "sign in to view",
+    "create an account to continue",
+)
+
+
+def _any_marker(col: "F.Column", markers: tuple[str, ...]) -> "F.Column":
+    hit = None
+    for m in markers:
+        h = col.contains(m)
+        hit = h if hit is None else hit | h
+    return hit
+
+
+def q142_serving_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-state verdict over planted pages: every 11th doc gets a
+    soft-404 title (d%11==1), a soft-404 body suffix (2), a parked-
+    domain body (3), or a login-wall suffix (4); the rest serve their
+    real text. The oracle replays the planting and the rule — both are
+    closed-form — so the marker dialect and precedence are pinned
+    cross-engine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = F.col("doc_id")
+    title = F.when(
+        d % 11 == 1, F.format_string("Error 404 Not Found - /e%s", d.cast("string"))
+    ).otherwise(F.format_string("Article %s", d.cast("string")))
+    body = (
+        F.when(d % 11 == 2, F.concat("text", F.lit(" Sorry, this page does not exist.")))
+        .when(d % 11 == 3, F.lit("This domain is for sale. Contact the broker today."))
+        .when(d % 11 == 4, F.concat("text", F.lit(" Please sign in to view this content.")))
+        .otherwise(F.col("text"))
+    )
+    page = F.lower(F.concat(title, F.lit(" "), body))
+    pages = docs.select(d.alias("doc_id"), page.alias("page"))
+    s404 = _any_marker(F.col("page"), SOFT404_MARKERS)
+    park = _any_marker(F.col("page"), PARKED_MARKERS)
+    login = _any_marker(F.col("page"), LOGIN_MARKERS)
+    verdict = (
+        F.when(s404, "soft404")
+        .when(park, "parked")
+        .when(login, "login_wall")
+        .otherwise("ok")
+    )
+    return pages.select(
+        "doc_id",
+        s404.alias("is_soft404"),
+        park.alias("is_parked"),
+        login.alias("is_login_wall"),
+        verdict.alias("verdict"),
+    )
+
+
+def _q142_oracle() -> str:
+    def any_sql(markers: tuple[str, ...]) -> str:
+        return "(" + " OR ".join(f"contains(page, '{m}')" for m in markers) + ")"
+
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   lower(
+                       (CASE WHEN doc_id % 11 = 1
+                             THEN 'Error 404 Not Found - /e' || CAST(doc_id AS VARCHAR)
+                             ELSE 'Article ' || CAST(doc_id AS VARCHAR) END)
+                       || ' ' ||
+                       (CASE doc_id % 11
+                            WHEN 2 THEN text || ' Sorry, this page does not exist.'
+                            WHEN 3 THEN 'This domain is for sale. Contact the broker today.'
+                            WHEN 4 THEN text || ' Please sign in to view this content.'
+                            ELSE text END)
+                   ) AS page
+            FROM documents
+        )
+        SELECT doc_id,
+               {any_sql(SOFT404_MARKERS)} AS is_soft404,
+               {any_sql(PARKED_MARKERS)} AS is_parked,
+               {any_sql(LOGIN_MARKERS)} AS is_login_wall,
+               CASE WHEN {any_sql(SOFT404_MARKERS)} THEN 'soft404'
+                    WHEN {any_sql(PARKED_MARKERS)} THEN 'parked'
+                    WHEN {any_sql(LOGIN_MARKERS)} THEN 'login_wall'
+                    ELSE 'ok' END AS verdict
+        FROM p
+    """
+
+
 QUERIES = {
     "q95_gopher_quality": q95_gopher_quality,
     "q96_c4_line_filter": q96_c4_line_filter,
     "q97_url_filter": q97_url_filter,
     "q112_readability": q112_readability,
+    "q142_serving_state": q142_serving_state,
 }
 
 ORACLES: dict[str, str] = {
+    "q142_serving_state": _q142_oracle(),
     "q95_gopher_quality": _q95_oracle(),
     "q96_c4_line_filter": _Q96_ORACLE,
     "q97_url_filter": _q97_oracle(),

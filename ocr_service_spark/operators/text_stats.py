@@ -286,6 +286,50 @@ def q139_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q143: vocabulary growth curve (Heaps' law measurement) -------------------------
+#
+# The corpus-level diagnostic behind dedup and mixture decisions: as
+# shards accumulate, how fast does the vocabulary still grow? A curve
+# that keeps climbing means new content; one that flattens means the
+# tail shards are redundant. Integer-exact: per token, the FIRST shard
+# (min over a hash-agg); per shard, new-type and token counts; then
+# running sums over the SHARD-SIZED table (VOCAB_SHARDS rows — the
+# window never sees raw tokens, same discipline as q118's bin table).
+VOCAB_SHARDS = 16
+
+
+def q143_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per shard (doc_id % VOCAB_SHARDS, in shard order): tokens in the
+    shard, types first seen there, and the cumulative token/type counts
+    a Heaps-law fit consumes. Two hash aggs (token counts per shard;
+    min-first-shard per type) plus windows over 16 rows."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % VOCAB_SHARDS).cast("bigint").alias("shard"),
+        F.explode(F.split(F.trim("text"), TOKEN_RE)).alias("tok"),
+    )
+    per_shard = toks.groupBy("shard").agg(F.count(F.lit(1)).alias("n_tokens"))
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min("shard").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_shard.join(new_types, "shard", "left")
+        .select(
+            "shard",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_new_types", F.lit(0)).cast("bigint").alias("n_new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn("cum_types", F.sum("n_new_types").over(w).cast("bigint"))
+    )
+
+
 # -- deterministic stratified sampling ----------------------------------------------
 SAMPLE_K = 20  # docs kept per language stratum
 SAMPLE_SALT = "sample"
@@ -788,6 +832,25 @@ ORACLES: dict[str, str] = {
                CAST(min(n) - exact_n AS BIGINT) AS overcount
         FROM probe JOIN sketch USING (r, c)
         GROUP BY tok, exact_n
+    """,
+    # q143: same token stream, min-first-shard per type, running sums
+    # over the 16-row shard table.
+    "q143_vocab_growth": f"""
+        WITH toks AS (
+            SELECT doc_id % {VOCAB_SHARDS} AS shard,
+                   unnest(regexp_split_to_array(trim(text), '{TOKEN_RE}')) AS tok
+            FROM documents
+        ),
+        per_shard AS (SELECT shard, count(*) AS n_tokens FROM toks GROUP BY 1),
+        firsts AS (SELECT tok, min(shard) AS shard FROM toks GROUP BY 1),
+        new_types AS (SELECT shard, count(*) AS n_new_types FROM firsts GROUP BY 1)
+        SELECT p.shard,
+               CAST(p.n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types,
+               CAST(sum(p.n_tokens) OVER (ORDER BY p.shard) AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(n.n_new_types, 0)) OVER (ORDER BY p.shard)
+                    AS BIGINT) AS cum_types
+        FROM per_shard p LEFT JOIN new_types n ON p.shard = n.shard
     """,
     "q29_top_terms": f"""
         SELECT lang, tok, n, rank FROM (
@@ -1345,6 +1408,7 @@ QUERIES = {
     "q28_hll_distinct_tokens": q28_hll_distinct_tokens,
     "q29_top_terms": q29_top_terms,
     "q139_count_min_tokens": q139_count_min_tokens,
+    "q143_vocab_growth": q143_vocab_growth,
     "q36_token_percentiles": q36_token_percentiles,
     "q39_repetition_stats": q39_repetition_stats,
     "q81_lm_familiarity": q81_lm_familiarity,
