@@ -1341,6 +1341,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table — the q118 sketch-sized-window discipline; pinned by
         # its own DuckDB oracle under the same local gates
         "q143_vocab_growth",
+        # tail by design from birth (round 5): q144 (BPE encode-apply)
+        # is the map-only Arrow-batched mapInPandas shape every
+        # in-window extraction roundtrip runs, completing the q86/q83
+        # tokenizer chain; its merge dialect is pinned against
+        # HAND-DERIVED tokenizations by its own DuckDB oracle under
+        # tools/check_oracles.py + test_entry_oracle
+        "q144_bpe_encode",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,
@@ -1374,9 +1381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q104_avc1_streams"] = _q104_avc1_streams
     out["q105_media_route"] = _q105_media_route
     # tail by design from birth (round 5): the retrieval tier — q115's
-    # conjunctive postings search and q116's rational-BM25 both end in
-    # the TakeOrderedAndProject top-k shape that q92 runs in-window,
-    # over the filter-before-shuffle postings build; their ranking
+    # conjunctive postings search, q116's rational-BM25, and q145's
+    # positional phrase search all end in the TakeOrderedAndProject
+    # top-k shape that q92 runs in-window, over the
+    # filter-before-shuffle postings build (q145 adds one composite-key
+    # adjacency self-join, the q34-family equi-join); their ranking
     # dialects are pinned by their own DuckDB oracles under
     # tools/check_oracles.py + test_entry_oracle
     for name, fn in retrieval.QUERIES.items():

@@ -115,6 +115,8 @@ HEADLINE_QUERIES = [
     "q141_hits_scores",
     "q142_serving_state",
     "q143_vocab_growth",
+    "q144_bpe_encode",
+    "q145_phrase_search",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

@@ -145,12 +145,100 @@ _Q116_ORACLE = f"""
     LIMIT {TOP_K}
 """
 
+# -- q145: positional phrase search --------------------------------------------
+#
+# The retrieval upgrade conjunctive search can't express: "table part"
+# as an exact ADJACENT sequence, not a bag of terms. Postings gain a
+# position column (posexplode), still filtered to the phrase's terms
+# before any shuffle; adjacency is one self-equi-join on the composite
+# key (doc_id, pos + 1) — hash-partitioned on doc_id, no window over
+# raw positions, no cartesian. A k-term phrase chains k-1 such joins.
+PHRASE = ("table", "part")
+
+
+def positional_postings(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, pos, term) for the given terms only — the filter runs
+    before the shuffle, so only phrase-term tokens move."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\S+)"), 1)
+        ).alias("pos", "term"),
+    )
+    return toks.filter(F.col("term").isin(*terms))
+
+
+def q145_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the exact phrase ``PHRASE`` (adjacent tokens, in
+    order), ranked by occurrence count desc (doc_id asc tie-break),
+    top-k, with the first occurrence position for snippeting."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    p = positional_postings(docs, PHRASE)
+    cur = p.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("start_pos"), F.col("pos").alias("pos")
+    )
+    for t in PHRASE[1:]:
+        nxt = p.filter(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias("npos")
+        )
+        cur = (
+            cur.withColumn("want", F.col("pos") + 1)
+            .join(nxt, (cur["doc_id"] == nxt["doc_id"]) & (F.col("want") == nxt["npos"]))
+            .select(cur["doc_id"], "start_pos", F.col("npos").alias("pos"))
+        )
+    return (
+        cur.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("phrase_tf"),
+            F.min("start_pos").alias("first_pos"),
+        )
+        .orderBy(F.col("phrase_tf").desc(), F.col("doc_id").asc())
+        .limit(TOP_K)
+        .select(
+            "doc_id",
+            F.col("phrase_tf").cast("bigint").alias("phrase_tf"),
+            F.col("first_pos").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+_PHRASE_JOINS = "\n        ".join(
+    f"JOIN p t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.term = '{t}'"
+    f" AND t{i}.pos = t0.pos + {i}"
+    for i, t in enumerate(PHRASE[1:], start=1)
+)
+
+_Q145_ORACLE = f"""
+    WITH p AS (
+        SELECT doc_id, pos - 1 AS pos, term FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\S+')) AS term,
+                   generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1)
+                       AS pos
+            FROM documents
+        ) WHERE term IN ({", ".join(f"'{t}'" for t in PHRASE)})
+    ),
+    m AS (
+        SELECT t0.doc_id, t0.pos AS start_pos
+        FROM p t0
+        {_PHRASE_JOINS}
+        WHERE t0.term = '{PHRASE[0]}'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf,
+           CAST(min(start_pos) AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id
+    ORDER BY phrase_tf DESC, doc_id ASC
+    LIMIT {TOP_K}
+"""
+
 QUERIES = {
     "q115_inverted_search": q115_inverted_search,
     "q116_bm25_topk": q116_bm25_topk,
+    "q145_phrase_search": q145_phrase_search,
 }
 
 ORACLES: dict[str, str] = {
     "q115_inverted_search": _Q115_ORACLE,
     "q116_bm25_topk": _Q116_ORACLE,
+    "q145_phrase_search": _Q145_ORACLE,
 }

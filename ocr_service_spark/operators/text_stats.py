@@ -658,6 +658,106 @@ def q86_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _top(p1, 1).unionAll(_top(p2, 2))
 
 
+# -- q144: BPE encode-apply (tokenize with a fixed merge table) ---------------------
+#
+# Completes the tokenizer chain: q86 LEARNS merges, q83 counts
+# BPE-ish tokens, this APPLIES a fixed merge table — the step that
+# turns a corpus into token sequences for packing (q82). Pinned
+# dialect: merges apply in priority order, one left-to-right pass per
+# merge (a repeat like 'aaa' under a+a becomes [aa, a]). The encoder
+# is a real iterative algorithm no Column expression expresses, so it
+# runs as an Arrow-batched mapInPandas (map-only, zero shuffles); the
+# oracle replays HAND-DERIVED tokenizations of the planted lexicon —
+# independent ground truth, never the encoder itself.
+BPE_APPLY_MERGES = (
+    ("e", "r"), ("l", "o"), ("lo", "w"), ("n", "e"),
+    ("ne", "w"), ("e", "s"), ("es", "t"),
+)
+BPE_LEXICON = (
+    "lower", "lowest", "newer", "newest", "low", "new", "wider", "widest",
+)
+# hand-derived under the dialect above (worked in the q144 docstring)
+_BPE_EXPECTED = {
+    "lower": "low er", "lowest": "low est", "newer": "new er",
+    "newest": "new est", "low": "low", "new": "new",
+    "wider": "w i d er", "widest": "w i d est",
+}
+
+
+def bpe_apply(word: str, merges=BPE_APPLY_MERGES) -> list[str]:
+    """Greedy BPE encode of one word under the pinned dialect."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def q144_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a planted word stream (word = BPE_LEXICON[doc_id % 8])
+    with the fixed merge table. Hand-derivation of every expected
+    tokenization, in merge order e+r, l+o, lo+w, n+e, ne+w, e+s, es+t:
+
+        lower  -> l o w e r  -> er -> lo -> low        -> [low, er]
+        lowest -> l o w e s t -> lo -> low -> es -> est -> [low, est]
+        newer  -> n e w e r  -> er -> ne -> new        -> [new, er]
+        newest -> n e w e s t -> ne -> new -> es -> est -> [new, est]
+        low    -> lo -> low; new -> ne -> new          -> 1 token each
+        wider  -> w i d e r  -> er                     -> [w, i, d, er]
+        widest -> w i d e s t -> es -> est             -> [w, i, d, est]
+
+    The oracle pins these as literals; the Spark side runs the REAL
+    encoder over them."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    word = F.element_at(F.array(*[F.lit(w) for w in BPE_LEXICON]), (d % 8 + 1).cast("int"))
+    words = docs.select("doc_id", word.alias("word"))
+
+    def encode(batches):
+        for pdf in batches:
+            toks = [bpe_apply(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "word": pdf["word"],
+                    "n_tokens": [len(t) for t in toks],
+                    "tokens": [" ".join(t) for t in toks],
+                }
+            )
+
+    return words.mapInPandas(
+        encode, "doc_id bigint, word string, n_tokens bigint, tokens string"
+    )
+
+
+def _q144_oracle() -> str:
+    word_case = "CASE doc_id % 8 " + " ".join(
+        f"WHEN {i} THEN '{w}'" for i, w in enumerate(BPE_LEXICON)
+    ) + " END"
+    tok_case = "CASE doc_id % 8 " + " ".join(
+        f"WHEN {i} THEN '{_BPE_EXPECTED[w]}'" for i, w in enumerate(BPE_LEXICON)
+    ) + " END"
+    n_case = "CASE doc_id % 8 " + " ".join(
+        f"WHEN {i} THEN {len(_BPE_EXPECTED[w].split())}"
+        for i, w in enumerate(BPE_LEXICON)
+    ) + " END"
+    return f"""
+        SELECT doc_id, {word_case} AS word,
+               CAST({n_case} AS BIGINT) AS n_tokens,
+               {tok_case} AS tokens
+        FROM documents
+    """
+
+
 def _lang_id_oracle() -> str:
     hit_exprs = ", ".join(
         f"len(regexp_extract_all(text, '{_marker_pattern(m)}')) AS hits_{lang}"
@@ -1409,6 +1509,7 @@ QUERIES = {
     "q29_top_terms": q29_top_terms,
     "q139_count_min_tokens": q139_count_min_tokens,
     "q143_vocab_growth": q143_vocab_growth,
+    "q144_bpe_encode": q144_bpe_encode,
     "q36_token_percentiles": q36_token_percentiles,
     "q39_repetition_stats": q39_repetition_stats,
     "q81_lm_familiarity": q81_lm_familiarity,
@@ -1423,6 +1524,7 @@ QUERIES = {
 }
 
 ORACLES["q131_paragraph_langs"] = _Q131_ORACLE
+ORACLES["q144_bpe_encode"] = _q144_oracle()
 
 # DuckDB twin of q128: same planted hostile text, same RE2-compatible
 # classes (\x{...} spelling), same integer/hash outputs.
