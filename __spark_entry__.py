@@ -1348,6 +1348,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HAND-DERIVED tokenizations by its own DuckDB oracle under
         # tools/check_oracles.py + test_entry_oracle
         "q144_bpe_encode",
+        # tail by design from birth (round 5): q146 (code-vs-prose
+        # routing) is the q95/q96/q142 pure-codegen marker-projection
+        # family (in-window via q95's consumption in q70's branches);
+        # its symbol/keyword/indent dialect is pinned by its own DuckDB
+        # oracle under tools/check_oracles.py + test_entry_oracle
+        "q146_code_routing",
+        # tail by design from birth (round 5): q147 (hashed linear
+        # classifier inference) is DSIR's machinery with a supervised
+        # weight table — explode-grams + broadcast join + per-doc sum,
+        # all in-window via q93/q99's broadcast-agg family; its hash/
+        # weight dialect is pinned by its own DuckDB oracle
+        "q147_clf_inference",
+        # tail by design from birth (round 5): q148 (rendezvous reshard
+        # stability) is a zero-join codegen argmax projection (the
+        # q132/q63 array-expression family, in-window via q63's
+        # consumers) plus one 16-row groupBy; the highest-random-weight
+        # tie dialect is pinned by its own DuckDB oracle
+        "q148_reshard_stability",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -117,6 +117,9 @@ HEADLINE_QUERIES = [
     "q143_vocab_growth",
     "q144_bpe_encode",
     "q145_phrase_search",
+    "q146_code_routing",
+    "q147_clf_inference",
+    "q148_reshard_stability",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

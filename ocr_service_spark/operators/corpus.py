@@ -914,8 +914,197 @@ ORACLES["q108_chunk_overlap"] = f"""
     FROM ch
 """
 
+# -- q147: hashed linear classifier inference (fastText shape) ----------------
+#
+# Production quality filtering (FineWeb-Edu, fastText lang/quality
+# models) is a LEARNED linear model applied at corpus scale: hash each
+# n-gram into a fixed bucket space, look the bucket's weight up in the
+# model table, sum per document, threshold. The weights here are a
+# planted closed-form table (bucket*37 % 201 - 100) so the oracle can
+# rebuild it; a real model would land as a parquet the broadcast join
+# consumes unchanged — the PLAN is the point: explode bigrams
+# map-side, one broadcast hash-join against the CLF_BUCKETS-row weight
+# table, one per-doc partial-agg sum. DSIR (q93) is the unigram
+# importance-ratio cousin; this is the supervised-classifier shape.
+CLF_BUCKETS = 256
+CLF_SALT = "clf"
+CLF_BIAS = -40  # decision threshold folded in as a bias
+
+
+def clf_weights(spark: SparkSession) -> DataFrame:
+    """The planted weight table: (bucket, weight) with weight in
+    [-100, 100]. A learned model is a drop-in replacement."""
+    return spark.range(CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37) % 201 - 100).cast("bigint").alias("weight"),
+    )
+
+
+def q147_clf_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: bigram count, summed bucket weight, and the keep
+    verdict at score + CLF_BIAS > 0."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.split(F.trim("text"), TOKEN_RE)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+            )
+        ).alias("gram"),
+    )
+    hashed = grams.select("doc_id", F.pmod(h32(F.col("gram"), CLF_SALT), F.lit(CLF_BUCKETS)).alias("bucket"))
+    scored = hashed.join(F.broadcast(clf_weights(spark)), "bucket")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("weight").alias("score"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("score").cast("bigint").alias("score"),
+            (F.col("score") + CLF_BIAS > 0).alias("keep"),
+        )
+    )
+
+
+ORACLES["q147_clf_inference"] = f"""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+                   AS gram
+        FROM tk
+    ),
+    h AS (
+        SELECT doc_id, {h32_sql("gram", CLF_SALT)} % {CLF_BUCKETS} AS bucket
+        FROM g
+    ),
+    w AS (
+        SELECT CAST(b AS BIGINT) AS bucket,
+               CAST((b * 37) % 201 - 100 AS BIGINT) AS weight
+        FROM (SELECT unnest(range({CLF_BUCKETS})) AS b)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(weight) AS BIGINT) AS score,
+           sum(weight) + {CLF_BIAS} > 0 AS keep
+    FROM h JOIN w USING (bucket)
+    GROUP BY doc_id
+"""
+
+
+# -- q148: rendezvous-hash reshard stability -----------------------------------
+#
+# Growing a sharded corpus store (16 -> 20 output shards) under plain
+# modulo hashing reshuffles ~everything; rendezvous (highest-random-
+# weight) hashing guarantees a document moves ONLY if one of the new
+# shards wins its vote — expected movement is 4/20 of the corpus and
+# every move lands IN a new shard. This query assigns both layouts and
+# measures the property. Pure codegen: the per-doc argmax is an
+# array_max over NEW_SHARDS inline structs (tie dialect: highest hash,
+# then highest shard id), zero joins, one 16-row groupBy at the end.
+RDV_OLD_SHARDS = 16
+RDV_NEW_SHARDS = 20
+RDV_SALT = "rdv"
+
+
+def rendezvous_shard(doc_id, n_shards: int):
+    """Winning shard for a doc under highest-random-weight hashing."""
+    cands = F.array(
+        *[
+            F.struct(
+                h32(F.concat(doc_id.cast("string"), F.lit(f"#{s}")), RDV_SALT).alias("h"),
+                F.lit(s).cast("bigint").alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return F.array_max(cands)["s"]
+
+
+def q148_reshard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per old shard: doc count, docs that move under 16 -> 20, docs
+    that move INTO a brand-new shard (the rendezvous property makes
+    these equal — the oracle and the data both prove it), movement in
+    basis points."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    assigned = docs.select(
+        rendezvous_shard(d, RDV_OLD_SHARDS).alias("old_shard"),
+        rendezvous_shard(d, RDV_NEW_SHARDS).alias("new_shard"),
+    )
+    moved = (F.col("new_shard") != F.col("old_shard")).cast("bigint")
+    into_new = (
+        (F.col("new_shard") >= RDV_OLD_SHARDS)
+        & (F.col("new_shard") != F.col("old_shard"))
+    ).cast("bigint")
+    return (
+        assigned.groupBy("old_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(moved).alias("n_moved"),
+            F.sum(into_new).alias("n_into_new"),
+        )
+        .select(
+            "old_shard",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_moved").cast("bigint").alias("n_moved"),
+            F.col("n_into_new").cast("bigint").alias("n_into_new"),
+            F.expr("(n_moved * 10000) div n_docs").cast("bigint").alias("moved_bp"),
+        )
+    )
+
+
+_RDV_H = (
+    "CAST(('0x' || substr(md5('" + RDV_SALT + "' || CAST(doc_id AS VARCHAR) "
+    "|| '#' || CAST(s AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+ORACLES["q148_reshard_stability"] = f"""
+    WITH cand AS (
+        SELECT doc_id, s, {_RDV_H} AS h
+        FROM documents, LATERAL unnest(range({RDV_NEW_SHARDS})) AS t(s)
+    ),
+    old AS (
+        SELECT doc_id, s AS old_shard FROM (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, s DESC) AS rn
+            FROM cand WHERE s < {RDV_OLD_SHARDS}
+        ) WHERE rn = 1
+    ),
+    new AS (
+        SELECT doc_id, s AS new_shard FROM (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, s DESC) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT CAST(old_shard AS BIGINT) AS old_shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN new_shard != old_shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(sum(CASE WHEN new_shard >= {RDV_OLD_SHARDS}
+                          AND new_shard != old_shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_into_new,
+           CAST(sum(CASE WHEN new_shard != old_shard THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS moved_bp
+    FROM old JOIN new USING (doc_id)
+    GROUP BY old_shard
+"""
+
+
 QUERIES = {
     "q70_corpus_filter": q70_corpus_filter,
+    "q147_clf_inference": q147_clf_inference,
+    "q148_reshard_stability": q148_reshard_stability,
     "q98_corpus_export": q98_corpus_export,
     "q99_corpus_mixture": q99_corpus_mixture,
     "q107_line_dedup_first": q107_line_dedup_first,

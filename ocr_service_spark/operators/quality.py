@@ -688,16 +688,99 @@ def _q142_oracle() -> str:
     """
 
 
+# -- q146: code-vs-prose routing ------------------------------------------------
+#
+# A training-data pipeline routes source code away from the prose
+# filters (Gopher/C4 rules would junk perfectly good code, and code
+# models want it concentrated). Pinned integer dialect, pure codegen
+# projection: count code-symbol hits, code-keyword hits, and indented
+# lines; a document routes to 'code' when symbols clear a per-char
+# basis-point floor AND (keywords or indentation corroborate).
+CODE_SYM_RE = r"[{}();=<>\[\]]"
+CODE_KW_RE = r"\b(def|return|import|function|class|const|var|elif|lambda)\b"
+CODE_SYM_BP_MIN = 300  # >= 3% of non-ws chars are code symbols
+CODE_MIN_CORROB = 3  # keyword hits or indented lines needed alongside
+
+_CODE_SNIPPET = (
+    "def shard(x):\n"
+    "    return (x * 31) % 64\n"
+    "class Packer:\n"
+    "    def pack(self, docs):\n"
+    "        out = [];\n"
+    "        for d in docs:\n"
+    "            out.append(d);\n"
+    "        return out\n"
+)
+
+
+def q146_code_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route planted pages: every 6th doc serves the code snippet, the
+    rest their prose text. Signals and the verdict are all integers the
+    oracle replays; at 100 TB this rides the scan — zero shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = F.col("doc_id")
+    body = F.when(d % 6 == 0, F.lit(_CODE_SNIPPET)).otherwise(F.col("text"))
+    pages = docs.select("doc_id", body.alias("body"))
+    nchars = F.length(F.regexp_replace("body", r"\s", "")).cast("bigint")
+    sym = F.regexp_count("body", F.lit(CODE_SYM_RE)).cast("bigint")
+    kw = F.regexp_count("body", F.lit(CODE_KW_RE)).cast("bigint")
+    indented = F.size(
+        F.filter(F.split("body", "\n"), lambda l: l.rlike(r"^(\t| {2,})"))
+    ).cast("bigint")
+    sym_ok = sym * 10000 >= CODE_SYM_BP_MIN * F.greatest(nchars, F.lit(1))
+    corrob = (kw >= CODE_MIN_CORROB) | (indented >= CODE_MIN_CORROB)
+    return pages.select(
+        "doc_id",
+        sym.alias("n_code_symbols"),
+        kw.alias("n_code_keywords"),
+        indented.alias("n_indented_lines"),
+        F.when(sym_ok & corrob, "code").otherwise("prose").alias("route"),
+    )
+
+
+def _q146_oracle() -> str:
+    snippet = _CODE_SNIPPET.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 6 = 0 THEN '{snippet}' ELSE text END AS body
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(body, '{CODE_SYM_RE}')) AS BIGINT)
+                       AS n_code_symbols,
+                   CAST(len(regexp_extract_all(body, '{CODE_KW_RE}')) AS BIGINT)
+                       AS n_code_keywords,
+                   CAST(len(list_filter(string_split(body, chr(10)),
+                        l -> regexp_matches(l, '^(\\t| {{2,}})'))) AS BIGINT)
+                       AS n_indented_lines,
+                   CAST(len(regexp_replace(body, '\\s', '', 'g')) AS BIGINT)
+                       AS nchars
+            FROM p
+        )
+        SELECT doc_id, n_code_symbols, n_code_keywords, n_indented_lines,
+               CASE WHEN n_code_symbols * 10000
+                         >= {CODE_SYM_BP_MIN} * greatest(nchars, 1)
+                         AND (n_code_keywords >= {CODE_MIN_CORROB}
+                              OR n_indented_lines >= {CODE_MIN_CORROB})
+                    THEN 'code' ELSE 'prose' END AS route
+        FROM s
+    """
+
+
 QUERIES = {
     "q95_gopher_quality": q95_gopher_quality,
     "q96_c4_line_filter": q96_c4_line_filter,
     "q97_url_filter": q97_url_filter,
     "q112_readability": q112_readability,
     "q142_serving_state": q142_serving_state,
+    "q146_code_routing": q146_code_routing,
 }
 
 ORACLES: dict[str, str] = {
     "q142_serving_state": _q142_oracle(),
+    "q146_code_routing": _q146_oracle(),
     "q95_gopher_quality": _q95_oracle(),
     "q96_c4_line_filter": _Q96_ORACLE,
     "q97_url_filter": _q97_oracle(),
