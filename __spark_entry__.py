@@ -1366,6 +1366,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # consumers) plus one 16-row groupBy; the highest-random-weight
         # tie dialect is pinned by its own DuckDB oracle
         "q148_reshard_stability",
+        # tail by design from birth (round 5): q149 (host-skew report +
+        # salting advisor) is one URL-sized groupBy then windows over
+        # the HOST-sized table — the q84/q111 count-window family
+        # (in-window via q73's WindowGroupLimit and q84's builders);
+        # its Lorenz/median/salt dialect is pinned by its own DuckDB
+        # oracle under tools/check_oracles.py + test_entry_oracle
+        "q149_host_skew",
+        # tail by design from birth (round 5): q150 (token-budget
+        # selection) is the q82/q50 ordered running-sum window family
+        # (in-window via q22/q49) with a relative-budget cut; its
+        # greedy keep rule is pinned by its own DuckDB oracle under the
+        # same local gates
+        "q150_budget_selection",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -120,6 +120,8 @@ HEADLINE_QUERIES = [
     "q146_code_routing",
     "q147_clf_inference",
     "q148_reshard_stability",
+    "q149_host_skew",
+    "q150_budget_selection",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

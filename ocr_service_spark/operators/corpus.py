@@ -1101,10 +1101,77 @@ ORACLES["q148_reshard_stability"] = f"""
 """
 
 
+# -- q150: token-budget corpus selection ---------------------------------------
+#
+# "Give me the best N tokens" — the final cut every pretraining run
+# makes: rank documents by a quality score, keep greedily until the
+# token budget is spent. Budget is relative (the best 40% of corpus
+# tokens) so the query is SF-independent; the keep rule is pinned as
+# cumulative-INCLUDING-current <= budget. One global ordered window —
+# the measurement form; at 100 TB the same cut runs as range-partition
+# by score + per-range offset reconciliation (two passes, no single-
+# task sort), with identical semantics.
+BUDGET_NUM, BUDGET_DEN = 4, 10
+BUDGET_SALT = "qual"
+
+
+def q150_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    quality = F.pmod(h32(F.col("doc_id").cast("string"), BUDGET_SALT), F.lit(100))
+    n_tokens = F.size(F.split(F.trim("text"), TOKEN_RE)).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        quality.cast("bigint").alias("quality"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    staged = scored.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("n_tokens").over(w_all).cast("bigint").alias("total_tokens"),
+    )
+    return staged.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") * BUDGET_DEN <= F.col("total_tokens") * BUDGET_NUM).alias(
+            "keep"
+        ),
+    )
+
+
+ORACLES["q150_budget_selection"] = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {h32_sql("CAST(doc_id AS VARCHAR)", BUDGET_SALT)} % 100 AS quality,
+               CAST(len(regexp_split_to_array(trim(text), '{TOKEN_RE}')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    staged AS (
+        SELECT doc_id, CAST(quality AS BIGINT) AS quality, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+        FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens,
+           cum_tokens * {BUDGET_DEN} <= total_tokens * {BUDGET_NUM} AS keep
+    FROM staged
+"""
+
+
 QUERIES = {
     "q70_corpus_filter": q70_corpus_filter,
     "q147_clf_inference": q147_clf_inference,
     "q148_reshard_stability": q148_reshard_stability,
+    "q150_budget_selection": q150_budget_selection,
     "q98_corpus_export": q98_corpus_export,
     "q99_corpus_mixture": q99_corpus_mixture,
     "q107_line_dedup_first": q107_line_dedup_first,

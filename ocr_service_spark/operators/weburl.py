@@ -490,6 +490,77 @@ _Q140_ORACLE = f"""
 """
 
 
+# -- q149: host-skew report + salting advisor ---------------------------------
+#
+# The diagnostic that DECIDES salting (q47's explicit two-phase agg,
+# q41's salted page buckets): how unequal is the per-host document
+# distribution, and which hosts need how many salt buckets? Planted
+# skew: a third of the corpus lands on one mega-host, the rest spreads
+# over 50 small hosts. All metrics integer: per-host share in basis
+# points, rank, the corpus Gini coefficient (the Lorenz form
+# sum((2i - n - 1) * x_i) scaled by 10000 over n * total), and a salt
+# factor = max(1, n_docs div median) — hosts at the median get 1 (no
+# salting), the mega-host gets its true multiple. Shapes: one
+# URL-sized groupBy, then windows over the HOST-sized table only.
+GINI_SCALE = 10000
+
+
+def host_skew_report(per_host: DataFrame) -> DataFrame:
+    """(host, n_docs) -> per-host skew metrics + corpus gini_bp.
+
+    Median dialect (integer-exact percentile_disc(0.5)): the value at
+    ascending position (n + 1) div 2, ties broken by host asc."""
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("n_docs").desc(), F.col("host").asc())
+    w_asc = Window.orderBy(F.col("n_docs").asc(), F.col("host").asc())
+    w_all = Window.partitionBy()
+    ranked = per_host.select(
+        "host",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.row_number().over(w_rank).cast("bigint").alias("rank"),
+        F.row_number().over(w_asc).cast("bigint").alias("i_asc"),
+    )
+    n = F.count(F.lit(1)).over(w_all)
+    stats = ranked.select(
+        "host",
+        "n_docs",
+        "rank",
+        n.cast("bigint").alias("n_hosts"),
+        F.sum("n_docs").over(w_all).cast("bigint").alias("total"),
+        F.sum((2 * F.col("i_asc") - n - 1) * F.col("n_docs"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("lorenz"),
+        F.max(F.when(F.col("i_asc") == F.floor((n + 1) / 2), F.col("n_docs")))
+        .over(w_all)
+        .cast("bigint")
+        .alias("median_docs"),
+    )
+    return stats.select(
+        "host",
+        "n_docs",
+        "rank",
+        F.expr(f"(n_docs * {GINI_SCALE}) div total").alias("share_bp"),
+        F.expr(f"({GINI_SCALE} * lorenz) div (n_hosts * total)").alias("gini_bp"),
+        F.greatest(F.lit(1).cast("bigint"), F.expr("n_docs div median_docs")).alias(
+            "salt_factor"
+        ),
+    )
+
+
+def q149_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    host = F.when(d % 3 == 0, F.lit("h0.big")).otherwise(
+        F.format_string("h%s.test", (d % 50).cast("string"))
+    )
+    per_host = docs.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return host_skew_report(per_host)
+
+
 # -- q71: crawl snapshot churn (delta detection) -----------------------------
 
 
@@ -2884,7 +2955,41 @@ QUERIES = {
     "q138_trap_detection": q138_trap_detection,
     "q140_crawl_depth": q140_crawl_depth,
     "q141_hits_scores": q141_hits_scores,
+    "q149_host_skew": q149_host_skew,
 }
+
+# q149: replay planting + every metric; DuckDB's // is the div twin.
+ORACLES["q149_host_skew"] = f"""
+    WITH per_host AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'h0.big'
+                    ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.test' END AS host,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT host, n_docs,
+               CAST(row_number() OVER (ORDER BY n_docs DESC, host ASC) AS BIGINT)
+                   AS rank,
+               CAST(row_number() OVER (ORDER BY n_docs ASC, host ASC) AS BIGINT)
+                   AS i_asc,
+               CAST(count(*) OVER () AS BIGINT) AS n_hosts
+        FROM per_host
+    ),
+    stats AS (
+        SELECT host, n_docs, rank, n_hosts,
+               CAST(sum(n_docs) OVER () AS BIGINT) AS total,
+               CAST(sum((2 * i_asc - n_hosts - 1) * n_docs) OVER ()
+                    AS BIGINT) AS lorenz,
+               CAST(max(CASE WHEN i_asc = (n_hosts + 1) // 2
+                             THEN n_docs END) OVER () AS BIGINT) AS median_docs
+        FROM ranked
+    )
+    SELECT host, n_docs, rank,
+           CAST((n_docs * {GINI_SCALE}) // total AS BIGINT) AS share_bp,
+           CAST(({GINI_SCALE} * lorenz) // (n_hosts * total) AS BIGINT) AS gini_bp,
+           CAST(greatest(1, n_docs // median_docs) AS BIGINT) AS salt_factor
+    FROM stats
+"""
 
 ORACLES["q140_crawl_depth"] = _Q140_ORACLE
 
