@@ -1379,6 +1379,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greedy keep rule is pinned by its own DuckDB oracle under the
         # same local gates
         "q150_budget_selection",
+        # tail by design from birth (round 5): q151 (cross-host mirror
+        # detection) is q10/q37's content-hash groupBy + canonical-min
+        # election (in-window via q70's exact_dup branch and q34) with
+        # a host rollup on top; pinned by its own DuckDB oracle under
+        # tools/check_oracles.py + test_entry_oracle
+        "q151_mirror_hosts",
+        # tail by design from birth (round 5): q152 (Gopher repetition
+        # battery) is q39's explode->per-doc-count->rank shape at three
+        # gram widths (q39's machinery is reached in-window via q70's
+        # repetitive branch) plus map-only array-expression line
+        # metrics; thresholds and dialect pinned by its own DuckDB
+        # oracle under the same local gates
+        "q152_repetition_battery",
+        # tail by design from birth (round 5): q153 (URL citation
+        # mining from prose) is a pure codegen posexplode projection —
+        # the q63/q97/q132 URL-projection family (in-window via both);
+        # its regex + trailing-punctuation dialect is pinned by its own
+        # DuckDB oracle under the same local gates
+        "q153_text_citations",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -122,6 +122,9 @@ HEADLINE_QUERIES = [
     "q148_reshard_stability",
     "q149_host_skew",
     "q150_budget_selection",
+    "q151_mirror_hosts",
+    "q152_repetition_battery",
+    "q153_text_citations",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

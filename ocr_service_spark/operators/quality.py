@@ -769,6 +769,221 @@ def _q146_oracle() -> str:
     """
 
 
+# -- q152: Gopher repetition battery --------------------------------------------
+#
+# Completes the Gopher canon: q95 carries the document-quality rules,
+# q39 the top-bigram ratio; this is the REPETITION table — duplicate-
+# line fraction, duplicate-line CHARACTER fraction, and the top-
+# {2,3,4}-gram character fractions, with Gopher's published thresholds
+# as verdicts. Paragraph-granularity is the same operator over a
+# "\\n\\n" split and is intentionally not duplicated here. Line metrics
+# are pure array expressions (map-only); the top-gram table is q39's
+# explode -> per-doc count -> rank shape at three gram widths.
+# Planted lines: every doc's tokens are folded into 4 lines (the q108
+# chunk slicing); every 10th doc instead repeats its first-6-token
+# line five times — the repetitive class.
+REP_LINE_FRAC_BP = 3000  # Gopher: dup line fraction > 0.30
+REP_LINE_CHAR_BP = 2000  # dup line char fraction > 0.20
+REP_TOP_BP = {2: 2000, 3: 1800, 4: 1600}  # top n-gram char fraction
+
+
+def _q152_body():
+    """Column: the planted line-structured body (closed-form)."""
+    t = F.split(F.trim("text"), TOKEN_RE)
+    n = F.size(t)
+    # integer n div 4 via Column ops (an F.expr would re-escape TOKEN_RE)
+    k = F.greatest((n - F.pmod(n, F.lit(4))) / 4, F.lit(1)).cast("int")
+    chunk = [
+        F.array_join(F.slice(t, i * k + 1, k), " ") for i in range(3)
+    ] + [F.array_join(F.slice(t, 3 * k + 1, F.greatest(n - 3 * k, F.lit(0))), " ")]
+    normal = F.concat_ws("\n", *chunk)
+    rep_line = F.array_join(F.slice(t, 1, 6), " ")
+    repetitive = F.array_join(F.array_repeat(rep_line, 5), "\n")
+    return F.when(F.col("doc_id") % 10 == 0, repetitive).otherwise(normal)
+
+
+def q152_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    pages = docs.select("doc_id", _q152_body().alias("body"))
+
+    lines = F.split("body", "\n")
+    lchars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda a, l: a + F.length(l)
+    )
+    dchars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("bigint"), lambda a, l: a + F.length(l)
+    )
+    raw = pages.select(
+        "doc_id",
+        "body",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("bigint").alias("n_dist"),
+        lchars.alias("lchars"),
+        dchars.alias("dchars"),
+        F.length(F.regexp_replace("body", r"\s", "")).cast("bigint").alias(
+            "nonws_chars"
+        ),
+    )
+    base = raw.select(
+        "doc_id",
+        "body",
+        "n_lines",
+        F.expr("((n_lines - n_dist) * 10000) div n_lines").alias("dup_line_frac_bp"),
+        F.expr("((lchars - dchars) * 10000) div greatest(lchars, 1)").alias(
+            "dup_line_char_bp"
+        ),
+        "nonws_chars",
+    )
+
+    from pyspark.sql import Window
+
+    toks = F.split("body", r"\s+")
+    gram_arrays = [
+        pages.select(
+            "doc_id",
+            F.lit(w).cast("bigint").alias("w"),
+            F.explode(
+                F.when(
+                    F.size(toks) >= w,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - w + 1),
+                        lambda i: F.array_join(F.slice(toks, i, w), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        for w in REP_TOP_BP
+    ]
+    grams = gram_arrays[0]
+    for g in gram_arrays[1:]:
+        grams = grams.unionAll(g)
+    counts = grams.groupBy("doc_id", "w", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = Window.partitionBy("doc_id", "w").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    tops = (
+        counts.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "w",
+            (F.col("cnt") * F.length(F.regexp_replace("gram", r"\s", ""))).alias(
+                "top_chars"
+            ),
+        )
+    )
+    pivot = tops.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("w") == w, F.col("top_chars")))
+            .alias(f"top{w}_chars")
+            for w in REP_TOP_BP
+        ]
+    )
+    joined = base.join(pivot, "doc_id", "left")
+    tcols = {
+        w: F.expr(
+            f"(coalesce(top{w}_chars, 0) * 10000) div greatest(nonws_chars, 1)"
+        )
+        for w in REP_TOP_BP
+    }
+    repetitive = (
+        (F.col("dup_line_frac_bp") > REP_LINE_FRAC_BP)
+        | (F.col("dup_line_char_bp") > REP_LINE_CHAR_BP)
+        | (tcols[2] > REP_TOP_BP[2])
+        | (tcols[3] > REP_TOP_BP[3])
+        | (tcols[4] > REP_TOP_BP[4])
+    )
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac_bp",
+        "dup_line_char_bp",
+        *[tcols[w].alias(f"top{w}gram_bp") for w in REP_TOP_BP],
+        repetitive.alias("repetitive"),
+    )
+
+
+def _q152_oracle() -> str:
+    tops_sql = "\n        UNION ALL ".join(
+        f"""SELECT doc_id, {w} AS w,
+            unnest(list_transform(range(1, greatest(len(t2) - {w} + 2, 1)),
+                   i -> array_to_string(t2[i:i+{w - 1}], ' '))) AS gram
+        FROM t2s"""
+        for w in REP_TOP_BP
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t,
+                   greatest(len(regexp_split_to_array(trim(text), '{TOKEN_RE}')) // 4,
+                            1) AS k,
+                   len(regexp_split_to_array(trim(text), '{TOKEN_RE}')) AS n
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN array_to_string(list_transform(range(5),
+                             i -> array_to_string(t[1:6], ' ')), chr(10))
+                        ELSE array_to_string(t[1:k], ' ') || chr(10)
+                          || array_to_string(t[k+1:2*k], ' ') || chr(10)
+                          || array_to_string(t[2*k+1:3*k], ' ') || chr(10)
+                          || array_to_string(t[3*k+1:n], ' ')
+                   END AS body
+            FROM d
+        ),
+        base AS (
+            SELECT doc_id, body,
+                   CAST(len(string_split(body, chr(10))) AS BIGINT) AS n_lines,
+                   CAST((len(string_split(body, chr(10)))
+                        - len(list_distinct(string_split(body, chr(10))))) * 10000
+                        // len(string_split(body, chr(10))) AS BIGINT)
+                       AS dup_line_frac_bp,
+                   CAST((list_sum(list_transform(string_split(body, chr(10)),
+                                                 l -> len(l)))
+                        - list_sum(list_transform(list_distinct(
+                              string_split(body, chr(10))), l -> len(l))))
+                        * 10000
+                        // greatest(list_sum(list_transform(
+                              string_split(body, chr(10)), l -> len(l))), 1)
+                        AS BIGINT) AS dup_line_char_bp,
+                   CAST(len(regexp_replace(body, '\\s', '', 'g')) AS BIGINT)
+                       AS nonws_chars
+            FROM p
+        ),
+        t2s AS (
+            SELECT doc_id, regexp_split_to_array(body, '\\s+') AS t2 FROM p
+        ),
+        grams AS (
+            {tops_sql}
+        ),
+        counts AS (
+            SELECT doc_id, w, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+        ),
+        tops AS (
+            SELECT doc_id, w,
+                   cnt * len(replace(gram, ' ', '')) AS top_chars
+            FROM (
+                SELECT doc_id, w, gram, cnt,
+                       row_number() OVER (PARTITION BY doc_id, w
+                                          ORDER BY cnt DESC, gram ASC) AS rn
+                FROM counts
+            ) WHERE rn = 1
+        ),
+        pv AS (
+            SELECT doc_id,
+                   {", ".join(f"max(CASE WHEN w = {w} THEN top_chars END) AS top{w}_chars" for w in REP_TOP_BP)}
+            FROM tops GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_lines, b.dup_line_frac_bp, b.dup_line_char_bp,
+               {", ".join(f"CAST(coalesce(top{w}_chars, 0) * 10000 // greatest(nonws_chars, 1) AS BIGINT) AS top{w}gram_bp" for w in REP_TOP_BP)},
+               (b.dup_line_frac_bp > {REP_LINE_FRAC_BP}
+                OR b.dup_line_char_bp > {REP_LINE_CHAR_BP}
+                {" ".join(f"OR coalesce(top{w}_chars, 0) * 10000 // greatest(nonws_chars, 1) > {bp}" for w, bp in REP_TOP_BP.items())})
+                   AS repetitive
+        FROM base b LEFT JOIN pv USING (doc_id)
+    """
+
+
 QUERIES = {
     "q95_gopher_quality": q95_gopher_quality,
     "q96_c4_line_filter": q96_c4_line_filter,
@@ -776,11 +991,13 @@ QUERIES = {
     "q112_readability": q112_readability,
     "q142_serving_state": q142_serving_state,
     "q146_code_routing": q146_code_routing,
+    "q152_repetition_battery": q152_repetition_battery,
 }
 
 ORACLES: dict[str, str] = {
     "q142_serving_state": _q142_oracle(),
     "q146_code_routing": _q146_oracle(),
+    "q152_repetition_battery": _q152_oracle(),
     "q95_gopher_quality": _q95_oracle(),
     "q96_c4_line_filter": _Q96_ORACLE,
     "q97_url_filter": _q97_oracle(),

@@ -561,6 +561,159 @@ def q149_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_skew_report(per_host)
 
 
+# -- q151: cross-host mirror detection -----------------------------------------
+#
+# Mirrors, scrapers and CDNs serve byte-identical content from many
+# hosts; within-corpus dedup (q10) collapses the copies, but the
+# HOST-level signal — "what fraction of this host is mirrored from
+# elsewhere?" — is what a seed-list curator acts on (a host that is
+# 90% mirrored content adds nothing). Shapes: one groupBy per content
+# hash (n_hosts via two-phase countDistinct, canonical host = min —
+# the q10/q37 election convention), an equi-join back on the hash key
+# (both sides hash-partition on it), then one host rollup.
+def q151_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted mirroring: content c = doc_id % 120 served from host
+    m<doc_id % 17>; most contents therefore appear on several hosts.
+    Per host: docs, docs whose content also lives on ANOTHER host
+    (mirrored), docs where this host is the cluster's canonical (min
+    host string), and the mirrored share in basis points."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.format_string("m%s.test", (d % 17).cast("string")).alias("host"),
+        F.md5(F.concat(F.lit("content-"), (d % 120).cast("string"))).alias(
+            "content_hash"
+        ),
+    )
+    clusters = pages.groupBy("content_hash").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.min("host").alias("canonical_host"),
+    )
+    joined = pages.join(clusters, "content_hash")
+    return (
+        joined.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_hosts") > 1, 1).otherwise(0)).alias("n_mirrored"),
+            F.sum(
+                F.when(F.col("canonical_host") == F.col("host"), 1).otherwise(0)
+            ).alias("n_canonical"),
+        )
+        .select(
+            "host",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_mirrored").cast("bigint").alias("n_mirrored"),
+            F.col("n_canonical").cast("bigint").alias("n_canonical"),
+            F.expr("(n_mirrored * 10000) div n_docs").alias("mirrored_bp"),
+        )
+    )
+
+
+ORACLES_Q151 = """
+    WITH pages AS (
+        SELECT doc_id,
+               'm' || CAST(doc_id % 17 AS VARCHAR) || '.test' AS host,
+               md5('content-' || CAST(doc_id % 120 AS VARCHAR)) AS content_hash
+        FROM documents
+    ),
+    clusters AS (
+        SELECT content_hash, count(DISTINCT host) AS n_hosts,
+               min(host) AS canonical_host
+        FROM pages GROUP BY 1
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hosts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mirrored,
+           CAST(sum(CASE WHEN canonical_host = host THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_canonical,
+           CAST(sum(CASE WHEN n_hosts > 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS mirrored_bp
+    FROM pages JOIN clusters USING (content_hash)
+    GROUP BY host
+"""
+
+
+# -- q153: URL citation mining from plain text ----------------------------------
+#
+# Link graphs usually come from HTML (q67); PDFs, books and forum
+# dumps cite URLs in PROSE. Pinned dialect: scheme-anchored
+# `https?://` runs of non-whitespace, with trailing sentence
+# punctuation ([.,;:)\\]]+) stripped — the pragmatic rule real
+# citation miners use. Pure codegen posexplode projection; the host
+# column feeds the same rollups as q68.
+_CITE_RE = r"https?://[^\s]+"
+_CITE_TRAIL = r"[.,;:)\]]+$"
+
+
+def q153_text_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted citations: every 5th doc cites one URL mid-prose (with
+    a trailing period to exercise the strip), every 15th a second
+    bare-http one. Output: one row per citation in document order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = F.col("doc_id")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            d % 5 == 0,
+            F.format_string(
+                " see https://ref%s.example.org/doc/%s.",
+                (d % 30).cast("string"),
+                d.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 15 == 0,
+            F.format_string(
+                " and http://mirror%s.example.net/%s;",
+                (d % 7).cast("string"),
+                d.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    cites = docs.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(body, F.lit(f"({_CITE_RE})"), 1)).alias(
+            "seq", "raw"
+        ),
+    )
+    url = F.regexp_replace("raw", _CITE_TRAIL, "")
+    return cites.select(
+        "doc_id",
+        F.col("seq").cast("bigint").alias("seq"),
+        url.alias("url"),
+        F.regexp_extract(url, r"^https?://([^/]+)", 1).alias("host"),
+    )
+
+
+ORACLES_Q153 = rf"""
+    WITH p AS (
+        SELECT doc_id,
+               text
+               || (CASE WHEN doc_id % 5 = 0
+                        THEN ' see https://ref' || CAST(doc_id % 30 AS VARCHAR)
+                             || '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '.'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 15 = 0
+                        THEN ' and http://mirror' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.example.net/' || CAST(doc_id AS VARCHAR) || ';'
+                        ELSE '' END) AS body
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               generate_subscripts(regexp_extract_all(body, '{_CITE_RE}'), 1) - 1
+                   AS seq,
+               regexp_replace(unnest(regexp_extract_all(body, '{_CITE_RE}')),
+                              '[.,;:)\]]+$', '') AS url
+        FROM p
+    )
+    SELECT doc_id, CAST(seq AS BIGINT) AS seq, url,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host
+    FROM c
+"""
+
+
 # -- q71: crawl snapshot churn (delta detection) -----------------------------
 
 
@@ -2956,7 +3109,12 @@ QUERIES = {
     "q140_crawl_depth": q140_crawl_depth,
     "q141_hits_scores": q141_hits_scores,
     "q149_host_skew": q149_host_skew,
+    "q151_mirror_hosts": q151_mirror_hosts,
+    "q153_text_citations": q153_text_citations,
 }
+
+ORACLES["q151_mirror_hosts"] = ORACLES_Q151
+ORACLES["q153_text_citations"] = ORACLES_Q153
 
 # q149: replay planting + every metric; DuckDB's // is the div twin.
 ORACLES["q149_host_skew"] = f"""
