@@ -1398,6 +1398,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its regex + trailing-punctuation dialect is pinned by its own
         # DuckDB oracle under the same local gates
         "q153_text_citations",
+        # tail by design from birth (round 5): q154 (dedup-cluster size
+        # distribution) consumes q37's component labels (q37's CC
+        # machinery is reached in-window via q34's pipeline) with two
+        # sketch-sized aggs + windows over the size histogram only;
+        # pinned by its own DuckDB oracle (q37's recursive CTE wrapped
+        # as a derived table) under tools/check_oracles.py +
+        # test_entry_oracle
+        "q154_cluster_sizes",
+        # tail by design from birth (round 5): q155 (fuzzy edit-1
+        # decontamination) is q52's broadcast benchmark probe
+        # (in-window via q52) with the drop-one signature fan-out in
+        # codegen array expressions; its signature dialect is pinned by
+        # its own DuckDB oracle under the same local gates
+        "q155_fuzzy_contamination",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

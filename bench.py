@@ -125,6 +125,8 @@ HEADLINE_QUERIES = [
     "q151_mirror_hosts",
     "q152_repetition_battery",
     "q153_text_citations",
+    "q154_cluster_sizes",
+    "q155_fuzzy_contamination",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

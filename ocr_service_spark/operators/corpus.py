@@ -1101,6 +1101,140 @@ ORACLES["q148_reshard_stability"] = f"""
 """
 
 
+# -- q155: fuzzy (edit-1) benchmark decontamination -----------------------------
+#
+# q52 catches EXACT n-gram overlap; real leakage survives a one-token
+# paraphrase ("the cat sat on the mat" -> "the cat sat on a mat"), so
+# production sweeps also run a fuzzy pass. Pinned dialect: two
+# FUZZY_NGRAM-grams match when they agree at all but at most one
+# position — implemented with DROP-ONE SIGNATURES: gram g1..g5 emits
+# five (i, g-without-position-i) keys; grams differing only at
+# position i share signature i, and identical grams share all five.
+# The eval signature set is benchmark-sized -> distinct + broadcast;
+# train docs stream through the probe and the per-instance dedup is a
+# countDistinct on (doc, gram position). Fan-out is a fixed x5, inside
+# codegen array expressions.
+FUZZY_NGRAM = 5
+
+
+def _drop_one_sigs(gram):
+    """array<string> of the FUZZY_NGRAM drop-one signatures 'i|rest'."""
+    s = F.split(gram, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(FUZZY_NGRAM)),
+        lambda i: F.concat_ws(
+            "|",
+            i.cast("string"),
+            F.array_join(
+                F.concat(
+                    F.slice(s, 1, i - 1), F.slice(s, i + 1, FUZZY_NGRAM - i)
+                ),
+                " ",
+            ),
+        ),
+    )
+
+
+def q155_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training doc: 5-gram count, exact benchmark hits, fuzzy
+    (edit-1) hits, and the fuzzy-only excess the exact sweep misses.
+    The eval slice is q52's deterministic hash slice."""
+    docs = _docs(spark, sf_dir)
+    is_eval = (
+        F.pmod(h32(F.col("doc_id").cast("string"), CONTAM_SALT), F.lit(EVAL_MOD)) == 0
+    )
+    t = F.split(F.trim("text"), TOKEN_RE)
+    grams = docs.select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.posexplode(_word_ngrams(t, FUZZY_NGRAM)).alias("gpos", "gram"),
+    )
+    eval_sigs = (
+        grams.filter("is_eval")
+        .select(F.explode(_drop_one_sigs(F.col("gram"))).alias("sig"))
+        .distinct()
+    )
+    eval_grams = grams.filter("is_eval").select("gram").distinct()
+    train = grams.filter(~F.col("is_eval"))
+    exact = (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gpos").alias("n_exact"))
+    )
+    fuzzy = (
+        train.select("doc_id", "gpos", F.explode(_drop_one_sigs(F.col("gram"))).alias("sig"))
+        .join(F.broadcast(eval_sigs), "sig")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gpos").alias("n_fuzzy"))
+    )
+    base = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        base.join(exact, "doc_id", "left")
+        .join(fuzzy, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+            F.coalesce("n_fuzzy", F.lit(0)).cast("bigint").alias("n_fuzzy"),
+            (F.coalesce("n_fuzzy", F.lit(0)) - F.coalesce("n_exact", F.lit(0)))
+            .cast("bigint")
+            .alias("n_fuzzy_only"),
+            (F.coalesce("n_fuzzy", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_SIG_LIST_SQL = (
+    "list_transform(range(1, " + str(FUZZY_NGRAM + 1) + "), "
+    "i -> CAST(i AS VARCHAR) || '|' || "
+    "array_to_string(list_concat(g[1:i-1], g[i+1:" + str(FUZZY_NGRAM) + "]), ' '))"
+)
+
+ORACLES["q155_fuzzy_contamination"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               ({h32_sql("CAST(doc_id AS VARCHAR)", CONTAM_SALT)} % {EVAL_MOD} = 0)
+                   AS is_eval,
+               regexp_split_to_array(trim(text), '{TOKEN_RE}') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_eval,
+               unnest(range(1, greatest(len(t) - {FUZZY_NGRAM} + 2, 1))) AS gpos,
+               unnest(list_transform(range(1, greatest(len(t) - {FUZZY_NGRAM} + 2, 1)),
+                      i -> array_to_string(t[i:i+{FUZZY_NGRAM - 1}], ' '))) AS gram
+        FROM d
+    ),
+    eval_grams AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+    eval_sigs AS (
+        SELECT DISTINCT unnest({_SIG_LIST_SQL}) AS sig
+        FROM (SELECT string_split(gram, ' ') AS g FROM grams WHERE is_eval)
+    ),
+    train AS (SELECT doc_id, gpos, gram FROM grams WHERE NOT is_eval),
+    exact AS (
+        SELECT doc_id, count(DISTINCT gpos) AS n_exact
+        FROM train JOIN eval_grams USING (gram) GROUP BY 1
+    ),
+    tsig AS (
+        SELECT doc_id, gpos, unnest({_SIG_LIST_SQL}) AS sig
+        FROM (SELECT doc_id, gpos, string_split(gram, ' ') AS g FROM train)
+    ),
+    fuzzy AS (
+        SELECT doc_id, count(DISTINCT gpos) AS n_fuzzy
+        FROM tsig JOIN eval_sigs USING (sig) GROUP BY 1
+    ),
+    base AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(f.n_fuzzy, 0) AS BIGINT) AS n_fuzzy,
+           CAST(coalesce(f.n_fuzzy, 0) - coalesce(e.n_exact, 0) AS BIGINT)
+               AS n_fuzzy_only,
+           coalesce(f.n_fuzzy, 0) > 0 AS contaminated
+    FROM base b LEFT JOIN exact e ON b.doc_id = e.doc_id
+                LEFT JOIN fuzzy f ON b.doc_id = f.doc_id
+"""
+
+
 # -- q150: token-budget corpus selection ---------------------------------------
 #
 # "Give me the best N tokens" — the final cut every pretraining run
@@ -1172,6 +1306,7 @@ QUERIES = {
     "q147_clf_inference": q147_clf_inference,
     "q148_reshard_stability": q148_reshard_stability,
     "q150_budget_selection": q150_budget_selection,
+    "q155_fuzzy_contamination": q155_fuzzy_contamination,
     "q98_corpus_export": q98_corpus_export,
     "q99_corpus_mixture": q99_corpus_mixture,
     "q107_line_dedup_first": q107_line_dedup_first,

@@ -1395,8 +1395,75 @@ def _q125_oracle() -> str:
 
 ORACLES["q125_lsh_recall"] = _q125_oracle()
 
+# -- q154: dedup-cluster size distribution ---------------------------------------
+#
+# The report that tells you whether dedup is WORTH it: how many
+# duplicate clusters exist at each size, and what share of the corpus
+# the big clusters hold (web dedup famously follows a power law — a
+# handful of giant boilerplate clusters carry a disproportionate doc
+# share). Consumes q37's component labels; two tiny aggs (cluster ->
+# size, size -> count) and windows over the size-histogram table only.
+def q154_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per cluster size: number of clusters, docs held, and the
+    cumulative corpus share (basis points) of clusters AT LEAST this
+    large — the '1% of clusters hold X% of docs' curve."""
+    from pyspark.sql import Window
+
+    labels = q37_dedup_components(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    hist = sizes.groupBy("csize").agg(F.count(F.lit(1)).alias("n_clusters"))
+    w_cum = Window.orderBy(F.col("csize").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    staged = hist.select(
+        F.col("csize").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        (F.col("csize") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        F.sum(F.col("csize") * F.col("n_clusters"))
+        .over(w_cum)
+        .cast("bigint")
+        .alias("cum_docs"),
+        F.sum(F.col("csize") * F.col("n_clusters"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("total_docs"),
+    )
+    return staged.select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        "cum_docs",
+        F.expr("(cum_docs * 10000) div total_docs").alias("coverage_bp"),
+    )
+
+
+def _q154_oracle() -> str:
+    return f"""
+        WITH sizes AS (
+            SELECT cluster_id, count(*) AS csize
+            FROM ({ORACLES["q37_dedup_components"]}) labels
+            GROUP BY 1
+        ),
+        hist AS (SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY 1),
+        staged AS (
+            SELECT CAST(csize AS BIGINT) AS cluster_size,
+                   CAST(n_clusters AS BIGINT) AS n_clusters,
+                   CAST(csize * n_clusters AS BIGINT) AS n_docs,
+                   CAST(sum(csize * n_clusters) OVER (ORDER BY csize DESC)
+                        AS BIGINT) AS cum_docs,
+                   CAST(sum(csize * n_clusters) OVER () AS BIGINT) AS total_docs
+            FROM hist
+        )
+        SELECT cluster_size, n_clusters, n_docs, cum_docs,
+               CAST((cum_docs * 10000) // total_docs AS BIGINT) AS coverage_bp
+        FROM staged
+    """
+
+
 QUERIES = {
     "q10_dedup_exact": q10_dedup_exact,
+    "q154_cluster_sizes": q154_cluster_sizes,
     "q14_jaccard_pairs": q14_jaccard_pairs,
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_lsh_buckets": q16_lsh_buckets,
@@ -1411,3 +1478,5 @@ QUERIES = {
     "q124_containment_pairs": q124_containment_pairs,
     "q125_lsh_recall": q125_lsh_recall,
 }
+
+ORACLES["q154_cluster_sizes"] = _q154_oracle()
