@@ -1412,6 +1412,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codegen array expressions; its signature dialect is pinned by
         # its own DuckDB oracle under the same local gates
         "q155_fuzzy_contamination",
+        # tail by design from birth (round 5): q156 (LSH precision
+        # audit) is q34's exact candidate+verify pipeline (in-window
+        # via q34/q100) over q125's planted twins, with windows over
+        # the <=10-row decile table; the precision dialect is pinned by
+        # its own DuckDB oracle under tools/check_oracles.py +
+        # test_entry_oracle
+        "q156_lsh_precision",
+        # tail by design from birth (round 5): q157 (typosquat host
+        # pairs) is the q155 drop-one-signature trick at character
+        # granularity over the corpus-DISTINCT host table, verified by
+        # exact levenshtein — the equi-join-on-signature candidate
+        # bound of the q34/q19 family (in-window via both); pinned by
+        # its own DuckDB oracle under the same local gates
+        "q157_typosquat_pairs",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

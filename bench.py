@@ -127,6 +127,8 @@ HEADLINE_QUERIES = [
     "q153_text_citations",
     "q154_cluster_sizes",
     "q155_fuzzy_contamination",
+    "q156_lsh_precision",
+    "q157_typosquat_pairs",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

@@ -156,7 +156,20 @@ def q34_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify touches only pairs that share a band. Output is
     directly comparable to q14's exact inverted-index pairs at the
     same threshold (LSH recall measurement comes free)."""
-    docs = _docs(spark, sf_dir)
+    return _scored_lsh_candidates(_docs(spark, sf_dir)).filter(
+        # post-verify cut on the ROUNDED value (both engines cut on
+        # identical doubles): candidates that shared a band by luck —
+        # common on this tiny-vocabulary corpus — are not near-dups
+        F.col("jaccard") >= MINHASH_VERIFY_MIN
+    )
+
+
+def _scored_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """q34's pipeline through the exact-verify SCORING, unfiltered:
+    (doc_a, doc_b, jaccard) for every pair sharing a capped band.
+    Shared by q34 (which applies the verify cut) and q156 (which
+    measures the candidate stage's precision, so it needs the
+    below-threshold pairs too)."""
     sh = _shingles(docs)
     sigs = sh.groupBy("doc_id").agg(
         *[
@@ -194,10 +207,6 @@ def q34_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        # post-verify cut on the ROUNDED value (both engines cut on
-        # identical doubles): candidates that shared a band by luck —
-        # common on this tiny-vocabulary corpus — are not near-dups
-        .filter(F.col("jaccard") >= MINHASH_VERIFY_MIN)
     )
 
 
@@ -1395,6 +1404,129 @@ def _q125_oracle() -> str:
 
 ORACLES["q125_lsh_recall"] = _q125_oracle()
 
+# -- q156: LSH candidate-precision audit ------------------------------------------
+#
+# q125 measures the candidate stage's RECALL (planted twins); this is
+# the PRECISION side — of the pairs the capped bands surface, how many
+# survive the exact verify, binned by true Jaccard decile. Together
+# they are the full operating-point picture for the band/cap knobs.
+# Shapes: q34's exact pipeline unfiltered, then one decile groupBy and
+# windows over the <=10-row decile table.
+def q156_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per true-Jaccard decile of the candidate pairs: pair count,
+    whether the decile survives the MINHASH_VERIFY_MIN cut, the decile's
+    share of all candidates, and the overall stage precision (confirmed
+    / candidates, basis points — identical on every row)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = docs.unionByName(_recall_twins(docs))
+    scored = _scored_lsh_candidates(aug)
+    decile = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("bigint")
+    hist = scored.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("jaccard") >= MINHASH_VERIFY_MIN, 1).otherwise(0)
+        ).alias("n_confirmed"),
+    )
+    w_all = Window.partitionBy()
+    staged = hist.select(
+        "decile",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_confirmed").cast("bigint").alias("n_confirmed"),
+        F.sum("n_pairs").over(w_all).cast("bigint").alias("total_pairs"),
+        F.sum("n_confirmed").over(w_all).cast("bigint").alias("total_confirmed"),
+    )
+    return staged.select(
+        "decile",
+        "n_pairs",
+        "n_confirmed",
+        F.expr("(n_pairs * 10000) div total_pairs").alias("share_bp"),
+        F.expr("(total_confirmed * 10000) div total_pairs").alias(
+            "stage_precision_bp"
+        ),
+    )
+
+
+def _q156_oracle() -> str:
+    return f"""
+        WITH w0 AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        twins AS (
+            SELECT orig_id + {RECALL_OFFSET} AS doc_id,
+                   array_to_string(
+                       CASE cls
+                           WHEN 0 THEN w[2:len(w)]
+                           WHEN 1 THEN list_transform(
+                               list_filter(range(1, len(w) + 1),
+                                           i -> (i % 4) != 0),
+                               i -> w[CAST(i AS INT)])
+                           ELSE w[(len(w) // 2 + 1):len(w)] || w[1:(len(w) // 2)]
+                       END, ' ') AS text
+            FROM (SELECT doc_id AS orig_id, doc_id % 3 AS cls, w FROM w0)
+        ),
+        aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM twins
+        ),
+        words AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM aug
+        ),
+        t AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, len(w) - 1),
+                i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                     || ' ' || w[CAST(i AS INT) + 2]
+            )) AS toks
+            FROM words
+        ),
+        sh AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        sigs AS (
+            SELECT doc_id, {", ".join(
+                f"min({h32_sql('tok', seed)}) AS mh{i}"
+                for i, seed in enumerate(MINHASH_SEEDS))}
+            FROM sh GROUP BY doc_id
+        ),
+        bands0 AS (
+            {_lsh_band_arms_sql()}
+        ),
+        bands AS ({_capped_bands_sql('bands0', 'band_key', 'doc_id')}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
+        scored AS (
+            SELECT round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+            FROM cand
+            JOIN t a ON a.doc_id = doc_a
+            JOIN t b ON b.doc_id = doc_b
+        ),
+        hist AS (
+            SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN jaccard >= {MINHASH_VERIFY_MIN} THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_confirmed
+            FROM scored GROUP BY 1
+        ),
+        staged AS (
+            SELECT decile, n_pairs, n_confirmed,
+                   CAST(sum(n_pairs) OVER () AS BIGINT) AS total_pairs,
+                   CAST(sum(n_confirmed) OVER () AS BIGINT) AS total_confirmed
+            FROM hist
+        )
+        SELECT decile, n_pairs, n_confirmed,
+               CAST((n_pairs * 10000) // total_pairs AS BIGINT) AS share_bp,
+               CAST((total_confirmed * 10000) // total_pairs AS BIGINT)
+                   AS stage_precision_bp
+        FROM staged
+    """
+
+
 # -- q154: dedup-cluster size distribution ---------------------------------------
 #
 # The report that tells you whether dedup is WORTH it: how many
@@ -1464,6 +1596,7 @@ def _q154_oracle() -> str:
 QUERIES = {
     "q10_dedup_exact": q10_dedup_exact,
     "q154_cluster_sizes": q154_cluster_sizes,
+    "q156_lsh_precision": q156_lsh_precision,
     "q14_jaccard_pairs": q14_jaccard_pairs,
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_lsh_buckets": q16_lsh_buckets,
@@ -1480,3 +1613,4 @@ QUERIES = {
 }
 
 ORACLES["q154_cluster_sizes"] = _q154_oracle()
+ORACLES["q156_lsh_precision"] = _q156_oracle()

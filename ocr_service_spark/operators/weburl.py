@@ -714,6 +714,134 @@ ORACLES_Q153 = rf"""
 """
 
 
+# -- q157: typosquat host detection (edit-1 host pairs) --------------------------
+#
+# Squatters register hosts one edit away from a brand (dropped or
+# substituted character) to catch typo traffic and scraped-content
+# clicks; a corpus curator wants those hosts flagged before their
+# content trains anything. Candidates come from DROP-ONE-CHARACTER
+# signatures over the DISTINCT host table (host itself + each
+# one-char-deleted variant): a deletion pair shares the deleted form,
+# a substitution pair shares the drop-at-the-differing-position form —
+# so every levenshtein<=1 pair is caught without an all-pairs host
+# join. Exact levenshtein verifies candidates (both engines implement
+# the standard DP distance). The host table is corpus-DISTINCT —
+# linear passes everywhere, signature fan-out ~len(host).
+def _host_sigs(host):
+    """array<string>: the host + its drop-one-character variants."""
+    return F.concat(
+        F.array(host),
+        F.transform(
+            F.sequence(F.lit(1), F.length(host)),
+            lambda i: F.concat(
+                F.substring(host, F.lit(1), (i - 1).cast("int")),
+                host.substr(
+                    (i + 1).cast("int"), (F.length(host) - i).cast("int")
+                ),
+            ),
+        ),
+    )
+
+
+def q157_typosquat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted squatting: most docs live on brand<k>.com (k = d%20);
+    every 23rd doc registers that brand with one letter dropped
+    (position 1 + d%5). Output: every edit-1 host pair, oriented victim
+    (more docs; tie -> lexicographic smaller) vs squat, with both doc
+    counts and the verified distance."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    brand = F.format_string("brand%s.com", (d % 20).cast("string"))
+    squat = F.concat(
+        F.expr("substring(format_string('brand%s.com', CAST(doc_id % 20 AS STRING)), 1, CAST(doc_id % 5 AS INT))"),
+        F.expr("substring(format_string('brand%s.com', CAST(doc_id % 20 AS STRING)), CAST(doc_id % 5 AS INT) + 2)"),
+    )
+    host = F.when(d % 23 == 0, squat).otherwise(brand)
+    hosts = (
+        docs.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    sigs = hosts.select(
+        "host", "n_docs", F.explode(_host_sigs(F.col("host"))).alias("sig")
+    )
+    a = sigs.select(
+        F.col("host").alias("host_a"), F.col("n_docs").alias("docs_a"), "sig"
+    )
+    b = sigs.select(
+        F.col("host").alias("host_b"), F.col("n_docs").alias("docs_b"), "sig"
+    )
+    cand = (
+        a.join(b, "sig")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .select("host_a", "docs_a", "host_b", "docs_b")
+        .distinct()
+        .filter(F.levenshtein("host_a", "host_b") <= 1)
+    )
+    a_victim = (F.col("docs_a") > F.col("docs_b")) | (
+        (F.col("docs_a") == F.col("docs_b")) & (F.col("host_a") < F.col("host_b"))
+    )
+    return cand.select(
+        F.when(a_victim, F.col("host_a")).otherwise(F.col("host_b")).alias(
+            "victim_host"
+        ),
+        F.when(a_victim, F.col("host_b")).otherwise(F.col("host_a")).alias(
+            "squat_host"
+        ),
+        F.when(a_victim, F.col("docs_a")).otherwise(F.col("docs_b"))
+        .cast("bigint")
+        .alias("victim_docs"),
+        F.when(a_victim, F.col("docs_b")).otherwise(F.col("docs_a"))
+        .cast("bigint")
+        .alias("squat_docs"),
+        F.levenshtein("host_a", "host_b").cast("bigint").alias("distance"),
+    )
+
+
+ORACLES_Q157 = """
+    WITH hosts AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM (
+            SELECT CASE WHEN doc_id % 23 = 0
+                        THEN substring('brand' || CAST(doc_id % 20 AS VARCHAR)
+                                       || '.com', 1, CAST(doc_id % 5 AS INT))
+                             || substring('brand' || CAST(doc_id % 20 AS VARCHAR)
+                                          || '.com',
+                                          CAST(doc_id % 5 AS INT) + 2)
+                        ELSE 'brand' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+                   END AS host
+            FROM documents
+        ) GROUP BY 1
+    ),
+    sigs AS (
+        SELECT host, n_docs, unnest(
+            [host] || list_transform(range(1, len(host) + 1),
+                i -> substring(host, 1, CAST(i AS INT) - 1)
+                     || substring(host, CAST(i AS INT) + 1))
+        ) AS sig
+        FROM hosts
+    ),
+    cand AS (
+        SELECT DISTINCT a.host AS host_a, a.n_docs AS docs_a,
+                        b.host AS host_b, b.n_docs AS docs_b
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.host < b.host
+    ),
+    verified AS (
+        SELECT *, levenshtein(host_a, host_b) AS dist FROM cand
+        WHERE levenshtein(host_a, host_b) <= 1
+    )
+    SELECT CASE WHEN docs_a > docs_b OR (docs_a = docs_b AND host_a < host_b)
+                THEN host_a ELSE host_b END AS victim_host,
+           CASE WHEN docs_a > docs_b OR (docs_a = docs_b AND host_a < host_b)
+                THEN host_b ELSE host_a END AS squat_host,
+           CASE WHEN docs_a > docs_b OR (docs_a = docs_b AND host_a < host_b)
+                THEN docs_a ELSE docs_b END AS victim_docs,
+           CASE WHEN docs_a > docs_b OR (docs_a = docs_b AND host_a < host_b)
+                THEN docs_b ELSE docs_a END AS squat_docs,
+           CAST(dist AS BIGINT) AS distance
+    FROM verified
+"""
+
+
 # -- q71: crawl snapshot churn (delta detection) -----------------------------
 
 
@@ -3111,10 +3239,12 @@ QUERIES = {
     "q149_host_skew": q149_host_skew,
     "q151_mirror_hosts": q151_mirror_hosts,
     "q153_text_citations": q153_text_citations,
+    "q157_typosquat_pairs": q157_typosquat_pairs,
 }
 
 ORACLES["q151_mirror_hosts"] = ORACLES_Q151
 ORACLES["q153_text_citations"] = ORACLES_Q153
+ORACLES["q157_typosquat_pairs"] = ORACLES_Q157
 
 # q149: replay planting + every metric; DuckDB's // is the div twin.
 ORACLES["q149_host_skew"] = f"""
