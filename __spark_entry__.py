@@ -1426,6 +1426,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bound of the q34/q19 family (in-window via both); pinned by
         # its own DuckDB oracle under the same local gates
         "q157_typosquat_pairs",
+        # tail by design from birth (round 5): q158 (SimHash near-dup
+        # pairs, the Manku banding design) is the q34 posting-list
+        # pipeline (in-window via q34/q90) over q17's simhash with the
+        # same capped buckets and an exact popcount verify; pinned by
+        # its own DuckDB oracle under tools/check_oracles.py +
+        # test_entry_oracle
+        "q158_simhash_neardup",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -129,6 +129,7 @@ HEADLINE_QUERIES = [
     "q155_fuzzy_contamination",
     "q156_lsh_precision",
     "q157_typosquat_pairs",
+    "q158_simhash_neardup",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

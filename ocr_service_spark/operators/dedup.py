@@ -1404,6 +1404,99 @@ def _q125_oracle() -> str:
 
 ORACLES["q125_lsh_recall"] = _q125_oracle()
 
+# -- q158: SimHash near-dup pairs (Manku/Google banding) ---------------------------
+#
+# The third dedup geometry beside shingle-Jaccard (q34) and embedding
+# cosine (q19): SimHash packs a document into one integer whose
+# Hamming distance tracks similarity. Pairing follows the Manku et al.
+# WWW'07 design: split the hash into SIMHASH_PAIR_BANDS bit bands — by
+# pigeonhole, two hashes within Hamming <= bands-1 agree EXACTLY on at
+# least one band — generate candidates from band equality (hot buckets
+# capped like every LSH posting list in this module), verify with the
+# exact popcount(xor). Here the q17 hash is 16-bit / 4-bit bands (the
+# sandbox dialect); production is the same plan at 64-bit / 16-bit
+# bands, where band keys are selective instead of 16-valued.
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_BAND_BITS = 4  # SIMHASH_BITS // SIMHASH_PAIR_BANDS
+SIMHASH_MAX_HAM = 3  # <= bands - 1: banding provably catches all pairs
+
+
+def q158_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every pair within SIMHASH_MAX_HAM,
+    candidates bounded by capped band buckets, never an all-pairs
+    join."""
+    sh = q17_simhash(spark, sf_dir)
+    nibble = lambda b: (  # noqa: E731
+        F.shiftrightunsigned(F.col("simhash"), SIMHASH_BAND_BITS * b)
+        % (1 << SIMHASH_BAND_BITS)
+    )
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(b * (1 << SIMHASH_BAND_BITS)) + nibble(b)).cast("bigint")
+                    for b in range(SIMHASH_PAIR_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    posting = (
+        _cap_bucket(bands, ["band_key"], "doc_id")
+        .groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAM)
+    )
+
+
+def _q158_oracle() -> str:
+    return f"""
+        WITH sh AS ({_simhash_oracle()}),
+        bands0 AS (
+            SELECT doc_id,
+                   CAST(b * {1 << SIMHASH_BAND_BITS}
+                        + (simhash // (1 << (CAST(b AS INT) * {SIMHASH_BAND_BITS})))
+                          % {1 << SIMHASH_BAND_BITS} AS BIGINT) AS band_key
+            FROM sh, LATERAL unnest(range({SIMHASH_PAIR_BANDS})) AS t(b)
+        ),
+        bands AS ({_capped_bands_sql('bands0', 'band_key', 'doc_id')}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM cand
+        JOIN sh a ON a.doc_id = doc_a
+        JOIN sh b ON b.doc_id = doc_b
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAM}
+    """
+
+
 # -- q156: LSH candidate-precision audit ------------------------------------------
 #
 # q125 measures the candidate stage's RECALL (planted twins); this is
@@ -1597,6 +1690,7 @@ QUERIES = {
     "q10_dedup_exact": q10_dedup_exact,
     "q154_cluster_sizes": q154_cluster_sizes,
     "q156_lsh_precision": q156_lsh_precision,
+    "q158_simhash_neardup": q158_simhash_neardup,
     "q14_jaccard_pairs": q14_jaccard_pairs,
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_lsh_buckets": q16_lsh_buckets,
@@ -1614,3 +1708,4 @@ QUERIES = {
 
 ORACLES["q154_cluster_sizes"] = _q154_oracle()
 ORACLES["q156_lsh_precision"] = _q156_oracle()
+ORACLES["q158_simhash_neardup"] = _q158_oracle()
