@@ -1433,6 +1433,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its own DuckDB oracle under tools/check_oracles.py +
         # test_entry_oracle
         "q158_simhash_neardup",
+        # tail by design from birth (round 5): q159 (cross-source
+        # duplication matrix) is the q10 content-hash groupBy family
+        # (in-window via q70's exact_dup branch) with an AQE-sized
+        # distinct-holders join (the q51/q53 no-forced-broadcast rule);
+        # pinned by its own DuckDB oracle under tools/check_oracles.py
+        # + test_entry_oracle
+        "q159_source_overlap",
+        # tail by design from birth (round 5): q160 (per-source quality
+        # calibration) is one source-partitioned rank window — the
+        # q84/q111/q150 ordered-window family (in-window via q22/q49);
+        # its integer percent-rank dialect is pinned by its own DuckDB
+        # oracle under the same local gates
+        "q160_quality_calibration",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

@@ -130,6 +130,8 @@ HEADLINE_QUERIES = [
     "q156_lsh_precision",
     "q157_typosquat_pairs",
     "q158_simhash_neardup",
+    "q159_source_overlap",
+    "q160_quality_calibration",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

@@ -1235,6 +1235,136 @@ ORACLES["q155_fuzzy_contamination"] = f"""
 """
 
 
+# -- q159: cross-source duplication matrix ---------------------------------------
+#
+# The corpus-mix diagnostic behind "do we even need source X": for
+# every ordered source pair (a, b), how many of a's documents already
+# exist (byte-identical content) in b. Planted content: doc content is
+# one of 117 closed-form payloads (117 is coprime with the 20-source
+# cycle, so every content crosses sources), so every source shares material
+# with every other. Shape: one DISTINCT over (content, source) — the
+# bounded side, at most contents x sources rows — equi-joined back to
+# the doc table on the content hash, then a (source_a, source_b)
+# groupBy; AQE sizes the join (the distinct side is corpus-derived, so
+# no forced broadcast — the q51/q53 rule).
+def q159_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    content = F.md5(F.concat(F.lit("payload-"), (F.col("doc_id") % 117).cast("string")))
+    pages = docs.select("doc_id", "source", content.alias("content_hash"))
+    holders = pages.select(
+        "content_hash", F.col("source").alias("source_b")
+    ).distinct()
+    shared = (
+        pages.join(holders, "content_hash")
+        .filter(F.col("source_b") != F.col("source"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_source = pages.groupBy(F.col("source").alias("source_a")).agg(
+        F.count(F.lit(1)).alias("n_docs_a")
+    )
+    return shared.join(per_source, "source_a").select(
+        "source_a",
+        "source_b",
+        F.col("n_docs_a").cast("bigint").alias("n_docs_a"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.expr("(n_shared * 10000) div n_docs_a").alias("shared_bp"),
+    )
+
+
+ORACLES["q159_source_overlap"] = """
+    WITH pages AS (
+        SELECT doc_id, source,
+               md5('payload-' || CAST(doc_id % 117 AS VARCHAR)) AS content_hash
+        FROM documents
+    ),
+    holders AS (SELECT DISTINCT content_hash, source AS source_b FROM pages),
+    shared AS (
+        SELECT p.source AS source_a, h.source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM pages p JOIN holders h USING (content_hash)
+        WHERE h.source_b != p.source
+        GROUP BY 1, 2
+    ),
+    per_source AS (
+        SELECT source AS source_a, CAST(count(*) AS BIGINT) AS n_docs_a
+        FROM pages GROUP BY 1
+    )
+    SELECT source_a, source_b, n_docs_a, n_shared,
+           CAST((n_shared * 10000) // n_docs_a AS BIGINT) AS shared_bp
+    FROM shared JOIN per_source USING (source_a)
+"""
+
+
+# -- q160: per-source quality-score calibration -----------------------------------
+#
+# Learned quality scores are miscalibrated ACROSS sources (a 0.6 on
+# arxiv is not a 0.6 on forums), so production selection thresholds
+# the WITHIN-SOURCE rank, not the raw score. Integer percent-rank:
+# calib_bp = (rank - 1) * 10000 div (n - 1) over (score, doc_id)
+# ascending within each source. The window partitions by source —
+# bounded fan-in per partition at any corpus size.
+CALIB_KEEP_BP = 8000  # keep the top 20% of each source
+CALIB_GLOBAL_CUT = 800  # the naive global threshold it replaces
+
+
+def q160_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    quality = F.pmod(h32(F.col("doc_id").cast("string"), "qual2"), F.lit(1000))
+    scored = docs.select(
+        "doc_id", "source", quality.cast("bigint").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    w_n = Window.partitionBy("source")
+    staged = scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n_src"),
+    )
+    return staged.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.expr("((rk - 1) * 10000) div greatest(n_src - 1, 1)").alias("calib_bp"),
+        (F.col("quality") >= CALIB_GLOBAL_CUT).alias("keep_global"),
+        (
+            F.expr("((rk - 1) * 10000) div greatest(n_src - 1, 1)")
+            >= CALIB_KEEP_BP
+        ).alias("keep_calibrated"),
+    )
+
+
+ORACLES["q160_quality_calibration"] = f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               {h32_sql("CAST(doc_id AS VARCHAR)", "qual2")} % 1000 AS quality
+        FROM documents
+    ),
+    staged AS (
+        SELECT doc_id, source, CAST(quality AS BIGINT) AS quality,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY quality ASC, doc_id ASC) AS BIGINT) AS rk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        FROM scored
+    )
+    SELECT doc_id, source, quality,
+           CAST(((rk - 1) * 10000) // greatest(n_src - 1, 1) AS BIGINT)
+               AS calib_bp,
+           quality >= {CALIB_GLOBAL_CUT} AS keep_global,
+           ((rk - 1) * 10000) // greatest(n_src - 1, 1) >= {CALIB_KEEP_BP}
+               AS keep_calibrated
+    FROM staged
+"""
+
+
 # -- q150: token-budget corpus selection ---------------------------------------
 #
 # "Give me the best N tokens" — the final cut every pretraining run
@@ -1307,6 +1437,8 @@ QUERIES = {
     "q148_reshard_stability": q148_reshard_stability,
     "q150_budget_selection": q150_budget_selection,
     "q155_fuzzy_contamination": q155_fuzzy_contamination,
+    "q159_source_overlap": q159_source_overlap,
+    "q160_quality_calibration": q160_quality_calibration,
     "q98_corpus_export": q98_corpus_export,
     "q99_corpus_mixture": q99_corpus_mixture,
     "q107_line_dedup_first": q107_line_dedup_first,
