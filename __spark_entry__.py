@@ -1446,6 +1446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its integer percent-rank dialect is pinned by its own DuckDB
         # oracle under the same local gates
         "q160_quality_calibration",
+        # tail by design from birth (round 5): q161 (image-text pair
+        # extraction, the LAION shape) is the q67/q134 map-only
+        # parser-mapInPandas fan-out (in-window via q67) with the
+        # capped explode-inside-the-UDF contract; its alt/figcaption/
+        # hygiene dialect is pinned by its own DuckDB oracle under
+        # tools/check_oracles.py + test_entry_oracle
+        "q161_image_text_pairs",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

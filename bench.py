@@ -132,6 +132,7 @@ HEADLINE_QUERIES = [
     "q158_simhash_neardup",
     "q159_source_overlap",
     "q160_quality_calibration",
+    "q161_image_text_pairs",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

@@ -714,6 +714,119 @@ ORACLES_Q153 = rf"""
 """
 
 
+# -- q161: image-text pair extraction (LAION shape) -------------------------------
+IMAGE_PAIRS_SCHEMA = (
+    "url string, seq bigint, image_url string, alt string, "
+    "caption string, is_tracking boolean, keep boolean"
+)
+
+
+def extract_image_pair_rows(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages(url, <payload_col> binary) -> one row per usable <img>
+    per the dialect in extraction/images.py. Map-only mapInPandas,
+    explode inside the UDF capped at MAX_IMAGES — the q67/q134
+    parser-fan-out shape."""
+    import pandas as pd
+
+    def run(batches):
+        from ocr_service_spark.extraction.images import extract_image_pairs
+
+        for batch in batches:
+            rows: dict[str, list] = {
+                "url": [], "seq": [], "image_url": [], "alt": [],
+                "caption": [], "is_tracking": [], "keep": [],
+            }
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                for rec in extract_image_pairs(bytes(payload), url):
+                    rows["url"].append(url)
+                    rows["seq"].append(rec["seq"])
+                    rows["image_url"].append(rec["image_url"])
+                    rows["alt"].append(rec["alt"])
+                    rows["caption"].append(rec["caption"])
+                    rows["is_tracking"].append(rec["is_tracking"])
+                    rows["keep"].append(rec["keep"])
+            rows["seq"] = pd.Series(rows["seq"], dtype="int64")
+            yield pd.DataFrame(rows)
+
+    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=IMAGE_PAIRS_SCHEMA)
+
+
+def q161_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pairs over closed-form pages: every doc carries one
+    plain <img> with alt text (relative src — resolution exercised);
+    doc_id%3==0 adds a <figure> image whose text comes from the
+    figcaption (no alt); doc_id%4==0 adds a 1x1 tracking pixel (row
+    kept, keep=false); doc_id%7==0 adds a data: inline (dropped by
+    hygiene, no row). The REAL parser runs end-to-end; the oracle
+    replays the planting."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    page_url = F.format_string(
+        "http://site%s.test/page/%s.html", (d % 10).cast("string"), ds
+    )
+    fig = F.when(
+        d % 3 == 0,
+        F.format_string(
+            '<figure><img src="http://cdn%s.test/f%s.png">'
+            "<figcaption>Figure caption %s</figcaption></figure>",
+            (d % 5).cast("string"), ds, ds,
+        ),
+    ).otherwise(F.lit(""))
+    pixel = F.when(
+        d % 4 == 0,
+        F.lit('<img src="/t/p.gif" width="1" height="1" alt="">'),
+    ).otherwise(F.lit(""))
+    inline = F.when(
+        d % 7 == 0,
+        F.lit('<img src="data:image/png;base64,AAAA" alt="inline art">'),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<html><body><p>intro</p>"),
+        F.format_string('<img src="/img/%s.jpg" alt="Alt text %s">', ds, ds),
+        fig,
+        pixel,
+        inline,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        page_url.alias("url"), F.encode(body, "utf-8").alias("html")
+    )
+    out = extract_image_pair_rows(pages)
+    doc_id = F.regexp_extract("url", r"/page/(\d+)\.html$", 1).cast("bigint")
+    return out.select(
+        doc_id.alias("doc_id"), "seq", "image_url", "alt", "caption",
+        "is_tracking", "keep",
+    )
+
+
+ORACLES_Q161 = """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                      CAST(doc_id % 10 AS VARCHAR) AS hs,
+                      CAST(doc_id % 5 AS VARCHAR) AS cs
+               FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS seq,
+           'http://site' || hs || '.test/img/' || ds || '.jpg' AS image_url,
+           'Alt text ' || ds AS alt,
+           CAST(NULL AS VARCHAR) AS caption,
+           false AS is_tracking, true AS keep
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1,
+           'http://cdn' || cs || '.test/f' || ds || '.png',
+           '', 'Figure caption ' || ds, false, true
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT),
+           'http://site' || hs || '.test/t/p.gif',
+           '', CAST(NULL AS VARCHAR), true, false
+    FROM d WHERE doc_id % 4 = 0
+"""
+
+
 # -- q157: typosquat host detection (edit-1 host pairs) --------------------------
 #
 # Squatters register hosts one edit away from a brand (dropped or
@@ -3240,11 +3353,13 @@ QUERIES = {
     "q151_mirror_hosts": q151_mirror_hosts,
     "q153_text_citations": q153_text_citations,
     "q157_typosquat_pairs": q157_typosquat_pairs,
+    "q161_image_text_pairs": q161_image_text_pairs,
 }
 
 ORACLES["q151_mirror_hosts"] = ORACLES_Q151
 ORACLES["q153_text_citations"] = ORACLES_Q153
 ORACLES["q157_typosquat_pairs"] = ORACLES_Q157
+ORACLES["q161_image_text_pairs"] = ORACLES_Q161
 
 # q149: replay planting + every metric; DuckDB's // is the div twin.
 ORACLES["q149_host_skew"] = f"""
