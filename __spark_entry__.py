@@ -1453,6 +1453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hygiene dialect is pinned by its own DuckDB oracle under
         # tools/check_oracles.py + test_entry_oracle
         "q161_image_text_pairs",
+        # tail by design from birth (round 5): q162 (canonical
+        # page-image election) is q129's precedence-ladder pattern over
+        # q161's parser + q126's og extraction (all the same map-only
+        # parser-mapInPandas family, in-window via q67); the ladder is
+        # pinned by its own DuckDB oracle under tools/check_oracles.py
+        # + test_entry_oracle
+        "q162_page_image",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

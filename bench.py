@@ -133,6 +133,7 @@ HEADLINE_QUERIES = [
     "q159_source_overlap",
     "q160_quality_calibration",
     "q161_image_text_pairs",
+    "q162_page_image",
     "q119_host_quality_report",
     "q121_collocations",
     # round 5 structure tier — table cells, sentence table, outline

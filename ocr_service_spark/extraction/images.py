@@ -84,6 +84,41 @@ class _ImageCollector(HTMLParser):
 MIN_PAIR_TEXT = 5  # alt or caption must carry at least this many chars
 
 
+def elect_page_image(
+    payload: bytes | str, base_url: str | None = None
+) -> tuple[str, str] | None:
+    """The one image that REPRESENTS the page (social cards, doc-level
+    image-text datasets), elected by a pinned precedence ladder:
+
+    1. ``og:image`` (the publisher's own declaration) — resolved;
+    2. the first figure image whose caption passes MIN_PAIR_TEXT;
+    3. the first non-tracking image whose alt passes MIN_PAIR_TEXT.
+
+    Returns (rule, image_url) — rule in {'og', 'figure', 'alt'} — or
+    None when no rung matches. Tracking pixels and data: inlines never
+    win (rungs 2-3 run on extract_image_pairs' post-hygiene rows)."""
+    from ocr_service_spark.extraction.structured_data import extract_structured
+
+    for _, kind, key, value in extract_structured(payload):
+        if kind == "og" and key == "og:image":
+            url = _resolve(value, base_url)
+            if url is not None and url.lower().startswith(("http://", "https://")):
+                return ("og", url)
+            break  # a declared-but-unusable og:image falls through
+    pairs = extract_image_pairs(payload, base_url)
+    for rec in pairs:
+        if (
+            not rec["is_tracking"]
+            and rec["caption"] is not None
+            and len(rec["caption"]) >= MIN_PAIR_TEXT
+        ):
+            return ("figure", rec["image_url"])
+    for rec in pairs:
+        if not rec["is_tracking"] and len(rec["alt"]) >= MIN_PAIR_TEXT:
+            return ("alt", rec["image_url"])
+    return None
+
+
 def extract_image_pairs(
     payload: bytes | str, base_url: str | None = None
 ) -> list[dict]:

@@ -827,6 +827,95 @@ ORACLES_Q161 = """
 """
 
 
+# -- q162: canonical page-image election -------------------------------------------
+def q162_page_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative image per page by the pinned precedence
+    ladder (og:image > captioned figure > alt image — see
+    extraction/images.py:elect_page_image), the q129 date-ladder
+    pattern applied to the multimodal tier. Planting exercises every
+    rung AND the fall-through: d%5==0 declares og:image over both
+    competitors (og wins), 1 has figure+alt (figure), 2 has alt only
+    (alt), 3 has only a tracking pixel and a too-short alt (no row),
+    4 declares an unusable data: og:image (falls through to alt)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    page_url = F.format_string(
+        "http://site%s.test/page/%s.html", (d % 10).cast("string"), ds
+    )
+    og = F.format_string(
+        '<meta property="og:image" content="http://og%s.test/card%s.jpg">',
+        (d % 3).cast("string"), ds,
+    )
+    og_bad = F.lit('<meta property="og:image" content="data:image/png;base64,AA">')
+    figure = F.format_string(
+        '<figure><img src="/fig%s.png"><figcaption>Long caption %s</figcaption></figure>',
+        ds, ds,
+    )
+    alt_img = F.format_string('<img src="/alt%s.jpg" alt="Alt text %s">', ds, ds)
+    junk = F.lit('<img src="/p.gif" width="1" height="1" alt="long enough alt">'
+                 '<img src="/s.jpg" alt="abc">')
+    head = (
+        F.when(d % 5 == 0, og)
+        .when(d % 5 == 4, og_bad)
+        .otherwise(F.lit(""))
+    )
+    body = (
+        F.when(d % 5 == 0, F.concat(figure, alt_img))
+        .when(d % 5 == 1, F.concat(figure, alt_img))
+        .when(d % 5 == 2, alt_img)
+        .when(d % 5 == 3, junk)
+        .otherwise(alt_img)
+    )
+    html = F.concat(
+        F.lit("<html><head>"), head, F.lit("</head><body>"), body,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(page_url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+    def run(batches):
+        from ocr_service_spark.extraction.images import elect_page_image
+
+        for batch in batches:
+            urls, rules, imgs = [], [], []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                got = elect_page_image(bytes(payload), url)
+                if got is not None:
+                    urls.append(url)
+                    rules.append(got[0])
+                    imgs.append(got[1])
+            yield pd.DataFrame({"url": urls, "rule": rules, "image_url": imgs})
+
+    out = pages.select("url", F.col("html").alias("payload")).mapInPandas(
+        run, schema="url string, rule string, image_url string"
+    )
+    doc_id = F.regexp_extract("url", r"/page/(\d+)\.html$", 1).cast("bigint")
+    return out.select(doc_id.alias("doc_id"), "rule", "image_url")
+
+
+ORACLES_Q162 = """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                      CAST(doc_id % 10 AS VARCHAR) AS hs,
+                      CAST(doc_id % 3 AS VARCHAR) AS og
+               FROM documents)
+    SELECT doc_id, 'og' AS rule,
+           'http://og' || og || '.test/card' || ds || '.jpg' AS image_url
+    FROM d WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id, 'figure',
+           'http://site' || hs || '.test/fig' || ds || '.png'
+    FROM d WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id, 'alt',
+           'http://site' || hs || '.test/alt' || ds || '.jpg'
+    FROM d WHERE doc_id % 5 IN (2, 4)
+"""
+
+
 # -- q157: typosquat host detection (edit-1 host pairs) --------------------------
 #
 # Squatters register hosts one edit away from a brand (dropped or
@@ -3354,12 +3443,14 @@ QUERIES = {
     "q153_text_citations": q153_text_citations,
     "q157_typosquat_pairs": q157_typosquat_pairs,
     "q161_image_text_pairs": q161_image_text_pairs,
+    "q162_page_image": q162_page_image,
 }
 
 ORACLES["q151_mirror_hosts"] = ORACLES_Q151
 ORACLES["q153_text_citations"] = ORACLES_Q153
 ORACLES["q157_typosquat_pairs"] = ORACLES_Q157
 ORACLES["q161_image_text_pairs"] = ORACLES_Q161
+ORACLES["q162_page_image"] = ORACLES_Q162
 
 # q149: replay planting + every metric; DuckDB's // is the div twin.
 ORACLES["q149_host_skew"] = f"""

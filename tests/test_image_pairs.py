@@ -67,6 +67,24 @@ def test_keep_verdict_rules():
     assert recs["fig.jpg"]["keep"] is True  # caption supplies the text
 
 
+def test_page_image_ladder():
+    from ocr_service_spark.extraction.images import elect_page_image
+
+    og = '<meta property="og:image" content="/card.png">'
+    figure = '<figure><img src="/f.jpg"><figcaption>Caption here</figcaption></figure>'
+    alt = '<img src="/a.jpg" alt="Alt text here">'
+    # og beats figure beats alt; og resolves relative content too
+    assert elect_page_image(og + figure + alt, BASE) == (
+        "og", "http://h.test/card.png"
+    )
+    assert elect_page_image(figure + alt, BASE) == ("figure", "http://h.test/f.jpg")
+    assert elect_page_image(alt, BASE) == ("alt", "http://h.test/a.jpg")
+    # unusable og:image falls through; nothing usable -> None
+    bad_og = '<meta property="og:image" content="data:image/png;base64,AA">'
+    assert elect_page_image(bad_og + alt, BASE) == ("alt", "http://h.test/a.jpg")
+    assert elect_page_image('<img src="/x.jpg" alt="abc">', BASE) is None
+
+
 def test_image_farm_is_capped_and_hostile_bytes_are_total():
     farm = "".join(f'<img src="/i{i}.jpg" alt="alt {i} text">' for i in range(2000))
     assert len(extract_image_pairs(farm, BASE)) == MAX_IMAGES
