@@ -917,8 +917,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q56_resume_roundtrip"] = _q56_resume_roundtrip
     out["q57_compaction_roundtrip"] = _q57_compaction_roundtrip
     out["q65_snapshot_time_travel"] = _q65_snapshot_time_travel
-    for name, fn in stream_queries.QUERIES.items():  # q58 q59 (real streams)
-        out[name] = _wrap(fn)
+    # q58 q59 q101 (real streams); q163 joins the tail below so it
+    # does not displace the driver's 50-query window
+    for name, fn in stream_queries.QUERIES.items():
+        if name != "q163_stream_window_counts":
+            out[name] = _wrap(fn)
     # -- single-format extraction roundtrips. q31 (rtf) and q32 (xml)
     # join the redundantly-covered tail: their T2/C6 paths are
     # hash-checked inside in-window q40 (rtf + xml fixture rows) and
@@ -1516,6 +1519,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as the rest of the tail
     for name, fn in structure.QUERIES.items():
         out[name] = _wrap(fn)
+    # tail by design from birth (round 5): q163 (watermarked tumbling-
+    # window counts with deterministic late-data drop) is the
+    # q58/q59/q101 FileStreamSource + availableNow drain shape
+    # (in-window via all three), adding the one Structured Streaming
+    # contract none of them pin — APPEND-mode window aggregation where
+    # the watermark both drops late input and gates which windows may
+    # ever emit; micro-batch order is forced with file mtimes, so the
+    # on-time-only sink is closed-form and pinned by its own DuckDB
+    # oracle under tools/check_oracles.py + test_entry_oracle
+    out["q163_stream_window_counts"] = _wrap(
+        stream_queries.QUERIES["q163_stream_window_counts"]
+    )
     return out
 
 

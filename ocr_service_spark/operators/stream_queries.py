@@ -161,6 +161,116 @@ def q59_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q163: watermarked tumbling-window counts with late-data drop ----------------
+#
+# The canonical Structured Streaming shape q58/q59/q101 don't cover:
+# groupBy(window) aggregation in APPEND mode, where the watermark both
+# DROPS late input and decides which windows may ever emit. The drop
+# is made deterministic by controlling micro-batch ORDER with file
+# mtimes (FileStreamSource processes files in timestamp order;
+# maxFilesPerTrigger=1 makes one batch per file):
+#
+#   batch A (on-time): events across six 5-min windows plus one
+#     "advancer" at +45 min -> end-of-batch watermark = +35 min;
+#   batch B (nudge): a single on-time event at +46 min. Needed because
+#     since SPARK-40925 the late-record filter of batch N uses the
+#     watermark as of batch N-1's START (eviction uses N's own): late
+#     rows must arrive TWO batches after the advancer to be filtered.
+#     Measured without this batch, every "late" row was accepted and
+#     merged — the sink held doubled counts for their windows;
+#   batch C (late): rows timestamped inside A's already-emitted
+#     windows, all older than the +35 min filtering watermark ->
+#     dropped, by the aggregation's late-data rule, deterministically;
+#   batch D (closer): one event at +2 h -> the trailing no-data batch
+#     sweeps the watermark to +110 min and flushes the advancer/nudge
+#     window; D's own window (end +125 min) stays beyond the final
+#     watermark and never emits.
+#
+# Final sink therefore holds EXACTLY the on-time counts — any accepted
+# late row or leaked unclosed window fails the oracle's hash.
+# 2026-01-01 00:00:00 UTC; a multiple of the window length, so the
+# epoch-aligned window starts are BASE + k*300 and the whole query is
+# integer arithmetic — no timezone or date formatting anywhere.
+Q163_EPOCH = 1_767_225_600
+Q163_WINDOW_S = 300
+
+
+def q163_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    base = _scratch_dir("q163", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir, out_dir, ckpt = f"{base}/events", f"{base}/counts", f"{base}/ckpt"
+    os.makedirs(events_dir)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ontime = docs.select(
+        (d % 8).cast("bigint").alias("user_id"),
+        F.timestamp_seconds(F.lit(Q163_EPOCH) + (d % 30) * 60).alias("ts"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(0).cast("bigint").alias("user_id"),
+            F.timestamp_seconds(F.lit(Q163_EPOCH + 45 * 60)).alias("ts"),
+        )
+    )
+    nudge = spark.range(1).select(
+        F.lit(1).cast("bigint").alias("user_id"),
+        F.timestamp_seconds(F.lit(Q163_EPOCH + 46 * 60)).alias("ts"),
+    )
+    late = docs.filter(d % 10 == 0).select(
+        (d % 8).cast("bigint").alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(Q163_EPOCH) + (d % 20) * 60 + 30
+        ).alias("ts"),
+    )
+    closer = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("user_id"),
+        F.timestamp_seconds(F.lit(Q163_EPOCH + 2 * 3600)).alias("ts"),
+    )
+
+    now = time.time()
+    for i, (tag, df) in enumerate(
+        [("a", ontime), ("b", nudge), ("c", late), ("d", closer)]
+    ):
+        tmp = f"{base}/tmp_{tag}"
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = f"{events_dir}/{tag}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (now + 20 * i, now + 20 * i))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", f"{Q163_WINDOW_S} seconds"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_s"),
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.read.parquet(out_dir).select(
+        "window_start_s", "user_id", "n_events"
+    )
+
+
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 _GAP_MS = SESSION_GAP_MIN * 60 * 1_000
 
@@ -291,8 +401,34 @@ ORACLES["q101_stream_dedup"] = f"""
     FROM aug GROUP BY md5(text)
 """
 
+# The oracle is the on-time input ALONE (batch A events + the +45 min
+# advancer + batch B's +46 min nudge): batch C is entirely behind the
+# filtering watermark when it arrives (max ts 19:30 vs 35:00) so the
+# late-data rule must drop every row, and batch D's own window (end
+# +125 min) outlives the final watermark (+110 min) so it must never
+# emit. Any accepted late row shifts a count; any leaked unclosed
+# window adds a row — both flip the hash.
+ORACLES["q163_stream_window_counts"] = f"""
+    WITH ontime AS (
+        SELECT CAST(doc_id % 8 AS BIGINT) AS user_id,
+               CAST((doc_id % 30) * 60 AS BIGINT) AS off_s
+        FROM documents
+        UNION ALL
+        SELECT CAST(0 AS BIGINT), CAST(2700 AS BIGINT)
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), CAST(2760 AS BIGINT)
+    )
+    SELECT CAST({Q163_EPOCH} + off_s // {Q163_WINDOW_S} * {Q163_WINDOW_S}
+                AS BIGINT) AS window_start_s,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ontime
+    GROUP BY 1, 2
+"""
+
 QUERIES = {
     "q58_stream_extract_backfill": q58_stream_extract_backfill,
     "q59_stream_sessions": q59_stream_sessions,
     "q101_stream_dedup": q101_stream_dedup,
+    "q163_stream_window_counts": q163_stream_window_counts,
 }
