@@ -1463,6 +1463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned by its own DuckDB oracle under tools/check_oracles.py
         # + test_entry_oracle
         "q162_page_image",
+        # tail by design from birth (round 5): q164 (filter ablation
+        # Venn) runs the q95/q96/q97/q13 predicates — all in-window or
+        # multi-round-green machinery — as ONE single-pass projection
+        # plus a 16-group aggregate; its oracle literally embeds the
+        # registered q95/q96/q97 oracle SQL as subqueries, under
+        # tools/check_oracles.py + test_entry_oracle
+        "q164_filter_ablation",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

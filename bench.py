@@ -167,6 +167,8 @@ HEADLINE_QUERIES = [
     "q137_recrawl_priority",
     # round 5 frontier-protection tier — crawler-trap detection
     "q138_trap_detection",
+    # round 5 closing — independent-filter ablation Venn
+    "q164_filter_ablation",
 ]
 
 

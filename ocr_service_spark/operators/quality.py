@@ -359,13 +359,10 @@ URL_BLOCKWORDS = ("casino", "lottery", "winbig")
 URL_MAX_DEPTH = 6
 
 
-def _scored_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed-form URL corpus where every filter hazard appears in a
-    pattern the oracle reconstructs: blocklist path segments
-    (doc_id%11==0), deep paths (%19==0), digit-heavy host labels
-    (%17==0), spam TLDs (%13==0)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    d = F.col("doc_id")
+def _url_col(d):
+    """The closed-form URL synthesis as a Column over doc_id, shared by
+    _scored_urls (q97) and q164's single-pass ablation so the two can
+    never disagree on the corpus they score."""
     sub = F.when(
         d % 17 == 0,
         F.concat(
@@ -378,18 +375,24 @@ def _scored_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 19 == 0, F.lit("/a/b/c/d/e/f/g/item"))
         .otherwise(F.concat(F.lit("/articles/item-"), d.cast("string")))
     )
-    return docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://"),
-            sub,
-            F.lit("news"),
-            (d % 7).cast("string"),
-            F.lit(".example"),
-            tld,
-            path,
-        ).alias("url"),
+    return F.concat(
+        F.lit("https://"),
+        sub,
+        F.lit("news"),
+        (d % 7).cast("string"),
+        F.lit(".example"),
+        tld,
+        path,
     )
+
+
+def _scored_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form URL corpus where every filter hazard appears in a
+    pattern the oracle reconstructs: blocklist path segments
+    (doc_id%11==0), deep paths (%19==0), digit-heavy host labels
+    (%17==0), spam TLDs (%13==0)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.select("doc_id", _url_col(F.col("doc_id")).alias("url"))
 
 
 def q97_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,6 +987,338 @@ def _q152_oracle() -> str:
     """
 
 
+# -- q164: filter ablation matrix ---------------------------------------------
+#
+# The diagnostic every published curation pipeline reports (Gopher
+# table A2, RefinedWeb fig. 2): run the filters INDEPENDENTLY (not as
+# q70's first-reason decision tree) and tabulate the Venn — per
+# fail-combination doc counts, corpus share, and which docs only ONE
+# filter catches (the unique-removal attribution that justifies each
+# filter's existence).
+#
+# The natural word-soup corpus fails Gopher and C4 on every row (no
+# doc carries two distinct stop words; the carved pages rarely keep 5
+# sentences), so only 4 of the 16 Venn cells appear and unique_filter
+# never fires. Per the house fixture pattern, twelve closed-form rows
+# (doc_id 2000000+, clear of q95's 1000000-range fixtures) populate
+# the other 12 cells. Four text templates × doc_id residue classes:
+# the URL verdict is the _url_col closed form over doc_id (%13==0 ->
+# spam TLD) and the C4 verdict's page hazard is doc_id%7==0 (lorem
+# line), so one text can exercise both URL/C4 polarities by doc_id
+# choice alone. Texts (verified closed-form, single line, no '#' /
+# '...' / '{' / bullets): _ABL_EN_GOOD passes all Gopher rules with
+# en-winning markers; _ABL_ES_GOOD likewise but 28 es-marker hits vs
+# 2 en ('que los' per repeat, stops 'the of' appended once);
+# _ABL_EN_LONG / _ABL_ES_LONG fail EXACTLY the mean-word-length rule
+# (30-char words push chars > 10*n_words). All four carve >= 5 kept
+# C4 sentences at every doc_id%5 phase (14+ full 10-word chunks).
+
+_ABL_EN_GOOD = (
+    "the quick brown fox jumps over a lazy dog and carries value of row"
+    " nine " * 10
+).rstrip()
+_ABL_ES_GOOD = (
+    "que los contenido paginas grandes siempre mundo nuevo para cada " * 14
+).rstrip() + " the of"
+_ABL_EN_LONG = (
+    ("pneumonoultramicroscopicsilico " * 8 + "the of ") * 14
+).rstrip()
+_ABL_ES_LONG = (
+    ("pneumonoultramicroscopicsilico " * 8 + "que los ") * 14
+).rstrip() + " the of"
+
+# doc_id residues: %7==0 -> C4 lorem hazard; %13==0 -> spam TLD (URL
+# fail); all ids avoid %11 in {0,3}, %17==0, %19==0 so no OTHER
+# URL/C4 hazard fires. Cell key: (fail_gopher, fail_c4, fail_url,
+# fail_lang).
+_ABLATION_SYN: dict[int, str] = {
+    2000000: _ABL_EN_GOOD,  # (F,F,F,F) all pass
+    2000002: _ABL_ES_GOOD,  # (F,F,F,T) unique: lang
+    2000003: _ABL_EN_LONG,  # (T,F,F,F) unique: gopher
+    2000004: _ABL_ES_LONG,  # (T,F,F,T)
+    2000011: _ABL_EN_GOOD,  # (F,F,T,F) unique: url     (%13==0)
+    2000024: _ABL_ES_GOOD,  # (F,F,T,T)                 (%13==0)
+    2000037: _ABL_EN_LONG,  # (T,F,T,F)                 (%13==0)
+    2000063: _ABL_ES_LONG,  # (T,F,T,T)                 (%13==0)
+    2000005: _ABL_EN_GOOD,  # (F,T,F,F) unique: c4      (%7==0)
+    2000019: _ABL_ES_GOOD,  # (F,T,F,T)                 (%7==0)
+    2000180: _ABL_EN_GOOD,  # (F,T,T,F)                 (%7==0, %13==0)
+    2000362: _ABL_ES_GOOD,  # (F,T,T,T)                 (%7==0, %13==0)
+}
+
+
+def q164_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (fail_gopher, fail_c4, fail_url, fail_lang)
+    combination with doc count, corpus share (basis points), number of
+    filters failing, and the filter name when exactly one fails.
+
+    Scale shape: all four verdicts are projections over ONE documents
+    scan — Gopher counters, the q96 carved-line corpus, the q97 URL
+    score (the URL itself is the _url_col closed form over doc_id, so
+    no second input), and the q13/q70 marker-argmax lang — followed by
+    a 16-group hash aggregation; the only window runs over that
+    16-row aggregate. No joins: at 10^12 docs this is scan speed plus
+    one tiny shuffle. The flag expressions restate q95/q96/q97/q70's
+    (the q70 precedent: inline, not a 4-way self-join); drift is
+    impossible to miss because this query's oracle literally embeds
+    the REGISTERED q95/q96/q97 oracle SQL as subqueries."""
+    from pyspark.sql import Window
+
+    from ocr_service_spark.operators.text_stats import (
+        LANG_MARKERS,
+        _marker_pattern,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                sorted(_ABLATION_SYN.items()), "doc_id bigint, text string"
+            )
+        )
+    )
+    d = F.col("doc_id")
+    t = F.split(F.trim("text"), TOKEN_RE)
+    lines = F.split("text", "\n")
+
+    # gopher counters (q95's rules over natural + ablation rows; q95's
+    # own 1000000-range fixtures stay out of this query on BOTH sides)
+    stop_hits = None
+    for w in GOPHER_STOPS:
+        hit = F.when(F.col("text").rlike(rf"\b{w}\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    # c4 carved-line corpus (q96's construction, verbatim)
+    n_chunks = F.floor((F.size(t) + F.lit(C4_LINE_WORDS - 1)) / C4_LINE_WORDS)
+
+    def mk_line(i):
+        base = F.array_join(
+            F.slice(t, (i * C4_LINE_WORDS + 1).cast("int"), C4_LINE_WORDS), " "
+        )
+        m = (d + i) % 5
+        return (
+            F.when(m == 4, F.lit("ok."))
+            .when(m == 0, F.concat(base, F.lit(".")))
+            .when(m == 1, base)
+            .when(m == 2, F.concat(base, F.lit(" javascript.")))
+            .otherwise(F.concat(base, F.lit("!")))
+        )
+
+    c4_lines = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1), mk_line
+    )
+    c4_lines = F.when(
+        d % 7 == 0,
+        F.concat(c4_lines, F.array(F.lit("lorem ipsum dolor sit amet."))),
+    ).otherwise(c4_lines)
+    c4_lines = F.when(
+        d % 11 == 3, F.concat(c4_lines, F.array(F.lit("var cfg = { a: 1 };")))
+    ).otherwise(c4_lines)
+    c4_kept = F.filter(
+        c4_lines,
+        lambda l: (F.size(F.split(F.trim(l), TOKEN_RE)) >= C4_MIN_LINE_WORDS)
+        & F.rtrim(l).rlike("[.!?]$")
+        & ~F.lower(l).rlike(r"\bjavascript\b"),
+    )
+    c4_full = F.array_join(c4_lines, "\n")
+
+    # url score components (q97, over the shared closed-form URL)
+    url = _url_col(d)
+    host = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    block_hits = None
+    for w in URL_BLOCKWORDS:
+        hit = F.when(url.contains(w), 1).otherwise(0)
+        block_hits = hit if block_hits is None else block_hits + hit
+
+    # marker-argmax lang id (q13/q70)
+    hits = {
+        lang: F.regexp_count(F.col("text"), F.lit(_marker_pattern(m)))
+        for lang, m in LANG_MARKERS.items()
+    }
+    top = F.greatest(*hits.values())
+    predicted = F.when(top == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        predicted = predicted.when(hits[lang] == top, F.lit(lang))
+
+    counters = docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias(
+            "chars"
+        ),
+        (
+            F.regexp_count("text", F.lit("#"))
+            + F.regexp_count("text", F.lit(r"\.\.\."))
+        ).cast("bigint").alias("n_sym"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        .cast("bigint")
+        .alias("bullet_lines"),
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$")))
+        .cast("bigint")
+        .alias("ell_lines"),
+        F.size(F.filter(t, lambda w: w.rlike("[a-zA-Z]")))
+        .cast("bigint")
+        .alias("alpha_words"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        F.size(c4_kept).cast("bigint").alias("c4_kept"),
+        c4_full.rlike("lorem ipsum").alias("has_lorem"),
+        c4_full.contains("{").alias("has_brace"),
+        block_hits.cast("bigint").alias("blockword_hits"),
+        host.rlike("[0-9]{4}").alias("digit_host"),
+        host.rlike(r"\.(click|biz)$").alias("bad_tld"),
+        (F.regexp_count(url, F.lit("/")) - 2).cast("bigint").alias("depth"),
+        predicted.alias("predicted_lang"),
+    )
+    c = F.col
+    gopher_keep = (
+        (c("n_words") >= GOPHER_MIN_WORDS)
+        & (c("n_words") <= GOPHER_MAX_WORDS)
+        & (3 * c("n_words") <= c("chars"))
+        & (c("chars") <= 10 * c("n_words"))
+        & (10 * c("n_sym") <= c("n_words"))
+        & (10 * c("bullet_lines") <= 9 * c("n_lines"))
+        & (10 * c("ell_lines") <= 3 * c("n_lines"))
+        & (5 * c("alpha_words") >= 4 * c("n_words"))
+        & (c("stop_hits") >= 2)
+    )
+    c4_keep = (
+        (c("c4_kept") >= C4_MIN_SENTENCES) & ~c("has_lorem") & ~c("has_brace")
+    )
+    url_score = (
+        2 * c("blockword_hits")
+        + c("digit_host").cast("bigint")
+        + c("bad_tld").cast("bigint")
+        + (c("depth") > URL_MAX_DEPTH).cast("bigint")
+    )
+    flags = counters.select(
+        (~gopher_keep).alias("fail_gopher"),
+        (~c4_keep).alias("fail_c4"),
+        (url_score != 0).alias("fail_url"),
+        (c("predicted_lang") != "en").alias("fail_lang"),
+    )
+    agg = flags.groupBy("fail_gopher", "fail_c4", "fail_url", "fail_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nf = (
+        c("fail_gopher").cast("bigint")
+        + c("fail_c4").cast("bigint")
+        + c("fail_url").cast("bigint")
+        + c("fail_lang").cast("bigint")
+    )
+    return (
+        agg.withColumn(
+            "total", F.sum("n_docs").over(Window.partitionBy())
+        )
+        .select(
+            "fail_gopher",
+            "fail_c4",
+            "fail_url",
+            "fail_lang",
+            c("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("(10000 * n_docs) div total").cast("bigint").alias(
+                "share_bp"
+            ),
+            nf.alias("n_failing"),
+            F.when(
+                nf == 1,
+                F.when(c("fail_gopher"), F.lit("gopher"))
+                .when(c("fail_c4"), F.lit("c4"))
+                .when(c("fail_url"), F.lit("url"))
+                .otherwise(F.lit("lang")),
+            ).alias("unique_filter"),
+        )
+    )
+
+
+def _q164_oracle() -> str:
+    """Composes the REGISTERED q95/q96/q97 oracles as subqueries (plus
+    q70's lang CASE), so q164's flags are definitionally the same rules
+    its member filters are hash-checked against. The only edit to the
+    embedded SQL is a textual `FROM documents` -> `FROM aug_docs`
+    retarget so each member filter scores the SAME augmented corpus
+    (natural rows + the 12 _ABLATION_SYN cells) the Spark side unions
+    in — no schema-qualification assumptions about how the harness
+    registered the base view."""
+    from ocr_service_spark.operators.text_stats import (
+        LANG_MARKERS,
+        _marker_pattern,
+    )
+
+    syn = " UNION ALL ".join(
+        "SELECT CAST({} AS BIGINT) AS doc_id, '{}' AS text".format(
+            i, txt.replace("'", "''")
+        )
+        for i, txt in sorted(_ABLATION_SYN.items())
+    )
+    q95 = _q95_oracle().replace("FROM documents", "FROM aug_docs")
+    q96 = _Q96_ORACLE.replace("FROM documents", "FROM aug_docs")
+    q97 = _q97_oracle().replace("FROM documents", "FROM aug_docs")
+    hit_exprs = ", ".join(
+        f"len(regexp_extract_all(text, '{_marker_pattern(m)}')) AS hits_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    top = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_MARKERS) + ")"
+    case = f"CASE WHEN {top} = 0 THEN 'und'"
+    for lang in LANG_MARKERS:
+        case += f" WHEN hits_{lang} = {top} THEN '{lang}'"
+    case += " END"
+    nf_sql = (
+        "CAST(fail_gopher AS INT) + CAST(fail_c4 AS INT)"
+        " + CAST(fail_url AS INT) + CAST(fail_lang AS INT)"
+    )
+    return f"""
+        WITH aug_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL {syn}
+        ),
+        g AS (
+            -- q95's oracle re-unions its OWN 1000000-range fixtures;
+            -- keep the natural + ablation rows, drop q95's
+            SELECT doc_id, keep FROM ({q95})
+            WHERE doc_id < 1000000 OR doc_id >= 2000000
+        ),
+        c4 AS (
+            SELECT doc_id, page_keep FROM ({q96})
+        ),
+        u AS (
+            SELECT doc_id, keep AS url_keep FROM ({q97})
+        ),
+        l AS (
+            SELECT doc_id, {case} AS predicted_lang
+            FROM (SELECT doc_id, {hit_exprs} FROM aug_docs)
+        ),
+        f AS (
+            SELECT g.doc_id,
+                   NOT g.keep AS fail_gopher,
+                   NOT c4.page_keep AS fail_c4,
+                   NOT u.url_keep AS fail_url,
+                   l.predicted_lang <> 'en' AS fail_lang
+            FROM g
+            JOIN c4 ON g.doc_id = c4.doc_id
+            JOIN u ON g.doc_id = u.doc_id
+            JOIN l ON g.doc_id = l.doc_id
+        ),
+        a AS (
+            SELECT fail_gopher, fail_c4, fail_url, fail_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM f GROUP BY 1, 2, 3, 4
+        ),
+        t AS (SELECT sum(n_docs) AS total FROM a)
+        SELECT fail_gopher, fail_c4, fail_url, fail_lang, n_docs,
+               CAST((10000 * n_docs) // total AS BIGINT) AS share_bp,
+               CAST({nf_sql} AS BIGINT) AS n_failing,
+               CASE WHEN {nf_sql} = 1
+                    THEN CASE WHEN fail_gopher THEN 'gopher'
+                              WHEN fail_c4 THEN 'c4'
+                              WHEN fail_url THEN 'url'
+                              ELSE 'lang' END
+               END AS unique_filter
+        FROM a, t
+    """
+
+
 QUERIES = {
     "q95_gopher_quality": q95_gopher_quality,
     "q96_c4_line_filter": q96_c4_line_filter,
@@ -992,6 +1327,7 @@ QUERIES = {
     "q142_serving_state": q142_serving_state,
     "q146_code_routing": q146_code_routing,
     "q152_repetition_battery": q152_repetition_battery,
+    "q164_filter_ablation": q164_filter_ablation,
 }
 
 ORACLES: dict[str, str] = {
@@ -1002,4 +1338,5 @@ ORACLES: dict[str, str] = {
     "q96_c4_line_filter": _Q96_ORACLE,
     "q97_url_filter": _q97_oracle(),
     "q112_readability": _q112_oracle(),
+    "q164_filter_ablation": _q164_oracle(),
 }

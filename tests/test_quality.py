@@ -151,3 +151,29 @@ def test_export_writes_hive_partitioned_jsonl(spark, tmp_path):
     ).fetchone()
     got = back.selectExpr("count(*)", "sum(doc_id)").collect()[0]
     assert (got[0], got[1]) == (src[0], src[1])
+
+
+# -- q164: independent-filter ablation Venn ------------------------------------
+def test_ablation_venn_is_fully_populated(spark):
+    """The 12 _ABLATION_SYN cells plus the natural corpus must cover
+    all 16 (fail_gopher, fail_c4, fail_url, fail_lang) combinations,
+    and every filter must earn a unique-removal attribution — the
+    diagnostic is worthless if any cell is structurally empty."""
+    from ocr_service_spark.operators.quality import q164_filter_ablation
+
+    rows = q164_filter_ablation(spark, SF_DIR).collect()
+    cells = {
+        (r["fail_gopher"], r["fail_c4"], r["fail_url"], r["fail_lang"]): r
+        for r in rows
+    }
+    assert len(cells) == 16
+    uniq = {r["unique_filter"] for r in rows if r["unique_filter"]}
+    assert uniq == {"gopher", "c4", "url", "lang"}
+    # n_failing is the popcount of the cell key, all-pass cell exists
+    for key, r in cells.items():
+        assert r["n_failing"] == sum(key)
+    assert cells[(False, False, False, False)]["n_docs"] >= 1
+    # shares are basis points of one corpus: they sum to <= 10000 with
+    # rounding slack < 16 (integer div truncation per cell)
+    total_bp = sum(r["share_bp"] for r in rows)
+    assert 10000 - 16 < total_bp <= 10000
