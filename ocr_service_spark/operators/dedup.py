@@ -479,16 +479,34 @@ def q38_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def propagate_min_labels(labels: DataFrame, edges: DataFrame, rounds: int) -> DataFrame:
     """``rounds`` iterations of min-label propagation over
     labels(doc_id, label) and directed edges(src, dst): after round k
-    every node's label is the minimum label within graph distance k."""
+    every node's label is the minimum label within graph distance k.
+
+    Lineage is truncated with a LAZY localCheckpoint on the edge set
+    and on each round's labels. Without it the logical plan re-expands
+    shared subtrees per reference: edges (the whole upstream LSH
+    pipeline when called from q37) appears once per round, and
+    labels(k-1) appears TWICE inside labels(k) — a 2^rounds blowup
+    that Catalyst/AQE exchange-reuse only partially collapses
+    (measured 65 s for q154 at sf0.1; 4 s with truncation). The
+    checkpoint is the in-memory form of the write-labels/read-back
+    snapshot truncation the cluster-scale loop uses; eager=False keeps
+    the operator lazy — nothing runs until the caller's action."""
+    edges = edges.localCheckpoint(eager=False)
     for _ in range(rounds):
         nbr = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        labels = labels.join(nbr, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
         )
     return labels
 
