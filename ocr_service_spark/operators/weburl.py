@@ -343,12 +343,19 @@ def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     Each half-round is one hash equi-join on the host key plus a
     groupBy sum — the q69 two-shuffle shape — and the normalizer is a
     1-row total crossJoin broadcast (the q99/q121 pattern; the nested
-    loop against one row is the intended plan). Unrolled lazily; a
-    10^8-node production run would checkpoint per round."""
+    loop against one row is the intended plan). The edge list, node
+    list and each half-round's scores are lineage-truncated with lazy
+    localCheckpoints (the in-memory per-round snapshot a 10^8-node
+    production run writes out): edges and nodes are referenced twice
+    per round and each score table feeds the next half-round, so
+    without truncation the plan re-expands the upstream link-extract
+    pipeline once per reference."""
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hub = nodes.withColumn("s", F.lit(HITS_SCALE).cast("bigint"))
     auth = None
@@ -366,6 +373,7 @@ def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
                 "host",
                 F.expr(f"(coalesce(raw, 0L) * {HITS_SCALE}) div tot").alias("s"),
             )
+            .localCheckpoint(eager=False)
         )
         hraw = (
             edges.join(auth.withColumnRenamed("host", "h"), edges["dst"] == F.col("h"))
@@ -380,6 +388,7 @@ def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
                 "host",
                 F.expr(f"(coalesce(raw, 0L) * {HITS_SCALE}) div tot").alias("s"),
             )
+            .localCheckpoint(eager=False)
         )
     return (
         hub.withColumnRenamed("s", "hub_scaled")
@@ -423,18 +432,26 @@ def bfs_depths(edges: DataFrame, seeds: DataFrame, max_depth: int = BFS_MAX_DEPT
     depth table against the edge list on the source key and folds the
     discovered hosts back in with a groupBy-min — at web scale all
     rounds hash-partition on the same host key, so AQE reuses the
-    exchange, and a production run at 10^8 hosts would checkpoint per
-    round instead of unrolling one lazy plan (the q69 note). Parallel
-    edges are harmless for min-depth but multiply join output, so the
-    caller deduplicates; seeds are depth 0 by definition."""
+    exchange. Parallel edges are harmless for min-depth but multiply
+    join output, so the caller deduplicates; seeds are depth 0 by
+    definition. Each round's dist is lineage-truncated with a lazy
+    localCheckpoint (the in-memory form of the per-round write/
+    read-back a 10^8-host production run uses): dist appears TWICE in
+    the next round (join probe + union), so without truncation the
+    plan re-expands the seed subtree 2^max_depth times — the q37
+    propagate_min_labels lesson."""
     dist = seeds.select("host", F.lit(0).cast("bigint").alias("depth"))
+    edges = edges.localCheckpoint(eager=False)
     for _ in range(max_depth):
         step = (
             edges.join(dist, edges["src"] == dist["host"])
             .select(F.col("dst").alias("host"), (F.col("depth") + 1).alias("depth"))
         )
         dist = (
-            dist.union(step).groupBy("host").agg(F.min("depth").alias("depth"))
+            dist.union(step)
+            .groupBy("host")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=False)
         )
     return dist
 
