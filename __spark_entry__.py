@@ -1470,6 +1470,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registered q95/q96/q97 oracle SQL as subqueries, under
         # tools/check_oracles.py + test_entry_oracle
         "q164_filter_ablation",
+        # tail by design from birth (round 5): q165 (HTML table cells)
+        # is the q161 parser-fan-out shape (charset ladder + stdlib
+        # tokenizer + capped mapInPandas explode), all reached
+        # in-window by q40/q76/q161; pinned by its own DuckDB oracle
+        # under tools/check_oracles.py + test_entry_oracle
+        "q165_html_tables",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,

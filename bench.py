@@ -169,6 +169,8 @@ HEADLINE_QUERIES = [
     "q138_trap_detection",
     # round 5 closing — independent-filter ablation Venn
     "q164_filter_ablation",
+    # round 5 closing — HTML table cell extraction
+    "q165_html_tables",
 ]
 
 

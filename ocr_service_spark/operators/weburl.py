@@ -933,6 +933,117 @@ ORACLES_Q162 = """
 """
 
 
+# -- q165: HTML table extraction (structured cells) -------------------------------
+TABLE_CELLS_SCHEMA = (
+    "url string, table_idx bigint, row_idx bigint, col_idx bigint, "
+    "is_header boolean, cell_text string"
+)
+
+
+def extract_table_cells(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """pages(url, <payload_col> binary) -> one row per table cell per
+    the dialect in extraction/tables.py. Map-only mapInPandas, explode
+    inside the UDF capped at MAX_CELLS — the q161 parser-fan-out
+    shape."""
+    import pandas as pd
+
+    def run(batches):
+        from ocr_service_spark.extraction.tables import extract_tables
+
+        for batch in batches:
+            rows: dict[str, list] = {
+                "url": [], "table_idx": [], "row_idx": [], "col_idx": [],
+                "is_header": [], "cell_text": [],
+            }
+            for url, payload in zip(batch["url"], batch["payload"]):
+                if payload is None:
+                    continue
+                for rec in extract_tables(bytes(payload)):
+                    rows["url"].append(url)
+                    rows["table_idx"].append(rec["table_idx"])
+                    rows["row_idx"].append(rec["row_idx"])
+                    rows["col_idx"].append(rec["col_idx"])
+                    rows["is_header"].append(rec["is_header"])
+                    rows["cell_text"].append(rec["text"])
+            for k in ("table_idx", "row_idx", "col_idx"):
+                rows[k] = pd.Series(rows[k], dtype="int64")
+            yield pd.DataFrame(rows)
+
+    narrowed = pages.select("url", F.col(payload_col).alias("payload"))
+    return narrowed.mapInPandas(run, schema=TABLE_CELLS_SCHEMA)
+
+
+def q165_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table cells over closed-form pages: every doc carries one
+    header+2x2 grid (th cells, an inline-markup + entity cell when
+    doc_id%4==0, an empty cell when doc_id%5==0); doc_id%3==0 adds a
+    second table whose colspan=2 lead cell pushes the next cell to
+    col_idx 2. The REAL parser runs end-to-end (charset ladder,
+    tolerant close); the oracle replays the planting."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    page_url = F.format_string(
+        "http://site%s.test/page/%s.html", (d % 10).cast("string"), ds
+    )
+    c00 = F.when(
+        d % 4 == 0,
+        F.format_string("<b>bold</b> k0 &amp; %s", ds),
+    ).otherwise(F.format_string("k0 %s", ds))
+    c21 = F.when(d % 5 == 0, F.lit("")).otherwise(
+        F.format_string("v1 %s", ds)
+    )
+    t0 = F.concat(
+        F.lit("<table><tr><th>name</th><th>value</th></tr><tr><td>"),
+        c00,
+        F.format_string("</td><td>v0 %s</td></tr><tr><td>k1 %s</td><td>", ds, ds),
+        c21,
+        F.lit("</td></tr></table>"),
+    )
+    t1 = F.when(
+        d % 3 == 0,
+        F.format_string(
+            '<table><tr><td colspan="2">wide %s</td><td>after %s</td></tr>'
+            "</table>",
+            ds, ds,
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<html><body><p>intro</p>"), t0, t1, F.lit("</body></html>")
+    )
+    pages = docs.select(
+        page_url.alias("url"), F.encode(body, "utf-8").alias("html")
+    )
+    out = extract_table_cells(pages)
+    doc_id = F.regexp_extract("url", r"/page/(\d+)\.html$", 1).cast("bigint")
+    return out.select(
+        doc_id.alias("doc_id"), "table_idx", "row_idx", "col_idx",
+        "is_header", "cell_text",
+    )
+
+
+ORACLES_Q165 = """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, CAST(0 AS BIGINT) AS row_idx,
+           CAST(0 AS BIGINT) AS col_idx, true AS is_header, 'name' AS cell_text
+    FROM d
+    UNION ALL SELECT doc_id, 0, 0, 1, true, 'value' FROM d
+    UNION ALL SELECT doc_id, 0, 1, 0, false,
+           CASE WHEN doc_id % 4 = 0 THEN 'bold k0 & ' || ds
+                ELSE 'k0 ' || ds END
+    FROM d
+    UNION ALL SELECT doc_id, 0, 1, 1, false, 'v0 ' || ds FROM d
+    UNION ALL SELECT doc_id, 0, 2, 0, false, 'k1 ' || ds FROM d
+    UNION ALL SELECT doc_id, 0, 2, 1, false,
+           CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'v1 ' || ds END
+    FROM d
+    UNION ALL SELECT doc_id, 1, 0, 0, false, 'wide ' || ds
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL SELECT doc_id, 1, 0, 2, false, 'after ' || ds
+    FROM d WHERE doc_id % 3 = 0
+"""
+
+
 # -- q157: typosquat host detection (edit-1 host pairs) --------------------------
 #
 # Squatters register hosts one edit away from a brand (dropped or
@@ -3461,6 +3572,7 @@ QUERIES = {
     "q157_typosquat_pairs": q157_typosquat_pairs,
     "q161_image_text_pairs": q161_image_text_pairs,
     "q162_page_image": q162_page_image,
+    "q165_html_tables": q165_html_tables,
 }
 
 ORACLES["q151_mirror_hosts"] = ORACLES_Q151
@@ -3468,6 +3580,7 @@ ORACLES["q153_text_citations"] = ORACLES_Q153
 ORACLES["q157_typosquat_pairs"] = ORACLES_Q157
 ORACLES["q161_image_text_pairs"] = ORACLES_Q161
 ORACLES["q162_page_image"] = ORACLES_Q162
+ORACLES["q165_html_tables"] = ORACLES_Q165
 
 # q149: replay planting + every metric; DuckDB's // is the div twin.
 ORACLES["q149_host_skew"] = f"""
