@@ -11,17 +11,14 @@ this module is beyond-reference like links.py / markdown.py, and is
 built on the same stdlib ``html.parser`` tokenizer as T1 so entity
 handling is identical across every HTML rung.
 
-Pinned dialect (tables):
+Pinned dialect (tables) — shared core, ONE collector state machine,
+two published variants:
 
 - tables are numbered by ``<table>`` START-tag document order;
-- a nested ``<table>`` gets its own table_idx and its text does NOT
-  leak into the enclosing cell (the parent cell resumes after the
-  nested ``</table>``);
-- ``row_idx``/``col_idx`` are positional within the table —
-  ``colspan``/``rowspan`` are NOT expanded (cell grid, not render
-  grid); a ``<td>``/``<th>`` before any ``<tr>`` opens implicit row 0;
-  a new ``<tr>``/``<td>``/``<th>`` auto-closes any open row/cell
-  (browser recovery behavior);
+- a nested ``<table>`` gets its own table_idx; a ``<td>``/``<th>``
+  before any ``<tr>`` opens implicit row 0; a new
+  ``<tr>``/``<td>``/``<th>`` auto-closes any open row/cell (browser
+  recovery behavior);
 - ``is_header`` is the cell's own tag (``th``), not its row's;
 - cell text is the cell's character data (nested non-table markup
   contributes its text, tags stripped by the tokenizer, entities
@@ -29,7 +26,23 @@ Pinned dialect (tables):
   to single spaces and trimmed;
 - output is capped at MAX_CELLS cells per page: a pathological page
   yields a bounded explode, never an unbounded one (same guard as
-  links.py MAX_LINKS).
+  links.py MAX_LINKS);
+- ``rowspan`` is never projected into later rows in either variant —
+  each row's cursor restarts (the pragmatic cell-grid rule HTML-table
+  corpora such as WDC use, not the render grid).
+
+Variant A — :func:`extract_tables` (q120 document-structure tier):
+``colspan`` is NOT expanded (every cell advances the column cursor by
+exactly 1), and a nested table's text does not leak into the enclosing
+cell — the parent cell is shadowed during the child and RESUMES after
+``</table>`` (its text stitches around the child).
+
+Variant B — :func:`extract_tables_spanned` (q165 grid-semantics
+tier): ``colspan`` ADVANCES the column cursor by n (non-numeric or
+< 1 values read as 1), so downstream grid consumers see render-true
+column positions; a nested ``<table>`` start CLOSES the open parent
+cell (the parent's pre-child text is emitted as the finished cell,
+matching how grid corpora attribute split cells).
 
 Pinned dialect (headings):
 
@@ -67,11 +80,28 @@ def _decode(payload: bytes | str) -> str:
     return payload
 
 
+def _colspan(attrs) -> int:
+    try:
+        n = int(dict(attrs).get("colspan") or "1")
+    except (ValueError, TypeError):
+        return 1
+    return n if n >= 1 else 1
+
+
 class _TableCollector(HTMLParser):
-    def __init__(self) -> None:
+    """One state machine, both published dialects (module docstring):
+    ``expand_colspan`` switches the per-cell cursor advance from 1 to
+    the parsed colspan; ``close_parent_cell`` switches nested-table
+    handling from shadow-and-resume to close-at-child-start."""
+
+    def __init__(
+        self, *, expand_colspan: bool = False, close_parent_cell: bool = False
+    ) -> None:
         super().__init__(convert_charrefs=True)
         # (table_idx, row_idx, col_idx, is_header, cell_text)
         self.cells: list[tuple[int, int, int, bool, str]] = []
+        self._expand_colspan = expand_colspan
+        self._close_parent_cell = close_parent_cell
         self._n_tables = 0
         # one frame per OPEN table: nested tables push a frame, so the
         # parent's open cell is shadowed (its text excludes the child)
@@ -79,9 +109,11 @@ class _TableCollector(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "table":
+            if self._close_parent_cell and self._stack:
+                self._flush_cell()
             self._stack.append(
-                {"idx": self._n_tables, "row": -1, "col": -1,
-                 "cell": None, "header": False}
+                {"idx": self._n_tables, "row": -1, "col": 0,
+                 "cell": None, "header": False, "span": 1}
             )
             self._n_tables += 1
             return
@@ -90,15 +122,15 @@ class _TableCollector(HTMLParser):
         if tag == "tr":
             self._flush_cell()
             self._stack[-1]["row"] += 1
-            self._stack[-1]["col"] = -1
+            self._stack[-1]["col"] = 0
         elif tag in ("td", "th"):
             self._flush_cell()
             t = self._stack[-1]
             if t["row"] < 0:  # cell before any <tr>: implicit row 0
                 t["row"] = 0
-            t["col"] += 1
             t["cell"] = []
             t["header"] = tag == "th"
+            t["span"] = _colspan(attrs) if self._expand_colspan else 1
 
     def handle_endtag(self, tag: str) -> None:
         if not self._stack:
@@ -122,20 +154,39 @@ class _TableCollector(HTMLParser):
                 (t["idx"], max(t["row"], 0), t["col"], t["header"],
                  _collapse(t["cell"]))
             )
+        t["col"] += t["span"]
         t["cell"] = None
 
+    def close(self) -> None:  # flush unclosed tables (tolerant parse)
+        super().close()
+        while self._stack:
+            self.handle_endtag("table")
 
-def extract_tables(payload: bytes | str) -> list[tuple[int, int, int, bool, str]]:
-    """Payload -> [(table_idx, row_idx, col_idx, is_header, cell_text)]
-    in document order, per the pinned dialect above. Total: returns []
-    rather than raising on any input."""
-    parser = _TableCollector()
+
+def _run_collector(payload: bytes | str, **knobs) -> list[tuple]:
+    parser = _TableCollector(**knobs)
     try:
         parser.feed(_decode(payload))
         parser.close()
     except Exception:
         pass  # keep whatever was collected before the parse error
     return parser.cells
+
+
+def extract_tables(payload: bytes | str) -> list[tuple[int, int, int, bool, str]]:
+    """Payload -> [(table_idx, row_idx, col_idx, is_header, cell_text)]
+    in document order, variant A (colspan not expanded, nested parent
+    cell resumes). Total: returns [] rather than raising on any input."""
+    return _run_collector(payload)
+
+
+def extract_tables_spanned(
+    payload: bytes | str,
+) -> list[tuple[int, int, int, bool, str]]:
+    """Variant B: colspan advances the column cursor by n; a nested
+    table start closes the open parent cell. Same record shape and
+    totality as :func:`extract_tables`."""
+    return _run_collector(payload, expand_colspan=True, close_parent_cell=True)
 
 
 class _OutlineCollector(HTMLParser):

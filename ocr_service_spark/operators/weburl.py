@@ -942,13 +942,14 @@ TABLE_CELLS_SCHEMA = (
 
 def extract_table_cells(pages: DataFrame, payload_col: str = "html") -> DataFrame:
     """pages(url, <payload_col> binary) -> one row per table cell per
-    the dialect in extraction/tables.py. Map-only mapInPandas, explode
+    variant B of extraction/html_tables.py (colspan advances the
+    cursor, render-true grid positions). Map-only mapInPandas, explode
     inside the UDF capped at MAX_CELLS — the q161 parser-fan-out
     shape."""
     import pandas as pd
 
     def run(batches):
-        from ocr_service_spark.extraction.tables import extract_tables
+        from ocr_service_spark.extraction.html_tables import extract_tables_spanned
 
         for batch in batches:
             rows: dict[str, list] = {
@@ -958,13 +959,13 @@ def extract_table_cells(pages: DataFrame, payload_col: str = "html") -> DataFram
             for url, payload in zip(batch["url"], batch["payload"]):
                 if payload is None:
                     continue
-                for rec in extract_tables(bytes(payload)):
+                for ti, ri, ci, hd, tx in extract_tables_spanned(bytes(payload)):
                     rows["url"].append(url)
-                    rows["table_idx"].append(rec["table_idx"])
-                    rows["row_idx"].append(rec["row_idx"])
-                    rows["col_idx"].append(rec["col_idx"])
-                    rows["is_header"].append(rec["is_header"])
-                    rows["cell_text"].append(rec["text"])
+                    rows["table_idx"].append(ti)
+                    rows["row_idx"].append(ri)
+                    rows["col_idx"].append(ci)
+                    rows["is_header"].append(hd)
+                    rows["cell_text"].append(tx)
             for k in ("table_idx", "row_idx", "col_idx"):
                 rows[k] = pd.Series(rows[k], dtype="int64")
             yield pd.DataFrame(rows)

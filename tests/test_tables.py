@@ -1,19 +1,22 @@
-"""HTML table extraction (extraction/tables.py + weburl.q165): the
-pinned cell dialect — grid coordinates, colspan advance, nesting,
-tolerant error recovery, and the MAX_CELLS explode cap."""
+"""Variant B of the HTML table extractor (html_tables.py
+``extract_tables_spanned`` + weburl.q165): the pinned grid dialect —
+colspan cursor advance, nested-table close-at-child-start, tolerant
+error recovery, and the MAX_CELLS explode cap. Variant A's dialect is
+pinned by test_structure.py; the two share one collector state
+machine."""
 
 from __future__ import annotations
 
-from ocr_service_spark.extraction.tables import MAX_CELLS, extract_tables
+from ocr_service_spark.extraction.html_tables import (
+    MAX_CELLS,
+    extract_tables_spanned,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _grid(payload):
-    return [
-        (c["table_idx"], c["row_idx"], c["col_idx"], c["is_header"], c["text"])
-        for c in extract_tables(payload)
-    ]
+    return list(extract_tables_spanned(payload))
 
 
 def test_basic_grid_headers_entities_and_empty_cell():
@@ -46,7 +49,7 @@ def test_colspan_advances_cursor_and_junk_spans_read_as_one():
     ]
 
 
-def test_nested_table_gets_own_index_not_the_ancestors_grid():
+def test_nested_table_closes_the_open_parent_cell():
     html = (
         "<table><tr><td>outer"
         "<table><tr><td>inner</td></tr></table>"
@@ -74,9 +77,9 @@ def test_cells_outside_any_table_are_ignored():
     assert _grid("<td>stray</td><tr><td>also stray</td></tr>") == []
 
 
-def test_explode_cap_bounds_a_million_cell_grid():
+def test_explode_cap_bounds_a_huge_grid():
     rows = "".join("<tr><td>x</td><td>y</td></tr>" for _ in range(MAX_CELLS))
-    cells = extract_tables("<table>" + rows + "</table>")
+    cells = extract_tables_spanned("<table>" + rows + "</table>")
     assert len(cells) == MAX_CELLS
 
 
