@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ocr_service_spark.operators import (  # noqa: E402
+    bitext,
     corpus,
     dedup,
     main_content,
@@ -1476,10 +1477,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window by q40/q76/q161; pinned by its own DuckDB oracle
         # under tools/check_oracles.py + test_entry_oracle
         "q165_html_tables",
+        # tail by design from birth (round 5): q166 (bitext paragraph
+        # alignment over hreflang-paired editions) is ONE AQE-sized
+        # equi-join (the q136 hreflang-pair shape, in-window via
+        # q51/q53's AQE-join family) feeding the capped
+        # mapInPandas-explode contract (in-window via q40/q76/q161);
+        # the integer-exact Gale-Church DP dialect is pinned by its
+        # own DuckDB oracle under tools/check_oracles.py +
+        # test_entry_oracle
+        "q166_bitext_align",
     }
     for mod in (
         relational, temporal, text_stats, corpus, quality,
-        dedup, similarity, weburl,
+        dedup, similarity, weburl, bitext,
     ):
         for name, fn in mod.QUERIES.items():
             if name not in tail:
@@ -1487,7 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- redundantly-covered tail (see module docstring)
     for mod in (
         relational, temporal, text_stats, corpus, quality,
-        dedup, similarity, weburl,
+        dedup, similarity, weburl, bitext,
     ):
         for name, fn in mod.QUERIES.items():
             if name in tail:
@@ -1563,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(stream_queries.ORACLES)
     out.update(retrieval.ORACLES)
     out.update(structure.ORACLES)
+    out.update(bitext.ORACLES)
     # q40-q43 are deterministic end-to-end in this environment (NO_OCR
     # tier + the deterministic glyph OCR engine); their expected outputs
     # are committed, reviewed golden tables the oracle reads back. q40's

@@ -171,6 +171,8 @@ HEADLINE_QUERIES = [
     "q164_filter_ablation",
     # round 5 closing — HTML table cell extraction
     "q165_html_tables",
+    # round 5 closing — bitext paragraph alignment (Gale-Church DP)
+    "q166_bitext_align",
 ]
 
 
