@@ -616,6 +616,132 @@ def _q102_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q167_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS privacy scrub over a deterministic camera-media corpus —
+    the multimodal twin of q48's PII scrub: before a corpus export,
+    location EXIF must be REMOVED FROM THE BYTES, not just ignored.
+    Per doc_id the generation stage builds a real JPEG+APP1 payload
+    (q102's memoized encoder); every doc_id % 3 == 0 carries a GPS
+    sub-IFD with closed-form DMS coordinates. The scrub stage runs
+    extraction/exif.py::scrub_gps (length-preserving byte surgery:
+    the 0x8825 IFD0 entry is dropped and the GPS IFD + coordinate
+    RATIONALs are zeroed) and the row carries byte-level PROOF
+    re-parsed from the scrubbed payload: gps_after must be false,
+    the non-GPS EXIF must survive intact, and the payload length must
+    be preserved — the oracle pins all three as constants, so any
+    scrub bug flips rows. Tail by design from birth: generation +
+    parse are q102's in-window mapInPandas media shape; same local
+    gates (tools/check_oracles.py + test_entry_oracle) as the tail."""
+    _ship_package(spark)
+    import pandas as pd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from ocr_service_spark.extraction.exif import build_exif_blob, splice_app1
+        from ocr_service_spark.extraction.jpeg_codec import encode_jpeg_gray
+
+        jpeg_cache: dict = {}
+
+        def jpeg_for(i):
+            k = i % 256
+            j = jpeg_cache.get(k)
+            if j is None:
+                luma = bytes((k + p) % 256 for p in range(64))
+                j = jpeg_cache.setdefault(k, encode_jpeg_gray(8, 8, luma))
+            return j
+
+        for batch in batches:
+            rows = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                gps = None
+                if i % 3 == 0:
+                    gps = (
+                        "N" if i % 2 == 0 else "S",
+                        (i % 90, i % 60, (7 * i) % 60),
+                        "E" if i % 4 < 2 else "W",
+                        (i % 180, (3 * i) % 60, (11 * i) % 60),
+                    )
+                blob = build_exif_blob(
+                    f"Cam{i % 5}",
+                    f"M{i % 3}",
+                    i % 8 + 1,
+                    f"2026:08:{i % 28 + 1:02d} 12:{i % 60:02d}:00",
+                    big_endian=(i % 2 == 1),
+                    gps=gps,
+                )
+                rows.append({"doc_id": i, "payload": splice_app1(jpeg_for(i), blob)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+    def scrub(batches):
+        from ocr_service_spark.extraction.exif import parse_exif, scrub_gps
+
+        def dms_seconds(dms):
+            (d, _), (m, _), (s, _) = dms
+            return d * 3600 + m * 60 + s
+
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(payload)
+                try:
+                    before = parse_exif(b) or {}
+                except Exception:
+                    before = {}
+                scrubbed, had_gps = scrub_gps(b)
+                try:
+                    after = parse_exif(scrubbed) or {}
+                except Exception:
+                    after = {}
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "had_gps": had_gps,
+                        "lat_ref": before.get("gps_lat_ref"),
+                        "lon_ref": before.get("gps_lon_ref"),
+                        "lat_sec": dms_seconds(before["gps_lat"])
+                        if "gps_lat" in before else -1,
+                        "lon_sec": dms_seconds(before["gps_lon"])
+                        if "gps_lon" in before else -1,
+                        "gps_after": "gps_lat" in after
+                        or "gps_lat_ref" in after
+                        or "gps_lon" in after
+                        or "gps_lon_ref" in after,
+                        "exif_intact": after.get("make") == before.get("make")
+                        and after.get("datetime_original")
+                        == before.get("datetime_original")
+                        and after.get("orientation") == before.get("orientation"),
+                        "size_preserved": len(scrubbed) == len(b),
+                    }
+                )
+            df = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "had_gps", "lat_ref", "lon_ref", "lat_sec",
+                    "lon_sec", "gps_after", "exif_intact", "size_preserved",
+                ],
+            )
+            for c in ("lat_sec", "lon_sec"):
+                df[c] = df[c].astype("int64")
+            yield df
+
+    return media.mapInPandas(
+        scrub,
+        schema=(
+            "doc_id bigint, had_gps boolean, lat_ref string, lon_ref string,"
+            " lat_sec bigint, lon_sec bigint, gps_after boolean,"
+            " exif_intact boolean, size_preserved boolean"
+        ),
+    )
+
+
 def _q103_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF document-information extraction: per doc_id a real
     multi-page PDF (pages = doc_id%4 + 1) with a trailer /Info dict is
@@ -1515,6 +1641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q60_frame_sampling"] = _q60_frame_sampling
     # tail by design from birth (see each docstring): metadata tier
     out["q102_exif_metadata"] = _q102_exif_metadata
+    # q167 (GPS privacy scrub): q102's in-window mapInPandas media
+    # shape with byte-surgery proof columns; tail by design from birth
+    out["q167_gps_scrub"] = _q167_gps_scrub
     out["q103_pdf_metadata"] = _q103_pdf_metadata
     out["q104_avc1_streams"] = _q104_avc1_streams
     out["q105_media_route"] = _q105_media_route
@@ -1740,6 +1869,29 @@ def oracle_sql() -> dict[str, str]:
                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
                       || ' 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
                       || ':00' END AS datetime_original
+        FROM documents
+    """
+    # q167: the planting replayed closed-form; gps_after / exif_intact /
+    # size_preserved are byte-level proofs pinned as constants — a scrub
+    # bug flips those rows
+    out["q167_gps_scrub"] = """
+        SELECT doc_id,
+            doc_id % 3 = 0 AS had_gps,
+            CASE WHEN doc_id % 3 = 0 THEN
+                 CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END END AS lat_ref,
+            CASE WHEN doc_id % 3 = 0 THEN
+                 CASE WHEN doc_id % 4 < 2 THEN 'E' ELSE 'W' END END AS lon_ref,
+            CASE WHEN doc_id % 3 = 0
+                 THEN CAST((doc_id % 90) * 3600 + (doc_id % 60) * 60
+                           + (7 * doc_id) % 60 AS BIGINT)
+                 ELSE CAST(-1 AS BIGINT) END AS lat_sec,
+            CASE WHEN doc_id % 3 = 0
+                 THEN CAST((doc_id % 180) * 3600 + ((3 * doc_id) % 60) * 60
+                           + (11 * doc_id) % 60 AS BIGINT)
+                 ELSE CAST(-1 AS BIGINT) END AS lon_sec,
+            false AS gps_after,
+            true AS exif_intact,
+            true AS size_preserved
         FROM documents
     """
     out["q103_pdf_metadata"] = """

@@ -173,6 +173,8 @@ HEADLINE_QUERIES = [
     "q165_html_tables",
     # round 5 closing — bitext paragraph alignment (Gale-Church DP)
     "q166_bitext_align",
+    # round 5 closing — GPS privacy scrub (byte-surgery proof columns)
+    "q167_gps_scrub",
 ]
 
 

@@ -219,3 +219,92 @@ def test_parse_exif_fuzz_corrupted_blob_never_raises(offset: int, patch: bytes):
     for payload in (mutated, splice_app1(encode_jpeg_gray(8, 8, bytes(64)), mutated)):
         out = parse_exif(payload)
         assert out is None or isinstance(out, dict)
+
+
+# -- GPS sub-IFD + privacy scrub (q167) ------------------------------------------
+def _gps_payloads():
+    gps = ("N", (40, 26, 46), "W", (79, 58, 56))
+    for be in (False, True):
+        blob = build_exif_blob(
+            "CamG", "M2", 5, "2026:08:19 12:34:00", big_endian=be, gps=gps
+        )
+        yield blob
+        yield splice_app1(encode_jpeg_gray(8, 8, bytes(range(64))), blob)
+
+
+def test_gps_builder_parser_roundtrip_both_endians_and_containers():
+    for payload in _gps_payloads():
+        meta = parse_exif(payload)
+        assert meta["gps_lat_ref"] == "N" and meta["gps_lon_ref"] == "W"
+        assert meta["gps_lat"] == [(40, 1), (26, 1), (46, 1)]
+        assert meta["gps_lon"] == [(79, 1), (58, 1), (56, 1)]
+        # non-GPS tags coexist
+        assert meta["make"] == "CamG" and meta["orientation"] == 5
+
+
+def test_hand_packed_gps_ifd_parses():
+    """GPS IFD packed by hand (independent of build_exif_blob): IFD0
+    carries only the 0x8825 pointer; the GPS IFD holds LatRef inline
+    and Lat as three external RATIONALs."""
+    # header(8) + IFD0: count(2)+1*12+next(4)=18 -> GPS IFD at 26
+    ifd0 = struct.pack("<H", 1)
+    ifd0 += struct.pack("<HHI", 0x8825, 4, 1) + struct.pack("<I", 26)
+    ifd0 += struct.pack("<I", 0)
+    # GPS IFD: count(2)+2*12+next(4)=30 -> rationals at 26+30=56
+    gps = struct.pack("<H", 2)
+    gps += struct.pack("<HHI", 0x0001, 2, 2) + b"S\x00\x00\x00"
+    gps += struct.pack("<HHI", 0x0002, 5, 3) + struct.pack("<I", 56)
+    gps += struct.pack("<I", 0)
+    rats = struct.pack("<IIIIII", 12, 1, 30, 1, 45, 1)
+    blob = b"II*\x00" + struct.pack("<I", 8) + ifd0 + gps + rats
+    meta = parse_exif(blob)
+    assert meta == {"gps_lat_ref": "S", "gps_lat": [(12, 1), (30, 1), (45, 1)]}
+
+
+def test_scrub_gps_removes_coordinates_from_the_bytes():
+    from ocr_service_spark.extraction.exif import scrub_gps
+
+    for payload in _gps_payloads():
+        scrubbed, had = scrub_gps(payload)
+        assert had and len(scrubbed) == len(payload)
+        after = parse_exif(scrubbed)
+        assert not any(k.startswith("gps_") for k in after)
+        # the rest of the EXIF survives the surgery
+        assert after["make"] == "CamG"
+        assert after["datetime_original"] == "2026:08:19 12:34:00"
+        # coordinate bytes are ZEROED, not merely unreferenced
+        for e in ("<", ">"):
+            needle = struct.pack(e + "II", 40, 1) + struct.pack(e + "II", 26, 1)
+            assert needle not in scrubbed
+
+
+def test_scrub_gps_is_idempotent_and_total():
+    from ocr_service_spark.extraction.exif import scrub_gps
+
+    for payload in _gps_payloads():
+        scrubbed, _ = scrub_gps(payload)
+        again, had2 = scrub_gps(scrubbed)
+        assert not had2 and again == scrubbed
+    # no-GPS / no-EXIF / junk payloads pass through untouched
+    plain = build_exif_blob("C", "M", 1, "2026:01:01 00:00:00")
+    assert scrub_gps(plain) == (plain, False)
+    assert scrub_gps(b"\xff\xd8\xff\xd9") == (b"\xff\xd8\xff\xd9", False)
+    assert scrub_gps(b"junk") == (b"junk", False)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    offset=st.integers(min_value=0, max_value=300),
+    patch=st.binary(min_size=1, max_size=4),
+)
+def test_scrub_gps_fuzz_corrupted_blob_never_raises_or_grows(offset, patch):
+    from ocr_service_spark.extraction.exif import scrub_gps
+
+    blob = build_exif_blob(
+        "CamG", "M2", 5, "2026:08:19 12:34:00",
+        gps=("N", (40, 26, 46), "W", (79, 58, 56)),
+    )
+    pos = offset % len(blob)
+    mutated = blob[:pos] + patch + blob[pos + len(patch):]
+    out, had = scrub_gps(mutated)
+    assert isinstance(had, bool) and len(out) == len(mutated)
