@@ -780,8 +780,10 @@ def _q146_oracle() -> str:
 # {2,3,4}-gram character fractions, with Gopher's published thresholds
 # as verdicts. Paragraph-granularity is the same operator over a
 # "\\n\\n" split and is intentionally not duplicated here. Line metrics
-# are pure array expressions (map-only); the top-gram table is q39's
-# explode -> per-doc count -> rank shape at three gram widths.
+# are pure array expressions (map-only); the top-gram table is ALSO
+# map-only (array_sort + run-length fold per width) — a per-document
+# statistic must never pay a corpus-wide gram shuffle, so the whole
+# battery is one exchange-free projection (plan-pinned).
 # Planted lines: every doc's tokens are folded into 4 lines (the q108
 # chunk slicing); every 10th doc instead repeats its first-6-token
 # line five times — the repetitive class.
@@ -827,62 +829,61 @@ def q152_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nonws_chars"
         ),
     )
-    base = raw.select(
+    # top n-gram per doc WITHOUT shuffling every gram in the corpus: a
+    # per-document statistic must not pay a corpus-wide exchange, so
+    # the former explode -> groupBy(doc_id, w, gram) -> rank shape is
+    # replaced by array_sort + a run-length fold inside ONE map-only
+    # projection. Tie-break parity with the ranked original (cnt desc,
+    # gram asc): a strict > on the run counter keeps the FIRST maximal
+    # run of the sorted array, which is the lexicographically smallest
+    # top gram.
+    toks = F.split("body", r"\s+")
+
+    def top_gram_chars(w: int):
+        grams = F.when(
+            F.size(toks) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - w + 1),
+                lambda i: F.array_join(F.slice(toks, i, w), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best_cnt"),
+            F.lit(None).cast("string").alias("best_gram"),
+        )
+
+        def step(acc, g):
+            run = F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1).otherwise(
+                F.lit(1).cast("bigint")
+            )
+            better = run > acc["best_cnt"]
+            return F.struct(
+                g.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+                F.when(better, g).otherwise(acc["best_gram"]).alias("best_gram"),
+            )
+
+        fin = F.aggregate(F.array_sort(grams), init, step)
+        return F.when(
+            fin["best_cnt"] > 0,
+            fin["best_cnt"]
+            * F.length(F.regexp_replace(fin["best_gram"], r"\s", "")),
+        ).alias(f"top{w}_chars")
+
+    # everything is one projection chain over the scan: zero shuffles
+    joined = raw.select(
         "doc_id",
-        "body",
         "n_lines",
         F.expr("((n_lines - n_dist) * 10000) div n_lines").alias("dup_line_frac_bp"),
         F.expr("((lchars - dchars) * 10000) div greatest(lchars, 1)").alias(
             "dup_line_char_bp"
         ),
         "nonws_chars",
+        *[top_gram_chars(w) for w in REP_TOP_BP],
     )
-
-    from pyspark.sql import Window
-
-    toks = F.split("body", r"\s+")
-    gram_arrays = [
-        pages.select(
-            "doc_id",
-            F.lit(w).cast("bigint").alias("w"),
-            F.explode(
-                F.when(
-                    F.size(toks) >= w,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - w + 1),
-                        lambda i: F.array_join(F.slice(toks, i, w), " "),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("gram"),
-        )
-        for w in REP_TOP_BP
-    ]
-    grams = gram_arrays[0]
-    for g in gram_arrays[1:]:
-        grams = grams.unionAll(g)
-    counts = grams.groupBy("doc_id", "w", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    rk = Window.partitionBy("doc_id", "w").orderBy(
-        F.col("cnt").desc(), F.col("gram").asc()
-    )
-    tops = (
-        counts.withColumn("rn", F.row_number().over(rk))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "w",
-            (F.col("cnt") * F.length(F.regexp_replace("gram", r"\s", ""))).alias(
-                "top_chars"
-            ),
-        )
-    )
-    pivot = tops.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("w") == w, F.col("top_chars")))
-            .alias(f"top{w}_chars")
-            for w in REP_TOP_BP
-        ]
-    )
-    joined = base.join(pivot, "doc_id", "left")
     tcols = {
         w: F.expr(
             f"(coalesce(top{w}_chars, 0) * 10000) div greatest(nonws_chars, 1)"

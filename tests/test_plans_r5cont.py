@@ -44,9 +44,14 @@ def test_q147_weight_table_is_broadcast(spark):
 
 def test_map_only_queries_plan_zero_exchanges(spark):
     # pure-codegen projections must ride the scan: any Exchange means
-    # an accidental shuffle crept into a map-only operator
+    # an accidental shuffle crept into a map-only operator. q152 is
+    # here BY DESIGN: its top-gram table is a per-document statistic,
+    # so it must never pay a corpus-wide gram shuffle (array_sort +
+    # run-length fold, not explode -> groupBy -> rank).
+    from ocr_service_spark.operators.quality import q152_repetition_battery
+
     for fn in (q142_serving_state, q146_code_routing, q153_text_citations,
-               q161_image_text_pairs):
+               q161_image_text_pairs, q152_repetition_battery):
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "Exchange" not in plan, (fn.__name__, plan)
 
