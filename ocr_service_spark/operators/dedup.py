@@ -353,6 +353,24 @@ def _shingles(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(_shingle_array()).alias("tok"))
 
 
+def _df_cap_prelimit(toks: DataFrame) -> DataFrame:
+    """Map-side pre-limit for the inverted-index df cap — the
+    :func:`_cap_bucket` WindowGroupLimit move applied to token
+    postings: each map task keeps at most JACCARD_MAX_DF + 1 lowest
+    doc_ids per token BEFORE the shuffle, so an over-cap token still
+    arrives with cap + 1 ids (the downstream ``size <= cap`` filter
+    drops it exactly as before) but a web-scale chrome token's 10^9-id
+    posting list never materializes on one reducer — without this, the
+    ``collect_list`` builds the full monster array transiently before
+    the filter can discard it."""
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    return (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= JACCARD_MAX_DF + 1)
+        .drop("rn")
+    )
+
+
 def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via a shingle inverted index: shingles
     with doc-frequency <= cap generate candidates (bounding the
@@ -368,9 +386,11 @@ def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured ~20% faster than the broadcast-df shape at sf0.1."""
     toks = _shingles(_docs(spark, sf_dir))
     # shuffle 1 (tok): posting lists with the doc-frequency cap applied
-    # inline — rare shingles only, from a single shingle pass
+    # inline — rare shingles only, from a single shingle pass; the
+    # WindowGroupLimit pre-limit bounds what any reducer ever holds
     rare_ids = (
-        toks.groupBy("tok")
+        _df_cap_prelimit(toks)
+        .groupBy("tok")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") <= JACCARD_MAX_DF)
     )
@@ -1157,7 +1177,8 @@ def q124_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _wrapped_docs(_docs(spark, sf_dir))
     toks = _shingles(docs)
     posting = (
-        toks.groupBy("tok")
+        _df_cap_prelimit(toks)
+        .groupBy("tok")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= JACCARD_MAX_DF))
     )

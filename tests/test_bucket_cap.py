@@ -85,3 +85,34 @@ def test_q100_flood_match_counts_are_cap_bounded(spark, tmp_path):
     # and leaks were still detected despite the cap (recall holds for
     # the docs that matter: survivors link the flood cluster)
     assert out.filter("leak").count() >= 1
+
+
+def test_q14_q124_posting_cap_is_mapside_window_group_limit(spark, tmp_path):
+    # The inverted-index df cap (q14/q124 family) must ALSO pre-limit
+    # map-side: without the WindowGroupLimit, collect_list builds a hot
+    # chrome token's full posting list transiently on one reducer
+    # before the size filter discards it — the same single-task failure
+    # mode _cap_bucket fixes for band buckets.
+    from ocr_service_spark.operators.dedup import (
+        q14_jaccard_pairs,
+        q124_containment_pairs,
+    )
+
+    sf_dir = _flood_docs_dir(spark, tmp_path)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for fn in (q14_jaccard_pairs, q124_containment_pairs):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        assert "WindowGroupLimit" in plan, fn.__name__
+
+
+def test_q14_flood_produces_zero_uncapped_postings(spark, tmp_path):
+    # 1000 identical docs: every shingle has df = 1000 > cap, so the
+    # posting stage must yield NOTHING (semantics: over-cap tokens are
+    # dropped, same as before the pre-limit) — and must do so without
+    # any reducer ever holding more than cap + 1 ids per token.
+    from ocr_service_spark.operators.dedup import q14_jaccard_pairs
+
+    out = q14_jaccard_pairs(spark, _flood_docs_dir(spark, tmp_path))
+    assert out.count() == 0
