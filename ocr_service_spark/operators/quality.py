@@ -808,102 +808,102 @@ def _q152_body():
 
 
 def q152_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # The documents table lands as ONE parquet file at bench scale, so a
+    # map-only plan inherits a single input split and the whole battery
+    # collapses onto one core (guide §2.5, input skew). The battery is
+    # compute-bound per doc, so spread the (doc_id, text) projection
+    # across the cluster before the heavy stage — the same fix the
+    # metadata/media generation fan-outs carry (q102/q103/q60/q61).
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     pages = docs.select("doc_id", _q152_body().alias("body"))
 
-    lines = F.split("body", "\n")
-    lchars = F.aggregate(
-        lines, F.lit(0).cast("bigint"), lambda a, l: a + F.length(l)
-    )
-    dchars = F.aggregate(
-        F.array_distinct(lines), F.lit(0).cast("bigint"), lambda a, l: a + F.length(l)
-    )
-    raw = pages.select(
-        "doc_id",
-        "body",
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.size(F.array_distinct(lines)).cast("bigint").alias("n_dist"),
-        lchars.alias("lchars"),
-        dchars.alias("dchars"),
-        F.length(F.regexp_replace("body", r"\s", "")).cast("bigint").alias(
-            "nonws_chars"
-        ),
-    )
-    # top n-gram per doc WITHOUT shuffling every gram in the corpus: a
-    # per-document statistic must not pay a corpus-wide exchange, so
-    # the former explode -> groupBy(doc_id, w, gram) -> rank shape is
-    # replaced by array_sort + a run-length fold inside ONE map-only
-    # projection. Tie-break parity with the ranked original (cnt desc,
-    # gram asc): a strict > on the run counter keeps the FIRST maximal
-    # run of the sorted array, which is the lexicographically smallest
-    # top gram.
-    toks = F.split("body", r"\s+")
+    # One Arrow-batched mapInPandas stage computes the whole battery per
+    # doc (guide §4.2): the former pure-Catalyst shape paid ~5 ms/doc of
+    # interpreted expression evaluation (three array_sort + F.aggregate
+    # struct-folds plus two per-line folds); a per-width Counter costs
+    # ~0.1 ms/doc. Still a per-document statistic: zero gram shuffles —
+    # the only exchange is the fan-out repartition above.
+    def battery(batches):
+        # Exact Python twin of the former Catalyst expressions (and of
+        # the unchanged DuckDB oracle): Java-regex \s is the ASCII class
+        # [ \t\n\x0B\f\r]; the run tie-break (first maximal run of the
+        # sorted gram array = lexicographically smallest top gram) is
+        # min() over the max-count grams, identical because UTF-8 byte
+        # order equals codepoint order; every `div` is a nonnegative
+        # integer division == Python //.
+        import re
+        from collections import Counter
 
-    def top_gram_chars(w: int):
-        grams = F.when(
-            F.size(toks) >= w,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - w + 1),
-                lambda i: F.array_join(F.slice(toks, i, w), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("bigint").alias("run"),
-            F.lit(0).cast("bigint").alias("best_cnt"),
-            F.lit(None).cast("string").alias("best_gram"),
-        )
+        import pandas as pd
 
-        def step(acc, g):
-            run = F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1).otherwise(
-                F.lit(1).cast("bigint")
+        ws_split = re.compile("[ \t\n\x0b\x0c\r]+").split
+        ws_del = {ord(c): None for c in " \t\n\x0b\x0c\r"}
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["body"]):
+                lines = b.split("\n")
+                n_lines = len(lines)
+                dist = set(lines)
+                lchars = sum(map(len, lines))
+                dchars = sum(map(len, dist))
+                dup_line_frac_bp = (n_lines - len(dist)) * 10000 // n_lines
+                dup_line_char_bp = (lchars - dchars) * 10000 // max(lchars, 1)
+                nonws = len(b.translate(ws_del))
+                toks = ws_split(b)
+                bps = []
+                for w in REP_TOP_BP:
+                    if len(toks) >= w:
+                        cnt = Counter(
+                            " ".join(toks[i : i + w])
+                            for i in range(len(toks) - w + 1)
+                        )
+                        best_cnt = max(cnt.values())
+                        best_gram = min(
+                            g for g, c in cnt.items() if c == best_cnt
+                        )
+                        chars = best_cnt * len(best_gram.translate(ws_del))
+                    else:
+                        chars = 0
+                    bps.append(chars * 10000 // max(nonws, 1))
+                rows.append(
+                    (
+                        doc_id,
+                        n_lines,
+                        dup_line_frac_bp,
+                        dup_line_char_bp,
+                        bps[0],
+                        bps[1],
+                        bps[2],
+                        dup_line_frac_bp > REP_LINE_FRAC_BP
+                        or dup_line_char_bp > REP_LINE_CHAR_BP
+                        or bps[0] > REP_TOP_BP[2]
+                        or bps[1] > REP_TOP_BP[3]
+                        or bps[2] > REP_TOP_BP[4],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_lines",
+                    "dup_line_frac_bp",
+                    "dup_line_char_bp",
+                    "top2gram_bp",
+                    "top3gram_bp",
+                    "top4gram_bp",
+                    "repetitive",
+                ],
             )
-            better = run > acc["best_cnt"]
-            return F.struct(
-                g.alias("prev"),
-                run.alias("run"),
-                F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
-                F.when(better, g).otherwise(acc["best_gram"]).alias("best_gram"),
-            )
 
-        fin = F.aggregate(F.array_sort(grams), init, step)
-        return F.when(
-            fin["best_cnt"] > 0,
-            fin["best_cnt"]
-            * F.length(F.regexp_replace(fin["best_gram"], r"\s", "")),
-        ).alias(f"top{w}_chars")
-
-    # everything is one projection chain over the scan: zero shuffles
-    joined = raw.select(
-        "doc_id",
-        "n_lines",
-        F.expr("((n_lines - n_dist) * 10000) div n_lines").alias("dup_line_frac_bp"),
-        F.expr("((lchars - dchars) * 10000) div greatest(lchars, 1)").alias(
-            "dup_line_char_bp"
-        ),
-        "nonws_chars",
-        *[top_gram_chars(w) for w in REP_TOP_BP],
-    )
-    tcols = {
-        w: F.expr(
-            f"(coalesce(top{w}_chars, 0) * 10000) div greatest(nonws_chars, 1)"
-        )
-        for w in REP_TOP_BP
-    }
-    repetitive = (
-        (F.col("dup_line_frac_bp") > REP_LINE_FRAC_BP)
-        | (F.col("dup_line_char_bp") > REP_LINE_CHAR_BP)
-        | (tcols[2] > REP_TOP_BP[2])
-        | (tcols[3] > REP_TOP_BP[3])
-        | (tcols[4] > REP_TOP_BP[4])
-    )
-    return joined.select(
-        "doc_id",
-        "n_lines",
-        "dup_line_frac_bp",
-        "dup_line_char_bp",
-        *[tcols[w].alias(f"top{w}gram_bp") for w in REP_TOP_BP],
-        repetitive.alias("repetitive"),
+    return pages.mapInPandas(
+        battery,
+        "doc_id bigint, n_lines bigint, dup_line_frac_bp bigint, "
+        "dup_line_char_bp bigint, top2gram_bp bigint, top3gram_bp bigint, "
+        "top4gram_bp bigint, repetitive boolean",
     )
 
 

@@ -44,16 +44,32 @@ def test_q147_weight_table_is_broadcast(spark):
 
 def test_map_only_queries_plan_zero_exchanges(spark):
     # pure-codegen projections must ride the scan: any Exchange means
-    # an accidental shuffle crept into a map-only operator. q152 is
-    # here BY DESIGN: its top-gram table is a per-document statistic,
-    # so it must never pay a corpus-wide gram shuffle (array_sort +
-    # run-length fold, not explode -> groupBy -> rank).
-    from ocr_service_spark.operators.quality import q152_repetition_battery
-
+    # an accidental shuffle crept into a map-only operator.
     for fn in (q142_serving_state, q146_code_routing, q153_text_citations,
-               q161_image_text_pairs, q152_repetition_battery):
+               q161_image_text_pairs):
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "Exchange" not in plan, (fn.__name__, plan)
+
+
+def test_q152_fans_out_before_compute_no_gram_shuffle(spark):
+    # round-6 fix for the single-task 27 s defect: the battery is
+    # compute-bound per doc, so the (doc_id, text) projection must
+    # repartition to defaultParallelism BEFORE the heavy stage (the
+    # q102/q103 generation fan-out rule) and run in one Arrow-batched
+    # pandas UDF. Still a per-document statistic: the fan-out exchange
+    # must be the ONLY one — a corpus-wide gram shuffle stays banned.
+    import re
+
+    from ocr_service_spark.operators.quality import q152_repetition_battery
+
+    df = q152_repetition_battery(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "HashAggregate" not in plan, plan  # no gram shuffle/agg
+    assert df.rdd.getNumPartitions() > 1
 
 
 def test_q148_single_final_shuffle(spark):
