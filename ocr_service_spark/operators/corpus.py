@@ -1138,7 +1138,15 @@ def _drop_one_sigs(gram):
 def q155_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per training doc: 5-gram count, exact benchmark hits, fuzzy
     (edit-1) hits, and the fuzzy-only excess the exact sweep misses.
-    The eval slice is q52's deterministic hash slice."""
+    The eval slice is q52's deterministic hash slice.
+
+    ONE pass over the train grams (the round-5 shape ran the expensive
+    posexplode three times — base counts, exact probe, fuzzy probe —
+    and joined the three back per doc_id): both probes are broadcast
+    LEFT joins marking each gram instance in-stream, folded per
+    (doc, gpos) and then per doc. Two narrow aggregations replace
+    three explode passes plus two doc_id join-backs; at 100 TB the
+    train side streams once instead of three times."""
     docs = _docs(spark, sf_dir)
     is_eval = (
         F.pmod(h32(F.col("doc_id").cast("string"), CONTAM_SALT), F.lit(EVAL_MOD)) == 0
@@ -1153,34 +1161,39 @@ def q155_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter("is_eval")
         .select(F.explode(_drop_one_sigs(F.col("gram"))).alias("sig"))
         .distinct()
+        .withColumn("fhit", F.lit(1))
     )
-    eval_grams = grams.filter("is_eval").select("gram").distinct()
+    eval_grams = (
+        grams.filter("is_eval")
+        .select("gram")
+        .distinct()
+        .withColumn("xhit", F.lit(1))
+    )
     train = grams.filter(~F.col("is_eval"))
-    exact = (
-        train.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gpos").alias("n_exact"))
-    )
-    fuzzy = (
-        train.select("doc_id", "gpos", F.explode(_drop_one_sigs(F.col("gram"))).alias("sig"))
-        .join(F.broadcast(eval_sigs), "sig")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gpos").alias("n_fuzzy"))
-    )
-    base = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return (
-        base.join(exact, "doc_id", "left")
-        .join(fuzzy, "doc_id", "left")
+    probed = (
+        train.join(F.broadcast(eval_grams), "gram", "left")
         .select(
             "doc_id",
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
-            F.coalesce("n_fuzzy", F.lit(0)).cast("bigint").alias("n_fuzzy"),
-            (F.coalesce("n_fuzzy", F.lit(0)) - F.coalesce("n_exact", F.lit(0)))
-            .cast("bigint")
-            .alias("n_fuzzy_only"),
-            (F.coalesce("n_fuzzy", F.lit(0)) > 0).alias("contaminated"),
+            "gpos",
+            "xhit",
+            F.explode(_drop_one_sigs(F.col("gram"))).alias("sig"),
         )
+        .join(F.broadcast(eval_sigs), "sig", "left")
+    )
+    # the x5 sig fan-out folds straight back: one row per gram instance
+    # with its exact/fuzzy verdicts (map-side partial agg shrinks the
+    # shuffle to one row per (doc, gpos) before the exchange)
+    per_pos = probed.groupBy("doc_id", "gpos").agg(
+        F.max("xhit").alias("xhit"), F.max("fhit").alias("fhit")
+    )
+    n_exact = F.coalesce(F.sum("xhit"), F.lit(0)).cast("bigint")
+    n_fuzzy = F.coalesce(F.sum("fhit"), F.lit(0)).cast("bigint")
+    return per_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        n_exact.alias("n_exact"),
+        n_fuzzy.alias("n_fuzzy"),
+        (n_fuzzy - n_exact).cast("bigint").alias("n_fuzzy_only"),
+        (n_fuzzy > 0).alias("contaminated"),
     )
 
 

@@ -466,11 +466,24 @@ def q37_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = _docs(spark, sf_dir).select(
-        "doc_id", F.col("doc_id").alias("label")
+    # Propagate over EDGE-INCIDENT nodes only: a node with no incoming
+    # edge keeps label == doc_id through every round, so dragging the
+    # whole corpus through K_HOPS rounds of joins is pure shuffle waste
+    # (guide §2.3 — at web scale isolated docs are the overwhelming
+    # majority). The edge set is lineage-truncated HERE so the node
+    # derivation shares the one materialization instead of re-running
+    # the whole q14 pipeline; the full corpus rejoins once at the end,
+    # and the coalesce restores label = doc_id for isolated docs, so
+    # the result is identical row-for-row.
+    edges = edges.localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = propagate_min_labels(
+        nodes.withColumn("label", F.col("doc_id")), edges, K_HOPS
     )
-    labels = propagate_min_labels(labels, edges, K_HOPS)
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
 
 
 def q38_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,6 +69,7 @@ import hashlib
 import json
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -135,12 +136,76 @@ def _band_key(vec, band: int, planes):
     return key
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark's F.round dialect for doubles, exactly: round the SHORTEST
+    round-trip decimal representation (Java Double.toString == Python
+    repr — both shortest) HALF_UP at ``digits``, back to the nearest
+    double."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _exact_dots_batch(mat, weights):
+    """dot(vec, w) for every row of ``mat`` with the SAME IEEE result
+    as the Catalyst fold ((0.0 + v0*w0) + v1*w1) + ...: one vectorized
+    elementwise multiply-add per dimension, ascending — numpy fuses
+    nothing across iterations, so the per-element addition order is
+    identical to F.aggregate's and the doubles come out bit-equal."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        acc = acc + mat[:, i] * weights[i]
+    return acc
+
+
+def _band_keys_udf():
+    """array<bigint> of the LSH_BANDS bucket keys per vector, computed
+    in one Arrow batch (guide §4.2). The former per-row Catalyst shape
+    evaluated LSH_BANDS x LSH_ROWS interpreted F.aggregate folds
+    (higher-order functions don't codegen): 2048 lambda dispatches per
+    vector; this is 2048 vectorized numpy ops per BATCH, bit-identical
+    (see _exact_dots_batch)."""
+    import pandas as pd
+
+    planes = [
+        [_plane_weight(p, i) for i in range(EMB_DIM)]
+        for p in range(LSH_BANDS * LSH_ROWS)
+    ]
+
+    @F.pandas_udf("array<bigint>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        keys = np.zeros((mat.shape[0], LSH_BANDS), dtype=np.int64)
+        for b in range(LSH_BANDS):
+            for j in range(LSH_ROWS):
+                dots = _exact_dots_batch(mat, planes[b * LSH_ROWS + j])
+                keys[:, b] += np.where(dots >= 0, 1 << j, 0)
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
 def _with_band_keys(emb: DataFrame) -> DataFrame:
     vec = F.col("embedding").cast("array<double>")
-    planes = _planes_matrix()
     cols = [F.col(c) for c in emb.columns]
-    return emb.select(
-        *cols, *[_band_key(vec, b, planes).alias(f"k{b}") for b in range(LSH_BANDS)]
+    keyed = emb.select(*cols, _band_keys_udf()(vec).alias("_keys"))
+    return keyed.select(
+        *cols,
+        *[
+            # cast restores the former Catalyst expression's int type
+            # (bucket_key dtype is part of the pinned output schema)
+            F.element_at(F.col("_keys"), b + 1).cast("int").alias(f"k{b}")
+            for b in range(LSH_BANDS)
+        ],
     )
 
 
@@ -284,11 +349,38 @@ def _cell_scores(vec):
     )
 
 
+def _cell_scores_udf():
+    """array<double> of the IVF_CELLS centroid scores per vector in one
+    Arrow batch — the vectorized twin of :func:`_cell_scores` (the
+    Catalyst form evaluated IVF_CELLS interpreted folds per row);
+    bit-identical via _exact_dots_batch + a literal-float divide."""
+    import pandas as pd
+
+    cents = [
+        ([_centroid_weight(c, i) for i in range(EMB_DIM)], _centroid_norm(c))
+        for c in range(IVF_CELLS)
+    ]
+
+    @F.pandas_udf("array<double>")
+    def cell_scores(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        out = np.empty((mat.shape[0], IVF_CELLS), dtype=np.float64)
+        for c, (w, norm) in enumerate(cents):
+            out[:, c] = _exact_dots_batch(mat, w) / norm
+        return pd.Series(list(out))
+
+    return cell_scores
+
+
 def _with_cell(emb: DataFrame) -> DataFrame:
     """Assign each vector to its best cell (1-based; first-max wins on
     ties in both engines: array_position / list_position)."""
-    scores = _cell_scores(F.col("vec"))
-    return emb.withColumn("scores", scores).withColumn(
+    scored = emb.withColumn("scores", _cell_scores_udf()(F.col("vec")))
+    return scored.withColumn(
         "cell", F.array_position(F.col("scores"), F.array_max(F.col("scores"))).cast("bigint")
     )
 
@@ -412,31 +504,54 @@ def q85_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     assigned = _with_cell(emb).select("vec_id", "vec", "cell")
-    normed = assigned.withColumn(
-        "norm", F.sqrt(_dot(F.col("vec"), F.col("vec")))
-    )
-    a = normed.select(
-        "cell", F.col("vec_id").alias("vec_a"),
-        F.col("vec").alias("va"), F.col("norm").alias("na"),
-    )
-    b = normed.select(
-        "cell", F.col("vec_id").alias("vec_b"),
-        F.col("vec").alias("vb"), F.col("norm").alias("nb"),
-    )
-    pairs = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    dup = pairs.select(
-        "cell", "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
-    ).filter(F.col("cosine") >= SEMDEDUP_MIN_COS)
-    return (
-        dup.groupBy("vec_b", "cell")
-        .agg(F.min(F.struct("vec_a", "cosine")).alias("k"))
-        .select(
-            F.col("vec_b").alias("vec_id"),
-            "cell",
-            F.col("k.vec_a").alias("keeper"),
-            F.col("k.cosine").alias("keeper_cosine"),
+
+    # Per-cell pair scoring in ONE Arrow group stage (guide §4.2): the
+    # round-5 equi-join shape recomputed the assign subtree per join
+    # side and then evaluated an interpreted 64-dim fold per pair
+    # (~126k pairs at sf0.1); here each cell's pair matrix accumulates
+    # as EMB_DIM vectorized outer-product adds in ascending dim order —
+    # the same IEEE addition order as the Catalyst fold, so every
+    # cosine is bit-identical (see _exact_dots_batch). The shuffle is
+    # one hash exchange on cell (bounded groups — the SemDeDup trick);
+    # the n_cell x n_cell score matrix is bounded by the same argument.
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        mat = np.array(pdf["vec"].iloc[order].tolist(), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "cell": [], "keeper": [], "keeper_cosine": []}
+            )
+        acc = np.zeros((n, n), dtype=np.float64)
+        for i in range(mat.shape[1]):
+            col = mat[:, i]
+            acc = acc + np.outer(col, col)
+        norm = np.sqrt(np.diagonal(acc))
+        cos = acc / np.outer(norm, norm)
+        cell = int(pdf["cell"].iloc[0])
+        out = []
+        for bpos in range(1, n):
+            # keeper = smallest vec_a < vec_b whose ROUNDED cosine
+            # clears the cut; exact HALF_UP rounding (Spark's F.round
+            # dialect: shortest-repr decimal, HALF_UP) is applied only
+            # inside the safe margin around the threshold
+            for apos in range(bpos):
+                c = cos[apos, bpos]
+                if c < SEMDEDUP_MIN_COS - 1e-6:
+                    continue
+                r = _round_half_up(c, 6)
+                if r >= SEMDEDUP_MIN_COS:
+                    out.append((int(ids[bpos]), cell, int(ids[apos]), r))
+                    break
+        return pd.DataFrame(
+            out, columns=["vec_id", "cell", "keeper", "keeper_cosine"]
         )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, "vec_id bigint, cell bigint, keeper bigint, keeper_cosine double"
     )
 
 

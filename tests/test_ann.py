@@ -176,10 +176,14 @@ def test_semdedup_matches_bruteforce_within_cells(spark):
     assert expected, "corpus must produce a non-trivial drop set"
 
 
-def test_semdedup_plan_is_equi_join_on_cell(spark):
-    """The within-cell pair generator must plan an equi join (shuffle
-    or broadcast hash on cell) — never a cartesian/nested-loop pass
-    over all vector pairs."""
+def test_semdedup_plan_is_cell_bounded(spark):
+    """The within-cell pair generator must stay bounded by the cell
+    grouping — one hash exchange on cell feeding the Arrow group stage
+    (round-6 shape: the per-cell scorer runs in applyInPandas, so the
+    assign subtree is planned ONCE instead of once per join side) —
+    never a cartesian/nested-loop pass over all vector pairs."""
+    import re
+
     from ocr_service_spark.operators.similarity import q85_semdedup
 
     df = q85_semdedup(spark, SF_DIR)
@@ -187,7 +191,10 @@ def test_semdedup_plan_is_equi_join_on_cell(spark):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(cell" in plan, plan
+    # the assign subtree is shared: exactly one embeddings scan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
 
 
 def test_pq_codes_pack_and_reconstruction(spark):
