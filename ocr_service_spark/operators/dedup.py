@@ -376,67 +376,65 @@ def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc-frequency <= cap generate candidates (bounding the
     self-join fan-out); Jaccard is computed on the capped shingle sets.
 
-    One LINEAR pipeline — the shingle explode runs ONCE and four
-    shuffles (tok, doc_id, tok, pair) carry only rare postings; zero
-    joins back, zero persist: the df-cap is applied INLINE on the first
-    posting-list aggregation (no separate document-frequency subtree +
-    broadcast join, which recomputed the expensive shingle explode),
-    and per-doc rare-counts ride each posting so the pair explode
-    carries (doc, n_rare) and Jaccard falls out of the final count.
-    Measured ~20% faster than the broadcast-df shape at sf0.1."""
-    toks = _shingles(_docs(spark, sf_dir))
+    One LINEAR pipeline — the shingle explode runs ONCE (posted as
+    64-bit fingerprints: the shingle string is only ever a grouping
+    key, so the tok shuffle carries 8 bytes/row and the WindowGroupLimit
+    sort compares longs — guide §2.3 "narrower types") into ONE capped
+    posting-list aggregation with two cheap consumers: the pair explode
+    (shuffle 2, per-pair co-occurrence counts) and a per-doc rare-count
+    (shuffle 3, a few MB of ints), re-attached to the pairs by two
+    broadcast joins. Replaces the older shape that re-grouped postings
+    per doc and re-built them per tok just to carry n_rare alongside
+    each posting — two full posting shuffles for what a broadcast of
+    the per-doc counts attaches for free (guide §8: decide with small
+    rows, ship metadata, not payloads)."""
+    toks = _shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.xxhash64("tok").alias("tok")
+    )
     # shuffle 1 (tok): posting lists with the doc-frequency cap applied
     # inline — rare shingles only, from a single shingle pass; the
-    # WindowGroupLimit pre-limit bounds what any reducer ever holds
+    # WindowGroupLimit pre-limit bounds what any reducer ever holds.
+    # Checkpointed lazily: two consumers below, and column-pruning
+    # differences would otherwise defeat ReuseExchange and run the
+    # explode+prelimit subtree once per consumer.
     rare_ids = (
         _df_cap_prelimit(toks)
         .groupBy("tok")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= JACCARD_MAX_DF)
+        .localCheckpoint(eager=False)
     )
-    postings0 = rare_ids.select("tok", F.explode("ids").alias("doc_id"))
-    # shuffle 2 (doc_id): per-doc rare set + size, then re-explode with
-    # n_rare riding along on every posting
-    per_doc = postings0.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_rare"), F.collect_list("tok").alias("toks")
-    )
-    postings = per_doc.select(
-        "doc_id", "n_rare", F.explode("toks").alias("tok")
-    )
-    # shuffle 3 (tok): posting list per shingle — pair generation WITHOUT
-    # a self-join; the df-cap bounds each group to C(cap,2) pairs
-    ids = postings.groupBy("tok").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "n_rare"))).alias("ids")
-    )
+    # shuffle 2 (pair): within-posting pair explode (never a self-join;
+    # the df-cap bounds each group to C(cap,2) pairs), counted per pair
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda a, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(
-                    a["doc_id"].alias("doc_a"),
-                    b["doc_id"].alias("doc_b"),
-                    a["n_rare"].alias("na"),
-                    b["n_rare"].alias("nb"),
-                ),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
             ),
         )
     )
-    # shuffle 4 (pair): n_common = co-occurrence count; na/nb are
-    # functionally dependent on the doc ids so they group along
     inter = (
-        ids.select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.col("p.na").alias("na"),
-            F.col("p.nb").alias("nb"),
-        )
+        rare_ids.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # shuffle 3 (doc_id, ints only): per-doc count of cap-respecting
+    # shingles, broadcast back onto the pairs
+    n_rare = (
+        rare_ids.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    na = n_rare.select(F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("na"))
+    nb = n_rare.select(F.col("doc_id").alias("doc_b"), F.col("n_rare").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return inter.select(
-        "doc_a", "doc_b", "n_common", F.round(jac, 4).alias("jaccard")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -525,21 +523,28 @@ def propagate_min_labels(labels: DataFrame, edges: DataFrame, rounds: int) -> Da
     snapshot truncation the cluster-scale loop uses; eager=False keeps
     the operator lazy — nothing runs until the caller's action."""
     edges = edges.localCheckpoint(eager=False)
+    # One round = min over (self ∪ in-neighbours), expressed as a single
+    # join+agg against the edge set EXTENDED WITH SELF-LOOPS: label(v)
+    # becomes min over {label(u) : (u,v) ∈ E ∪ I} = min(label(v),
+    # min_{u→v} label(u)), exactly the old join+agg+left-join round but
+    # with labels referenced ONCE per round. That single reference is
+    # what kills the 2^rounds plan blowup at its root: the un-checkpointed
+    # chain grows linearly, so the per-round lazy checkpoints (and their
+    # materialization barriers) go away entirely, and the 8 identical
+    # scans of the checkpointed looped-edge set share one
+    # BroadcastExchange via ReuseExchange instead of rebuilding the
+    # broadcast per round (guide §2.4). Precondition (all callers
+    # satisfy it): every edge endpoint appears in `labels` — nodes
+    # reached only as an unlabelled dst would now surface in the output
+    # where the old left-join dropped them.
+    looped = edges.unionByName(
+        labels.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
         labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            looped.join(labels, looped["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("label"))
         )
     return labels
 
@@ -1188,12 +1193,24 @@ def q124_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapped articles fall BELOW q34's 0.5 resemblance cut and only the
     containment rule catches them."""
     docs = _wrapped_docs(_docs(spark, sf_dir))
-    toks = _shingles(docs)
-    posting = (
+    # The shingle string is only ever a GROUPING key here (the pair
+    # explode emits ids, never the shingle), so post the 64-bit
+    # fingerprint instead: the tok shuffle carries 8 bytes/row instead
+    # of a ~25-byte string and the WindowGroupLimit sort compares longs
+    # (guide §2.3 "narrower types").
+    toks = _shingles(docs).select("doc_id", F.xxhash64("tok").alias("tok"))
+    # grouped has two consumers (posting -> pairs, n_ok -> per-doc
+    # bound); the lazy checkpoint stops the explode+prelimit subtree
+    # being planned (and run) once per consumer — column-pruning
+    # differences defeat ReuseExchange here.
+    grouped = (
         _df_cap_prelimit(toks)
         .groupBy("tok")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= JACCARD_MAX_DF))
+        .localCheckpoint(eager=False)
+    )
+    posting = grouped.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= JACCARD_MAX_DF)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -1204,14 +1221,68 @@ def q124_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # n_shared_rare rides the same shuffle the old .distinct() paid:
+    # per pair, how many cap-respecting shingles it shares.
     cand = (
         posting.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_rare"))
     )
-    tok_sets = docs.select("doc_id", _shingle_array().alias("toks"))
-    a = tok_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    b = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    # Per-doc scalars for a SOUND containment upper bound: sa = |shingle
+    # set|, n_ok = the doc's shingles with df <= cap (the same `grouped`
+    # exchange, reused), so nc = sa - n_ok = the doc's over-cap shingle
+    # count. A shared shingle is either cap-respecting (counted exactly
+    # by n_shared_rare; df=1 shingles can never be shared) or over-cap
+    # (at most min(nc_a, nc_b) of them), hence
+    #   containment <= (n_shared_rare + least(nc_a, nc_b)) / least(sa, sb).
+    # Pairs whose upper bound can't reach the CONTAINMENT_MIN cut (with
+    # a half-ulp-of-round(4) margin) are dropped BEFORE the exact
+    # verify — the guide §3.2 move: the ~10^6-pair explode is decided
+    # on integer metadata and only the handful of survivors ever touch
+    # a shingle set. Output is identical: the bound is provably >= the
+    # true containment, so no row above the cut is ever dropped.
+    n_ok = (
+        grouped.filter(F.size("ids") <= JACCARD_MAX_DF)
+        .select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ok"))
+    )
+    # One per-doc fingerprint frame serves the size/bound metadata AND
+    # the exact verify; the lazy localCheckpoint (the q37/propagate
+    # precedent) materializes the shingle+hash projection once instead
+    # of once per consumer.
+    doc_fps = docs.select(
+        "doc_id",
+        F.transform(_shingle_array(), lambda s: F.xxhash64(s)).alias("toks"),
+    ).withColumn("sa", F.size("toks")).localCheckpoint(eager=False)
+    meta = (
+        doc_fps.select("doc_id", "sa")
+        .join(n_ok, "doc_id", "left")
+        .select(
+            "doc_id",
+            "sa",
+            (F.col("sa") - F.coalesce("n_ok", F.lit(0))).alias("nc"),
+        )
+        .localCheckpoint(eager=False)  # consumed twice (ma and mb)
+    )
+    ma = meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("sa").alias("saa"),
+        F.col("nc").alias("nca"),
+    )
+    mb = meta.select(
+        F.col("doc_id").alias("doc_b"), F.col("sa").alias("sab"),
+        F.col("nc").alias("ncb"),
+    )
+    min_sz = F.least("saa", "sab")
+    ub = (F.col("n_shared_rare") + F.least("nca", "ncb")).cast("double")
+    survivors = (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .filter(ub >= (CONTAINMENT_MIN - 1e-4) * min_sz.cast("double"))
+        .select("doc_a", "doc_b")
+    )
+    a = doc_fps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = doc_fps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     sa, sb = F.size("ta"), F.size("tb")
     inter = F.size(F.array_intersect("ta", "tb"))
     # inner = the smaller shingle set (tie -> doc_a, the lower id)
@@ -1219,9 +1290,9 @@ def q124_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = F.round(
         inter.cast("double") / F.least(sa, sb).cast("double"), 4
     )
-    jac = F.round(inter.cast("double") / F.size(F.array_union("ta", "tb")), 4)
+    jac = F.round(inter.cast("double") / (sa + sb - inter).cast("double"), 4)
     return (
-        cand.join(a, "doc_a")
+        survivors.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             F.when(a_is_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias(

