@@ -170,13 +170,7 @@ def _scored_lsh_candidates(docs: DataFrame) -> DataFrame:
     Shared by q34 (which applies the verify cut) and q156 (which
     measures the candidate stage's precision, so it needs the
     below-threshold pairs too)."""
-    sh = _shingles(docs)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(h32(F.col("tok"), seed)).alias(f"mh{i}")
-            for i, seed in enumerate(MINHASH_SEEDS)
-        ]
-    )
+    sigs = _shingle_sigs(docs)
     posting = (
         _cap_bucket(_band_stack(sigs), ["band_key"], "doc_id")
         .groupBy("band_key")
@@ -197,12 +191,16 @@ def _scored_lsh_candidates(docs: DataFrame) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    tok_sets = docs.select("doc_id", _shingle_array().alias("toks"))
+    # verify on 64-bit shingle fingerprints (engine-internal; q124's
+    # move) with |A∪B| = |A|+|B|-|A∩B| replacing the second set pass
+    tok_sets = docs.select(
+        "doc_id",
+        F.transform(_shingle_array(), lambda s: F.xxhash64(s)).alias("toks"),
+    )
     a = tok_sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     b = tok_sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
-    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
-        F.array_union("ta", "tb")
-    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -232,13 +230,57 @@ def _batch_docs(docs: DataFrame) -> DataFrame:
 
 
 def _shingle_sigs(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mhN): q34's shingle-MinHash signature."""
-    return _shingles(docs).groupBy("doc_id").agg(
-        *[
-            F.min(h32(F.col("tok"), seed)).alias(f"mh{i}")
-            for i, seed in enumerate(MINHASH_SEEDS)
-        ]
-    )
+    """(doc_id, mh0..mhN): q34's shingle-MinHash signature.
+
+    Computed in ONE Arrow-batched map stage instead of the shingle
+    explode + 16 per-row md5/hex/conv Catalyst expressions + groupBy:
+    the explode multiplied every doc into ~50 rows only so a hash-agg
+    could take 16 mins per doc, and each of those rows paid 16
+    interpreted md5+substring+conv evaluations (guide §4.2 — hand whole
+    batches to native code instead). hashlib.md5 produces the identical
+    32-bit integers (first 4 digest bytes == conv(substr(md5,1,8),16,10)),
+    and min over exact integers is order-free, so the signature is
+    bit-identical to the Catalyst/DuckDB computation. Tokenization
+    mirrors F.trim + split('\\s+') exactly: strip SPACES only, split on
+    ASCII whitespace runs (Java \\s is ASCII-only), keep leading empty
+    and trailing empty tokens (F.split's limit=-1 keeps both). Docs
+    with no 3-shingle stay absent, as the explode+groupBy left them."""
+    import re
+    from hashlib import md5
+
+    import pandas as pd
+
+    seeds = [s.encode("utf-8") for s in MINHASH_SEEDS]
+    n = len(seeds)
+    schema = "doc_id bigint, " + ", ".join(f"mh{i} bigint" for i in range(n))
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = []
+            mh = [[] for _ in range(n)]
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = ws.split((text or "").strip(" "))
+                if len(w) < 3:
+                    continue
+                sh = {
+                    (w[i] + " " + w[i + 1] + " " + w[i + 2]).encode("utf-8")
+                    for i in range(len(w) - 2)
+                }
+                ids.append(doc_id)
+                for k, seed in enumerate(seeds):
+                    mh[k].append(
+                        min(
+                            int.from_bytes(md5(seed + s).digest()[:4], "big")
+                            for s in sh
+                        )
+                    )
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for k in range(n):
+                out[f"mh{k}"] = pd.Series(mh[k], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
 
 
 def q90_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,21 +964,18 @@ def q100_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("train"),
     ).otherwise(F.lit("val"))
     sp = docs.select("doc_id", split.alias("split"))
-    sigs = _shingles(docs).groupBy("doc_id").agg(
-        *[
-            F.min(h32(F.col("tok"), seed)).alias(f"mh{i}")
-            for i, seed in enumerate(MINHASH_SEEDS)
-        ]
-    )
+    sigs = _shingle_sigs(docs)
     # hot-bucket cap per (band_key, split): each side of the val x train
     # band join is bounded independently, so one boilerplate band key
     # contributes at most CAP x CAP candidate pairs instead of
     # |val bucket| x |train bucket| (see _cap_bucket's recall argument;
     # the LEAK_CLONES originals have the lowest doc_ids and always
     # survive a lowest-ids-first cap)
+    # two consumers (vb, tb): the lazy checkpoint stops the signature
+    # map stage being planned (and run) once per side of the band join
     bands = _cap_bucket(
         _band_stack(sigs).join(sp, "doc_id"), ["band_key", "split"], "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     vb = bands.filter("split = 'val'").select(
         F.col("doc_id").alias("val_id"), "band_key"
     )
@@ -944,14 +983,19 @@ def q100_split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("train_id"), "band_key"
     )
     cand = vb.join(tb, "band_key").select("val_id", "train_id").distinct()
-    tok_sets = docs.select("doc_id", _shingle_array().alias("toks"))
+    # verify on 64-bit shingle fingerprints (engine-internal; q124's
+    # move) with |A∪B| = |A|+|B|-|A∩B| replacing the second set pass
+    tok_sets = docs.select(
+        "doc_id",
+        F.transform(_shingle_array(), lambda s: F.xxhash64(s)).alias("toks"),
+    )
     a = tok_sets.select(F.col("doc_id").alias("val_id"), F.col("toks").alias("ta"))
     b = tok_sets.select(
         F.col("doc_id").alias("train_id"), F.col("toks").alias("tb")
     )
+    nu = F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
     jac = F.round(
-        F.size(F.array_intersect("ta", "tb")).cast("double")
-        / F.size(F.array_union("ta", "tb")),
+        F.size(F.array_intersect("ta", "tb")).cast("double") / nu,
         4,
     )
     leaks = (
@@ -1405,20 +1449,25 @@ def q125_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     twins = _recall_twins(docs)
     aug = docs.unionByName(twins)
-    # ground truth: exact shingle Jaccard per planted pair (1:1 join)
-    o = docs.select("doc_id", _shingle_array().alias("ta"))
+    # ground truth: exact shingle Jaccard per planted pair (1:1 join),
+    # over 64-bit shingle fingerprints (engine-internal; q124's move)
+    # with |A∪B| = |A|+|B|-|A∩B| replacing the second set pass
+    fps = F.transform(_shingle_array(), lambda s: F.xxhash64(s))
+    o = docs.select("doc_id", fps.alias("ta"))
     tw = twins.select(
         (F.col("doc_id") - RECALL_OFFSET).alias("doc_id"),
-        _shingle_array().alias("tb"),
+        fps.alias("tb"),
+    )
+    union_sz = (
+        F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
     )
     jac = F.round(
-        F.size(F.array_intersect("ta", "tb")).cast("double")
-        / F.size(F.array_union("ta", "tb")),
+        F.size(F.array_intersect("ta", "tb")).cast("double") / union_sz,
         4,
     )
     truth = (
         o.join(tw, "doc_id")
-        .filter(F.size(F.array_union("ta", "tb")) > 0)
+        .filter(union_sz > 0)
         .select("doc_id", jac.alias("jaccard"))
     )
     # candidates: q34's capped band pipeline over originals + twins
