@@ -292,12 +292,14 @@ def q70_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # top-bigram count per doc (q39's two partial-agg groupBys)
+    # zip two staggered slices of ONE tokenization: element_at(t, i)
+    # inside the transform lambda re-evaluated the regex split per
+    # position (outer refs in HOF lambdas re-run per element)
+    nt = F.size(t)
+    zt = F.arrays_zip(F.slice(t, 1, nt - 1), F.slice(t, 2, nt - 1))
     grams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
-        ),
+        nt >= 2,
+        F.transform(zt, lambda s: F.concat(s["0"], F.lit(" "), s["1"])),
     ).otherwise(F.array().cast("array<string>"))
     per_gram = (
         docs.select("doc_id", F.explode_outer(grams).alias("gram"))
@@ -945,13 +947,14 @@ def q147_clf_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict at score + CLF_BIAS > 0."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     t = F.split(F.trim("text"), TOKEN_RE)
+    # zip-of-slices bigrams (outer refs in HOF lambdas re-run per
+    # element — see q70's rewrite); empty for sub-2-token docs
+    nt = F.size(t)
+    zt = F.arrays_zip(F.slice(t, 1, nt - 1), F.slice(t, 2, nt - 1))
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-            )
+            F.transform(zt, lambda s: F.concat_ws(" ", s["0"], s["1"]))
         ).alias("gram"),
     )
     hashed = grams.select("doc_id", F.pmod(h32(F.col("gram"), CLF_SALT), F.lit(CLF_BUCKETS)).alias("bucket"))

@@ -374,18 +374,24 @@ JACCARD_MAX_DF = 20  # inverted-index doc-frequency cap (candidate bound)
 def _shingle_array() -> F.Column:
     """array<string> of distinct 3-word shingles (word n-grams carry
     far more signal than unigrams on a small-vocabulary corpus, and
-    their doc frequency keeps the inverted index selective at scale)."""
+    their doc frequency keeps the inverted index selective at scale).
+
+    Built by zipping three slices of ONE tokenization rather than a
+    transform over positions with element_at(arr, i) in the lambda:
+    an outer expression referenced inside a higher-order-function
+    lambda is re-evaluated per element, so the old shape re-ran the
+    regex split ~3n times per doc — measured 3x slower than this
+    zip-of-slices form (identical output, guide §1.2 per-task work).
+    The n >= 3 clamp mirrors DuckDB range() yielding an empty list for
+    short docs."""
     arr = F.split(F.trim("text"), r"\s+")
-    # F.sequence(1, n) DESCENDS when n < 1 (docs with < 3 tokens), which
-    # would index element_at(arr, 0) and crash; DuckDB range() yields an
-    # empty list there — clamp to empty to mirror it.
+    n = F.size(arr)
+    zipped = F.arrays_zip(
+        F.slice(arr, 1, n - 2), F.slice(arr, 2, n - 2), F.slice(arr, 3, n - 2)
+    )
     shingles = F.when(
-        F.size(arr) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1),
-                                  F.element_at(arr, i + 2)),
-        ),
+        n >= 3,
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(shingles)
 
@@ -626,24 +632,45 @@ def q79_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = F.split(F.trim("text"), r"\s+")
     n = F.size(w)
+    # zip SPAN_K staggered slices of ONE tokenization: the old
+    # per-position transform referenced w (the regex split) inside the
+    # lambda via element_at/slice, and an outer expression in a
+    # higher-order-function lambda re-evaluates per element — the
+    # split ran O(n) times per doc (the _shingle_array lesson). Entry
+    # i carries (w[i+1] .. w[i+SPAN_K]) with nulls past the end, so
+    # "a full K-shingle starts here" is exactly "the last field is
+    # non-null", and tokens themselves are never null.
+    z = F.arrays_zip(*[F.slice(w, k + 1, n) for k in range(SPAN_K)])
     combined = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.struct(
-            F.element_at(w, i).alias("tok"),
+        z,
+        lambda s: F.struct(
+            s["0"].alias("tok"),
             F.when(
-                i <= n - (SPAN_K - 1),
-                F.unhex(F.md5(F.array_join(F.slice(w, i, SPAN_K), " "))),
+                s[str(SPAN_K - 1)].isNotNull(),
+                F.unhex(
+                    F.md5(
+                        F.concat_ws(
+                            " ", *[s[str(k)] for k in range(SPAN_K)]
+                        )
+                    )
+                ),
             ).alias("fp"),
         ),
     )
     toks = docs.select("doc_id", F.posexplode(combined).alias("pos", "c")).select(
         "doc_id", "pos", F.col("c.tok").alias("tok"), F.col("c.fp").alias("fp")
     )
+    # "seen in >= 2 distinct docs" == "min(doc_id) != max(doc_id)":
+    # one plain hash-agg with map-side partials instead of the
+    # two-level expansion count_distinct plans (a repeated span WITHIN
+    # one doc keeps min == max, exactly df = 1). Exact only for
+    # SPAN_MIN_DF == 2 — the assert pins the rewrite to the constant.
+    assert SPAN_MIN_DF == 2
     dup = (
         toks.filter(F.col("fp").isNotNull())
         .groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= SPAN_MIN_DF)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("fp", F.lit(1).alias("is_dup"))
     )
     flagged = toks.join(dup, "fp", "left").select(

@@ -1070,6 +1070,11 @@ def q164_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _marker_pattern,
     )
 
+    # fan out before the battery (the q152 fix): the four verdicts cost
+    # dozens of regex passes per doc, and the one-file documents table
+    # would otherwise run that compute-bound projection on a single
+    # input split (at 100 TB the scan has real splits and this
+    # repartition is a no-op knob)
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
@@ -1078,6 +1083,7 @@ def q164_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sorted(_ABLATION_SYN.items()), "doc_id bigint, text string"
             )
         )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     d = F.col("doc_id")
     t = F.split(F.trim("text"), TOKEN_RE)

@@ -320,10 +320,16 @@ def _warc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    # repartition BY SHARD with an explicit width: the input here is a
+    # few KB of doc_ids, so AQE would coalesce the groupBy's shuffle to
+    # one partition and build every shard's WARC blob (the expensive
+    # part) in a single task; a user-specified repartition width is not
+    # coalesced, and groupBy("shard") reuses its partitioning outright
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .withColumn("shard", F.expr(f"doc_id div {WARC_SHARD_DOCS}"))
+        .repartition(spark.sparkContext.defaultParallelism, "shard")
     )
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -917,11 +923,19 @@ def q117_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = fetched.select("url", F.col("payload").alias("html"))
     results = extract_documents(pages).filter(F.col("success"))
     doc_id = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
-    conv = results.select(
-        doc_id.alias("doc_id"),
-        "url",
-        "extracted_text",
-    ).withColumn("shard", F.expr(f"doc_id DIV {WARC_SHARD_DOCS}"))
+    # explicit-width repartition by shard: the extracted rows are a few
+    # hundred KB, so AQE would coalesce the WET-assembly groupBy to one
+    # partition and build every shard's blob in a single task (the
+    # _warc_shards rationale); groupBy("shard") reuses this partitioning
+    conv = (
+        results.select(
+            doc_id.alias("doc_id"),
+            "url",
+            "extracted_text",
+        )
+        .withColumn("shard", F.expr(f"doc_id DIV {WARC_SHARD_DOCS}"))
+        .repartition(spark.sparkContext.defaultParallelism, "shard")
+    )
 
     def build_wet(pdf: "pd.DataFrame") -> "pd.DataFrame":
         from ocr_service_spark.extraction.warc import build_warc

@@ -367,12 +367,13 @@ def q39_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining pattern as the MinHash aggregations, no joins."""
     docs = _docs(spark, sf_dir)
     t = F.split(F.trim("text"), TOKEN_RE)
+    # zip-of-slices bigrams (outer refs in HOF lambdas re-run per
+    # element — see q70's rewrite)
+    nt = F.size(t)
+    zt = F.arrays_zip(F.slice(t, 1, nt - 1), F.slice(t, 2, nt - 1))
     grams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
-        ),
+        nt >= 2,
+        F.transform(zt, lambda s: F.concat(s["0"], F.lit(" "), s["1"])),
     ).otherwise(F.array().cast("array<string>"))
     exploded = docs.select(
         "doc_id", F.size(t).alias("n_tokens"), F.explode_outer(grams).alias("gram")
@@ -473,12 +474,13 @@ def q81_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     w = F.split(F.trim("text"), TOKEN_RE)
+    # zip-of-slices bigrams (outer refs in HOF lambdas re-run per
+    # element — see q70's rewrite)
+    nw = F.size(w)
+    zw = F.arrays_zip(F.slice(w, 1, nw - 1), F.slice(w, 2, nw - 1))
     bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-        ),
+        nw >= 2,
+        F.transform(zw, lambda s: F.concat_ws(" ", s["0"], s["1"])),
     ).otherwise(F.array().cast("array<string>"))
     bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
     model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
@@ -1446,13 +1448,18 @@ def q121_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_term"))
     )
     n_row = uni.agg(F.sum("c_term").alias("n_tokens"))
+    # zip two staggered slices of ONE tokenization: element_at(t, i)
+    # inside the transform lambda re-evaluated the regex split per
+    # position (outer refs in higher-order-function lambdas re-run per
+    # element — the _shingle_array lesson), making the bigram build
+    # O(n^2) splits per doc
+    nt = F.size(t)
+    zt = F.arrays_zip(F.slice(t, 1, nt - 1), F.slice(t, 2, nt - 1))
     pair_structs = F.when(
-        F.size(t) >= 2,
+        nt >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
-            ),
+            zt,
+            lambda s: F.struct(s["0"].alias("a"), s["1"].alias("b")),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     bigrams = (

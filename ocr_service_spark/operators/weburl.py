@@ -198,7 +198,12 @@ def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%3==0 add a subdirectory-relative link, every doc carries a
     fragment/javascript/mailto trio that must be dropped, and docs
     with doc_id%7==0 are marked noindex."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # fan out before the page synthesis + outlink parse (q152/q102 rule)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     d = F.col("doc_id").cast("string")
     url = F.format_string(
         "https://www.src%s.example.com/dir/page%s.html",
@@ -2642,7 +2647,14 @@ def _canonical_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     urljoin resolution); every page carries a rel=stylesheet distractor
     and doc_id%30==5 pages declare a SECOND canonical that must lose
     the first-wins tie-break."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # fan out the 8-byte doc_id projection before the compute-bound
+    # page synthesis + parse (the q152/q102 rule): the one-file table
+    # would otherwise build and parse every page on a single input split
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     d = F.col("doc_id")
     base = d - d % 3
     host = F.format_string("http://h%s.example.com", (base % 40).cast("string"))
@@ -3087,7 +3099,14 @@ def _hreflang_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr member declares NOTHING, breaking reciprocity for every edge
     pointing at it. A feed-alternate distractor rides on every page
     (must not parse as hreflang)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # fan out the 8-byte doc_id projection before the compute-bound
+    # page synthesis + parse (the q152/q102 rule): the one-file table
+    # would otherwise build and parse every page on a single input split
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     d = F.col("doc_id")
     base = d - d % 3
     member = d % 3
@@ -3136,11 +3155,14 @@ def q136_hreflang_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _hreflang_pages(spark, sf_dir)
     edges = extract_hreflang_edges(pages)
     doc_of = lambda c: F.regexp_extract(c, r"/(\d+)$", 1).cast("bigint")
+    # both sides of the reciprocity self-join consume this edge set;
+    # the lazy checkpoint (q37 precedent) stops the page synthesis +
+    # hreflang parse being planned (and run) once per side
     e = edges.select(
         doc_of("url").alias("src_doc"),
         "hreflang",
         doc_of("target_url").alias("dst_doc"),
-    )
+    ).localCheckpoint(eager=False)
     # self-join: alias BOTH sides explicitly — joining a DataFrame with
     # a projection of itself lets the analyzer resolve the bare columns
     # against either lineage (silently wrong matches, not an error)
@@ -3431,7 +3453,12 @@ def _feed_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip must fire; ``updated`` already in Z time), d%10==7 is garbage
     bytes that must contribute zero items. Three items per feed with
     every field closed-form in (doc_id, item_idx)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # fan out before the feed synthesis + parse (the q152/q102 rule)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     d = F.col("doc_id")
     months = F.array([F.lit(m) for m in _RFC822_MONTHS])
 
