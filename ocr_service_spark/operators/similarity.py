@@ -85,7 +85,14 @@ NEARDUP_MIN_COS = 0.45  # corpus has no true dups; keeps output non-trivial
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the table lands as one small parquet file (one input split); the
+    # per-row work downstream (SRP projections, norms, PQ/IVF scoring)
+    # is CPU-bound, so spread it across the cluster before the
+    # expensive projections run (the dedup._docs rationale; at 100 TB
+    # the scan has real splits and this is a no-op knob)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _dot(a, b):
@@ -598,18 +605,31 @@ def _km_assign(codes: DataFrame, cent: list[list[int]]) -> DataFrame:
     """Nearest-centroid assignment against centroid LITERALS: a pure
     projection (no join of any kind) — the exact shape MLlib uses,
     where the K centroids live on the driver and ship with the task.
-    argmin with cid tie-break via array_min over (dist, cid) structs
-    (lexicographic struct ordering)."""
-    structs = []
-    for cid, comp in enumerate(cent):
-        lit = F.array(*[F.lit(int(v)) for v in comp])
-        d = F.aggregate(
-            F.zip_with("c", lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    return codes.withColumn("cid", F.array_min(F.array(*structs))["cid"])
+    argmin with cid tie-break = numpy argmin's first-minimum over the
+    int64 distance matrix — computed in one Arrow batch instead of K
+    interpreted F.aggregate folds per row (higher-order functions never
+    codegen; the _pq_assign/q19/q25 lesson, guide §4.2). Integer
+    arithmetic throughout, so every assignment is bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    c_arr = np.asarray(cent, dtype=np.int64)  # (K, DIM)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n:
+                mat = np.array(pdf["c"].tolist(), dtype=np.int64)
+                diff = mat[:, None, :] - c_arr[None, :, :]
+                dist = np.einsum("nkd,nkd->nk", diff, diff)
+                cid = pd.Series(dist.argmin(axis=1).astype(np.int32))
+            else:
+                cid = pd.Series([], dtype="int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "c": pdf["c"], "cid": cid}
+            )
+
+    return codes.mapInPandas(gen, "vec_id bigint, c array<bigint>, cid int")
 
 
 def _km_update(assigned: DataFrame, prev: list[list[int]]) -> list[list[int]]:
@@ -707,23 +727,42 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
 def _pq_assign(codes: DataFrame, books: list[list[list[int]]]) -> DataFrame:
     """(vec_id, code0..code{M-1}, d0..d{M-1}): per-subspace nearest
     codebook entry (integer L2, tie -> smallest code) and its distance.
-    A pure projection against codebook literals — no join, no shuffle."""
-    out = [F.col("vec_id")]
-    for m in range(PQ_M):
-        sub = F.slice("c", m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        structs = []
-        for k, cent in enumerate(books[m]):
-            lit = F.array(*[F.lit(int(v)) for v in cent])
-            d = F.aggregate(
-                F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            structs.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
-        best = F.array_min(F.array(*structs))
-        out.append(best["k"].alias(f"code{m}"))
-        out.append(best["d"].alias(f"d{m}"))
-    return codes.select(*out)
+    Still a map-only stage, no join, no shuffle — but computed in one
+    Arrow batch with vectorized numpy instead of PQ_M x PQ_K
+    interpreted F.aggregate folds per row (higher-order functions never
+    codegen; the q19/q25 lesson from the SRP/IVF vectorization, guide
+    §4.2). Everything is int64 arithmetic, so the codes and distances
+    are bit-identical to the Catalyst/DuckDB computation; np.argmin
+    returns the FIRST minimum, which IS the smallest-code tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.asarray(books[m], dtype=np.int64) for m in range(PQ_M)]
+    schema = "vec_id bigint, " + ", ".join(
+        f"code{m} int, d{m} bigint" for m in range(PQ_M)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out: dict = {"vec_id": pdf["vec_id"].astype("int64")}
+            if n:
+                mat = np.array(pdf["c"].tolist(), dtype=np.int64)
+                rows = np.arange(n)
+                for m in range(PQ_M):
+                    sub = mat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                    diff = sub[:, None, :] - cents[m][None, :, :]
+                    dist = np.einsum("nkd,nkd->nk", diff, diff)
+                    k = dist.argmin(axis=1)
+                    out[f"code{m}"] = pd.Series(k.astype(np.int32))
+                    out[f"d{m}"] = pd.Series(dist[rows, k].astype(np.int64))
+            else:
+                for m in range(PQ_M):
+                    out[f"code{m}"] = pd.Series([], dtype="int32")
+                    out[f"d{m}"] = pd.Series([], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return codes.mapInPandas(gen, schema)
 
 
 def q91_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
