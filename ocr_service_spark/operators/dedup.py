@@ -63,6 +63,29 @@ MINHASH_VERIFY_MIN = 0.5  # exact-Jaccard floor applied after LSH candidate veri
 LSH_BUCKET_CAP = 64
 
 
+
+def posting_pair_structs(ids_col: str = "ids", a_name: str = "doc_a",
+                         b_name: str = "doc_b") -> F.Column:
+    """Within-posting ordered pair explode: every (lower, higher) pair
+    from a SORTED posting array — the one candidate-generation idiom
+    shared by q14/q34/q124/q125/q156/q158 and q19 (similarity). Posting
+    arrays are always pre-capped upstream (LSH_BUCKET_CAP /
+    JACCARD_MAX_DF via _cap_bucket/_df_cap_prelimit), so the explode is
+    O(cap²) per group by construction; one call site keeps a future cap
+    change from silently missing a pipeline. The ids_col references
+    inside the lambdas are plain column refs (cheap), not re-evaluated
+    expressions."""
+    return F.flatten(
+        F.transform(
+            F.col(ids_col),
+            lambda a, i: F.transform(
+                F.slice(F.col(ids_col), i + 2, F.size(ids_col)),
+                lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
+            ),
+        )
+    )
+
+
 def _cap_bucket(stacked: DataFrame, part_cols: list, id_col: str) -> DataFrame:
     """Keep the LSH_BUCKET_CAP lowest ids per band bucket. Expressed as
     a rank-limit window so Catalyst rewrites it to WindowGroupLimit:
@@ -177,15 +200,7 @@ def _scored_lsh_candidates(docs: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = posting_pair_structs()
     cand = (
         posting.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -454,15 +469,7 @@ def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shuffle 2 (pair): within-posting pair explode (never a self-join;
     # the df-cap bounds each group to C(cap,2) pairs), counted per pair
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = posting_pair_structs()
     inter = (
         rare_ids.filter(F.size("ids") >= 2)
         .select(F.explode(pair_structs).alias("p"))
@@ -1283,15 +1290,7 @@ def q124_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = grouped.filter(
         (F.size("ids") >= 2) & (F.size("ids") <= JACCARD_MAX_DF)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = posting_pair_structs()
     # n_shared_rare rides the same shuffle the old .distinct() paid:
     # per pair, how many cap-respecting shingles it shares.
     cand = (
@@ -1505,15 +1504,7 @@ def q125_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = posting_pair_structs()
     cand = (
         posting.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -1646,15 +1637,7 @@ def q158_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = posting_pair_structs()
     cand = (
         posting.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))

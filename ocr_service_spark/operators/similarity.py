@@ -73,7 +73,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ocr_service_spark.operators.dedup import LSH_BUCKET_CAP, _cap_bucket
+from ocr_service_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
+    _cap_bucket,
+    posting_pair_structs,
+)
 
 TOPK = 10
 QUERY_VEC_ID = 0
@@ -177,12 +181,21 @@ def _band_keys_udf():
     (higher-order functions don't codegen): 2048 lambda dispatches per
     vector; this is 2048 vectorized numpy ops per BATCH, bit-identical
     (see _exact_dots_batch)."""
+    import numpy as np
     import pandas as pd
 
-    planes = [
-        [_plane_weight(p, i) for i in range(EMB_DIM)]
-        for p in range(LSH_BANDS * LSH_ROWS)
-    ]
+    # ship the planes as ONE numpy buffer: a nested Python list of
+    # 2048 floats in the UDF closure costs each TASK a ~0.3 s unpickle
+    # (measured 12+ CPU-seconds per 32-task stage); a numpy array
+    # deserializes as a memcpy. Values are the identical doubles, so
+    # the per-element IEEE arithmetic is unchanged.
+    planes = np.array(
+        [
+            [_plane_weight(p, i) for i in range(EMB_DIM)]
+            for p in range(LSH_BANDS * LSH_ROWS)
+        ],
+        dtype=np.float64,
+    )
 
     @F.pandas_udf("array<bigint>")
     def band_keys(vecs: pd.Series) -> pd.Series:
@@ -281,15 +294,7 @@ def q19_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(a.alias("vec_a"), b.alias("vec_b")),
-            ),
-        )
-    )
+    pair_structs = posting_pair_structs(a_name="vec_a", b_name="vec_b")
     cand = (
         posting.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
@@ -361,10 +366,17 @@ def _cell_scores_udf():
     Arrow batch — the vectorized twin of :func:`_cell_scores` (the
     Catalyst form evaluated IVF_CELLS interpreted folds per row);
     bit-identical via _exact_dots_batch + a literal-float divide."""
+    import numpy as np
     import pandas as pd
 
+    # numpy buffers in the closure for the same per-task unpickle
+    # reason as the SRP planes (identical doubles, identical IEEE ops)
     cents = [
-        ([_centroid_weight(c, i) for i in range(EMB_DIM)], _centroid_norm(c))
+        (
+            np.array([_centroid_weight(c, i) for i in range(EMB_DIM)],
+                     dtype=np.float64),
+            _centroid_norm(c),
+        )
         for c in range(IVF_CELLS)
     ]
 

@@ -784,7 +784,13 @@ def q161_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, keep=false); doc_id%7==0 adds a data: inline (dropped by
     hygiene, no row). The REAL parser runs end-to-end; the oracle
     replays the planting."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # fan out before the page synthesis + real-parser extraction
+    # (the q152/q102 rule)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     d = F.col("doc_id")
     ds = d.cast("string")
     page_url = F.format_string(
@@ -861,7 +867,13 @@ def q162_page_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 declares an unusable data: og:image (falls through to alt)."""
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # fan out before the page synthesis + real-parser extraction
+    # (the q152/q102 rule)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     d = F.col("doc_id")
     ds = d.cast("string")
     page_url = F.format_string(
@@ -986,7 +998,13 @@ def q165_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     second table whose colspan=2 lead cell pushes the next cell to
     col_idx 2. The REAL parser runs end-to-end (charset ladder,
     tolerant close); the oracle replays the planting."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # fan out before the page synthesis + real-parser extraction
+    # (the q152/q102 rule)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     d = F.col("doc_id")
     ds = d.cast("string")
     page_url = F.format_string(

@@ -45,10 +45,23 @@ def test_q147_weight_table_is_broadcast(spark):
 def test_map_only_queries_plan_zero_exchanges(spark):
     # pure-codegen projections must ride the scan: any Exchange means
     # an accidental shuffle crept into a map-only operator.
-    for fn in (q142_serving_state, q146_code_routing, q153_text_citations,
-               q161_image_text_pairs):
+    for fn in (q142_serving_state, q146_code_routing, q153_text_citations):
         plan = _formatted_plan(fn(spark, SF_DIR))
         assert "Exchange" not in plan, (fn.__name__, plan)
+
+
+def test_q161_fans_out_before_parse_only_one_exchange(spark):
+    # q161 moved to the q152 class in round 6: the page synthesis +
+    # real-parser extraction is compute-bound per doc, so the 8-byte
+    # doc_id projection repartitions to defaultParallelism first — and
+    # that fan-out must stay the ONLY exchange (the extraction itself
+    # remains shuffle-free).
+    import re
+
+    plan = _formatted_plan(q161_image_text_pairs(spark, SF_DIR))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "RoundRobinPartitioning" in plan, plan
 
 
 def test_q152_fans_out_before_compute_no_gram_shuffle(spark):
