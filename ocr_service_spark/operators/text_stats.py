@@ -1489,13 +1489,24 @@ def q121_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_ab",
             "c_a",
             "c_b",
+            # DECIMAL(38,0) intermediates: the corpus-level product
+            # c_ab * n_tokens^2 overflows BIGINT once n_tokens passes
+            # ~3M (ANSI mode then kills the query at scale), while the
+            # DuckDB oracle computes it in HUGEINT. Decimal arithmetic
+            # is exact at these magnitudes (< 10^31 even at 10^12
+            # tokens), DIV returns the identical integral quotient,
+            # and the comparison is exact — bit-identical output at
+            # every SF that previously worked, no overflow at the SFs
+            # that did not.
             F.expr(
-                "(1000 * c_ab * n_tokens * n_tokens)"
-                " DIV (m_bigrams * c_a * c_b)"
+                "CAST((1000 * CAST(c_ab AS DECIMAL(38,0)) * n_tokens"
+                " * n_tokens)"
+                " DIV (CAST(m_bigrams AS DECIMAL(38,0)) * c_a * c_b)"
+                " AS BIGINT)"
             ).alias("lift_milli"),
-            (
-                F.col("c_ab") * F.col("n_tokens") * F.col("n_tokens")
-                > 2 * F.col("m_bigrams") * F.col("c_a") * F.col("c_b")
+            F.expr(
+                "CAST(c_ab AS DECIMAL(38,0)) * n_tokens * n_tokens"
+                " > 2 * CAST(m_bigrams AS DECIMAL(38,0)) * c_a * c_b"
             ).alias("collocated"),
         )
         .orderBy(
