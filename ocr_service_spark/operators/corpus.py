@@ -95,12 +95,20 @@ CONTAM_SALT = "eval"
 
 def _word_ngrams(t, n: int):
     """Overlapping word n-grams of a split-token array (empty when the
-    doc is shorter than n tokens — mirrors DuckDB range() semantics)."""
+    doc is shorter than n tokens — mirrors DuckDB range() semantics).
+
+    Zips n staggered slices of ONE tokenization instead of slicing
+    inside the transform lambda — an outer expression referenced in a
+    higher-order-function lambda re-evaluates per element, so the old
+    shape re-ran the regex split once per gram position (the
+    dedup._shingle_array lesson)."""
+    width = F.size(t) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(t, k + 1, width) for k in range(n)])
     return F.when(
         F.size(t) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -1121,20 +1129,28 @@ FUZZY_NGRAM = 5
 
 
 def _drop_one_sigs(gram):
-    """array<string> of the FUZZY_NGRAM drop-one signatures 'i|rest'."""
+    """array<string> of the FUZZY_NGRAM drop-one signatures 'i|rest'.
+
+    Unrolled as a plain array constructor (FUZZY_NGRAM is a constant):
+    the old transform lambda re-split the gram once per signature
+    (outer refs in HOF lambdas re-evaluate per element); here the
+    split is one projection-level subexpression shared by every arm."""
     s = F.split(gram, " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(FUZZY_NGRAM)),
-        lambda i: F.concat_ws(
-            "|",
-            i.cast("string"),
-            F.array_join(
-                F.concat(
-                    F.slice(s, 1, i - 1), F.slice(s, i + 1, FUZZY_NGRAM - i)
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(i)),
+                F.array_join(
+                    F.concat(
+                        F.slice(s, 1, i - 1),
+                        F.slice(s, i + 1, FUZZY_NGRAM - i),
+                    ),
+                    " ",
                 ),
-                " ",
-            ),
-        ),
+            )
+            for i in range(1, FUZZY_NGRAM + 1)
+        ]
     )
 
 
